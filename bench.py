@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline query set on $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) with local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_pipeline_mini_project_01_spark.plans import registry
+from etl_pipeline_mini_project_01_spark.session import get_spark
+
+#: Headline set: flagship + the heaviest representative per operator family.
+#: Grown as plan modules land; falls back to "everything registered" names
+#: that exist.
+HEADLINE = [
+    "g1_daily_engagement_summary",
+    "g2_top_performing_content",
+    "g3_account_influence",
+    "g4_hashtag_performance",
+    "g5_hourly_posting_patterns",
+    "g6_daily_event_trends",
+    "g7_viral_content",
+    "j7_star_join_region_revenue",
+    "a6_dedup_latest_version",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality_scores",
+]
+
+
+def _consume(df) -> int:
+    """Force full execution; small (top-k/agg) results via collect, else noop write."""
+    return len(df.collect())
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry.load_all_plans()
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    if not names:
+        names = sorted(registry.QUERIES)[:8]
+
+    # Warm the JVM/IO path once (excluded from timings).
+    registry.QUERIES[names[0]](spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _consume(registry.QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_query_set_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

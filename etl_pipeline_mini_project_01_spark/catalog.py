@@ -1,0 +1,70 @@
+"""Table catalog: explicit schemas + loaders for the harness testdata.
+
+The reference declares every schema explicitly at each boundary
+(/root/reference/src/extractor/hashtag_data_extractor.py:342-386 - 30-col
+extractor schema; /root/reference/models/bronze/02_create_bronze_tables.sql:8-87
+- 50-col bronze DDL). We keep that stance: the engine never relies on
+inference for semantics; loaders normalize types to the canonical schema
+below (notably `events.ts`, stored as INT64 nanos in parquet, which is
+converted to microsecond TIMESTAMP_NTZ - same truncation DuckDB applies
+when casting TIMESTAMP_NS to TIMESTAMP, keeping the oracle exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import harden
+
+#: All tables the harness provides (one parquet each per scale-factor dir).
+TABLES: tuple[str, ...] = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: Canonical column -> Spark type (post-normalization), for validation.
+CANONICAL_SCHEMAS: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {"c_custkey": "bigint", "c_name": "string", "c_nationkey": "int",
+                 "c_acctbal": "double", "c_mktsegment": "string"},
+    "supplier": {"s_suppkey": "bigint", "s_name": "string", "s_nationkey": "int",
+                 "s_acctbal": "double"},
+    "part": {"p_partkey": "bigint", "p_name": "string", "p_brand": "string",
+             "p_type": "string", "p_size": "int", "p_retailprice": "double"},
+    "orders": {"o_orderkey": "bigint", "o_custkey": "bigint", "o_orderstatus": "string",
+               "o_totalprice": "double", "o_orderdate": "timestamp_ntz",
+               "o_orderpriority": "string"},
+    "lineitem": {"l_orderkey": "bigint", "l_partkey": "bigint", "l_suppkey": "bigint",
+                 "l_linenumber": "int", "l_quantity": "double",
+                 "l_extendedprice": "double", "l_discount": "double", "l_tax": "double",
+                 "l_returnflag": "string", "l_linestatus": "string",
+                 "l_shipdate": "timestamp_ntz"},
+    "events": {"event_id": "bigint", "ts": "timestamp_ntz", "user_id": "bigint",
+               "event_type": "string", "value": "double", "props": "string"},
+    "documents": {"doc_id": "bigint", "text": "string", "lang": "string",
+                  "source": "string", "n_chars": "bigint"},
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>", "label": "int"},
+}
+
+#: Columns stored as INT64 nanosecond timestamps in the harness parquet.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one harness table, normalized to its canonical schema."""
+    harden(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            # int64 nanos -> micros (integer div: truncation, matches DuckDB
+            # TIMESTAMP_NS -> TIMESTAMP cast) -> naive timestamp.
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
+            )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,70 @@
+"""SparkSession factory and session hardening.
+
+The reference pipeline is a single-process Polars+Postgres client; here the
+"session" is a real distributed query engine handle. Everything downstream
+assumes:
+  * UTC session timezone (oracle parity: the reference stores tz-aware UTC
+    timestamps, see /root/reference/src/extractor/hashtag_data_extractor.py:266-281),
+  * AQE enabled (runtime re-planning, skew-join handling at scale),
+  * nanosecond parquet timestamps readable (the harness testdata stores
+    TIMESTAMP(NANOS) which Spark only reads via the nanosAsLong conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe to set on a live session (runtime-settable).
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # Harness parquet writes ts as INT64 TIMESTAMP(NANOS,false); Spark has no
+    # nanos timestamp, so read raw int64 and convert in the catalog loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for any pandas/pandas_udf interchange (vectorized, not per-row).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+#: Confs we want at session build time (some need a fresh session to apply).
+BUILD_CONF: dict[str, str] = {
+    **RUNTIME_CONF,
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # local[32] with 100MB-scale inputs: 32 shuffle partitions avoids tiny-task
+    # overhead; at cluster scale this is sized to data volume / 128MB target.
+    "spark.sql.shuffle.partitions": "32",
+    # Dims (region/nation/customer at small SF, dim_* always) stay broadcastable.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "etl-mini-spark-engine",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in {**BUILD_CONF, **(extra_conf or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return harden(spark)
+
+
+def harden(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to a session we did not build.
+
+    The correctness driver hands us *its* SparkSession; oracle parity
+    (timezone) and testdata readability (nanos parquet) must not depend on
+    how that session was constructed.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked down: best effort
+            pass
+    return spark

@@ -1,0 +1,29 @@
+"""Smoke: the driver contract module loads and entry() produces rows."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+
+def _load_entry_module():
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("spark_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_smoke(spark):
+    mod = _load_entry_module()
+    df = mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_contract_shape(spark):
+    mod = _load_entry_module()
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert qs, "no queries registered"
+    assert set(oracles) <= set(qs), "oracle without matching query"
