@@ -1,0 +1,86 @@
+"""Batched model-inference UDF surface (SURVEY §2.11 U2).
+
+The reference collects a text column, runs a HuggingFace sentiment
+pipeline in batches of 32 on CUDA/MPS/CPU, applies a 0.75 confidence
+threshold -> 'Neutral', maps labels to Positive/Negative, rounds the score
+to 4 places, and attaches the model name
+(/root/reference/src/transformer/sentiment_analyzer.py:70-168).
+
+Engine mapping: a Series->Series pandas_udf - Arrow ships batches to the
+worker, the "model" loads lazily once per executor process, batch size is
+spark.sql.execution.arrow.maxRecordsPerBatch. A real transformer plugs in
+by replacing `_load_model`; tests gate on the deterministic lexicon
+stand-in (same signature, threshold and label-mapping semantics), since a
+neural net is not oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+MODEL_NAME = "lexicon-sentiment-v1"
+CONFIDENCE_THRESHOLD = 0.75
+
+POSITIVE_WORDS = frozenset(
+    {"fast", "good", "small", "new", "fresh", "win", "top", "best", "clean"})
+NEGATIVE_WORDS = frozenset(
+    {"slow", "bad", "big", "old", "error", "fail", "dup", "worst", "stale"})
+
+#: Per-executor lazy singleton (the reference's GPU-pipeline analogue).
+_MODEL = None
+
+
+def _load_model():
+    """Lazily build the scorer once per executor process."""
+    global _MODEL
+    if _MODEL is None:
+        def score(text: str) -> tuple[str, float]:
+            toks = text.lower().split()
+            pos = sum(t in POSITIVE_WORDS for t in toks)
+            neg = sum(t in NEGATIVE_WORDS for t in toks)
+            total = pos + neg
+            if total == 0:
+                return "Neutral", 0.5
+            raw = max(pos, neg) / total  # winning-class confidence in [0.5, 1]
+            label = "Positive" if pos >= neg else "Negative"
+            if raw < CONFIDENCE_THRESHOLD:
+                # Below-threshold confidence -> Neutral, keep the score
+                # (sentiment_analyzer.py:146-158 semantics).
+                label = "Neutral"
+            return label, round(raw, 4)
+        _MODEL = score
+    return _MODEL
+
+
+# Explicit StructType (a DDL string here would require an active
+# SparkSession at import time - this module imports session-free).
+_SENTIMENT_SCHEMA = StructType([
+    StructField("sentiment_value", StringType()),
+    StructField("sentiment_score", DoubleType()),
+])
+
+
+@pandas_udf(_SENTIMENT_SCHEMA)
+def sentiment_batch(texts: pd.Series) -> pd.DataFrame:
+    model = _load_model()
+    out = texts.fillna("").map(model)
+    return pd.DataFrame({
+        "sentiment_value": out.map(lambda x: x[0]),
+        "sentiment_score": out.map(lambda x: x[1]),
+    })
+
+
+def with_sentiment(text_col: str | Column) -> list[Column]:
+    """Column bundle: sentiment_value / sentiment_score / sentiment_model -
+    the three bronze sentiment columns (bronze/02:74-78)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    s = sentiment_batch(c)
+    return [
+        s["sentiment_value"].alias("sentiment_value"),
+        s["sentiment_score"].alias("sentiment_score"),
+        F.lit(MODEL_NAME).alias("sentiment_model"),
+    ]

@@ -1,0 +1,123 @@
+"""SCD Type 2 merge and idempotent-upsert rewrites (SURVEY §2.9 M1-M4).
+
+The reference mutates Postgres tables in place (UPDATE expire + INSERT,
+silver_etl.py:132-234; ON CONFLICT upserts, bronze_loader.py:143-188).
+Parquet is immutable, so each becomes a *rebuild*: compute the delta with
+joins, then union the new table state. At scale this is the standard
+copy-on-write pattern (Delta/Iceberg MERGE does the same under the hood);
+the change-detection join broadcasts the (small) incoming batch against
+the dim, so the rebuild cost is one scan of the dim + one union write.
+
+NULL semantics note (documented reference behavior, silver_etl.py:192-195):
+attribute comparison uses plain <>, so NULL -> value transitions are NOT
+detected as changes. `null_safe=True` switches to <=> (eqNullSafe) for
+engines that want the fix.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+FAR_FUTURE = "9999-12-31 00:00:00"
+
+
+def _changed_predicate(incoming: DataFrame, current: DataFrame,
+                       tracked: Sequence[str], null_safe: bool) -> Column:
+    preds = []
+    for attr in tracked:
+        if null_safe:
+            preds.append(~incoming[attr].eqNullSafe(current[attr]))
+        else:
+            preds.append(incoming[attr] != current[attr])
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+def scd2_merge(dim: DataFrame, incoming: DataFrame, key: str,
+               tracked: Sequence[str], change_ts: str,
+               far_future: str = FAR_FUTURE,
+               null_safe: bool = False) -> DataFrame:
+    """One SCD2 merge round: expire changed rows, insert new versions.
+
+    `dim` carries (attributes..., valid_from, valid_to, is_current);
+    `incoming` carries the bare attributes. Returns the rebuilt dim
+    (history + kept-current + expired + inserted), no surrogate keys -
+    apply :func:`assign_surrogate_keys` after.
+    """
+    ts = F.lit(change_ts).cast("timestamp_ntz")
+    far = F.lit(far_future).cast("timestamp_ntz")
+    history = dim.filter(~F.col("is_current"))
+    cur = dim.filter(F.col("is_current"))
+
+    cur_keyed = cur.alias("c")
+    inc = incoming.alias("i")
+    changed = _changed_predicate(inc, cur_keyed, tracked, null_safe)
+    to_insert = (
+        inc.join(cur_keyed, F.col(f"i.{key}") == F.col(f"c.{key}"), "left")
+        .filter(F.col(f"c.{key}").isNull() | changed)
+        .select("i.*")
+    )
+    insert_keys = to_insert.select(key)
+    expired = (
+        cur.join(insert_keys, key, "left_semi")
+        .withColumn("valid_to", ts)
+        .withColumn("is_current", F.lit(False))
+    )
+    kept = cur.join(insert_keys, key, "left_anti")
+    inserted = (
+        to_insert
+        .withColumn("valid_from", ts)
+        .withColumn("valid_to", far)
+        .withColumn("is_current", F.lit(True))
+    )
+    return (history.unionByName(kept).unionByName(expired)
+            .unionByName(inserted))
+
+
+def scd2_initial(snapshot: DataFrame, valid_from: str,
+                 far_future: str = FAR_FUTURE) -> DataFrame:
+    """Bootstrap a dim from a first snapshot (all rows current)."""
+    return (snapshot
+            .withColumn("valid_from", F.lit(valid_from).cast("timestamp_ntz"))
+            .withColumn("valid_to", F.lit(far_future).cast("timestamp_ntz"))
+            .withColumn("is_current", F.lit(True)))
+
+
+def assign_surrogate_keys(df: DataFrame, key_col: str,
+                          order_by: Sequence[str], offset: int = 0) -> Column | DataFrame:
+    """M4: deterministic surrogate keys - row_number over the natural-key
+    order (+ offset for appends), replacing SERIAL. Deliberately NOT
+    monotonically_increasing_id (partition-dependent, not reproducible).
+
+    Scale note: a single global window - acceptable for dimension tables
+    (bounded cardinality); never applied to fact tables, which keep their
+    natural key (reference does the same: fact joins dims by surrogate,
+    fact's own key is only ever used as a unique constraint).
+    """
+    w = Window.orderBy(*order_by)
+    return df.withColumn(key_col, F.row_number().over(w) + F.lit(offset))
+
+
+def idempotent_append(existing: DataFrame, incoming: DataFrame,
+                      key: str) -> DataFrame:
+    """M2: ON CONFLICT DO NOTHING - first write wins; only unseen keys
+    append (silver_etl.py:119,288)."""
+    return existing.unionByName(
+        incoming.join(existing.select(key), key, "left_anti"))
+
+
+def upsert_latest(existing: DataFrame, incoming: DataFrame, key: str,
+                  version_cols: Sequence[str]) -> DataFrame:
+    """M3/S6: ON CONFLICT DO UPDATE - keep the latest version per key,
+    ordered by `version_cols` (window-dedup rewrite of the upsert sink)."""
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in version_cols])
+    return (existing.unionByName(incoming)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn"))

@@ -1,0 +1,127 @@
+"""End-to-end medallion pipeline (the reference's src/main.py:45-260 run,
+Spark-first): bronze (cleaned + lineage) -> silver (dims + SCD2 + fact) ->
+gold (7 analytical views), materialized as parquet layers with atomic
+swaps.
+
+Differences from the reference by design:
+  * steps are one lazy DAG per layer with explicit materialization
+    boundaries (saveAsTable-style parquet writes), not imperative
+    booleans;
+  * silver's single-transaction semantics become stage-to-staging +
+    atomic rename (sources/io.atomic_overwrite);
+  * the per-layer DDL scripts (S9) are implicit in the written schemas.
+
+Run: python -m etl_pipeline_mini_project_01_spark.pipeline <sf_dir> <out_dir>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.cleaning import nullify_negative, nullify_out_of_domain
+from .functions.dates import calendar_attrs, date_key
+from .operators.scd import assign_surrogate_keys, scd2_initial
+from .plans import registry
+from .sources.io import atomic_overwrite
+
+EVENT_DOMAIN = ("click", "view", "purchase", "signup", "error")
+
+GOLD_VIEWS = (
+    "g1_daily_engagement_summary",
+    "g2_top_performing_content",
+    "g3_account_influence",
+    "g4_hashtag_performance",
+    "g5_hourly_posting_patterns",
+    "g6_daily_event_trends",
+    "g7_viral_content",
+)
+
+
+def build_bronze(spark: SparkSession, sf_dir: str, run_id: str) -> DataFrame:
+    """Step 1-3: ingest + clean + lineage (bronze_loader.py:79-97 adds
+    ingestion_timestamp / pipeline_run_id / data_version)."""
+    events = load_table(spark, sf_dir, "events")
+    return (events
+            .withColumn("value", nullify_negative("value"))
+            .withColumn("event_type",
+                        nullify_out_of_domain("event_type", EVENT_DOMAIN))
+            .withColumn("ingestion_timestamp", F.col("ts"))
+            .withColumn("pipeline_run_id", F.lit(run_id))
+            .withColumn("data_version", F.lit("1.0")))
+
+
+def build_silver(spark: SparkSession, sf_dir: str,
+                 bronze: DataFrame) -> dict[str, DataFrame]:
+    """Step 4: star schema - dim_date, dim_account (SCD2-ready), fact."""
+    cal = calendar_attrs("ts")
+    dim_date = (bronze
+                .select(*[expr.alias(name) for name, expr in cal.items()])
+                .distinct())
+    customers = load_table(spark, sf_dir, "customer")
+    dim_account = assign_surrogate_keys(
+        scd2_initial(customers, registry.RUN_TS), "account_key",
+        ["c_custkey", "valid_from"])
+    acct = dim_account.filter(F.col("is_current")).select(
+        "account_key", F.col("c_custkey").alias("user_key"))
+    fact = (bronze
+            .join(F.broadcast(acct), bronze.user_id == acct.user_key, "left")
+            .select(
+                F.col("event_id").alias("event_natural_key"),
+                date_key("ts").alias("date_key"),
+                "account_key", "event_type", "value",
+                "ingestion_timestamp", "pipeline_run_id"))
+    return {"dim_date": dim_date, "dim_account": dim_account, "fact": fact}
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
+                 run_id: str = "run_1") -> dict[str, object]:
+    """Full bronze -> silver -> gold run; returns per-step stats
+    (the reference's post-load verification, silver_etl.py:501-522)."""
+    registry.load_all_plans()
+    os.makedirs(out_dir, exist_ok=True)
+    stats: dict[str, object] = {}
+
+    t0 = time.perf_counter()
+    bronze = build_bronze(spark, sf_dir, run_id)
+    atomic_overwrite(bronze, f"{out_dir}/bronze/events", ["date_key"]
+                     if "date_key" in bronze.columns else None)
+    stats["bronze_rows"] = spark.read.parquet(f"{out_dir}/bronze/events").count()
+    stats["bronze_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    silver = build_silver(spark, sf_dir, bronze)
+    for name, df in silver.items():
+        atomic_overwrite(df, f"{out_dir}/silver/{name}")
+        stats[f"silver_{name}_rows"] = (
+            spark.read.parquet(f"{out_dir}/silver/{name}").count())
+    stats["silver_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    for view in GOLD_VIEWS:
+        df = registry.QUERIES[view](spark, sf_dir)
+        atomic_overwrite(df, f"{out_dir}/gold/{view}")
+        stats[f"gold_{view}_rows"] = (
+            spark.read.parquet(f"{out_dir}/gold/{view}").count())
+    stats["gold_sec"] = round(time.perf_counter() - t0, 2)
+    return stats
+
+
+def main() -> None:
+    from .session import get_spark
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/medallion"
+    spark = get_spark("medallion-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run_pipeline(spark, sf_dir, out_dir)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Inference query surface (U2): the pandas_udf sentiment path (rows-only
+- a Python UDF stage is outside DuckDB's reach by definition) plus the
+downstream sentiment-distribution rollup the reference notifies on
+(discord_notifier.py:96-100) as an oracle-checked pure-SQL twin of the
+same lexicon semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.inference import with_sentiment
+from .registry import register
+
+
+@register("u2_sentiment_inference")
+def u2_sentiment_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched sentiment inference over documents (pandas_udf with
+    per-executor lazy model; deterministic lexicon stand-in for the NN)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *with_sentiment("text"))
+
+
+_LEXICON_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           len(list_filter(string_split(LOWER(text), ' '),
+               t -> t IN ('fast','good','small','new','fresh','win','top',
+                          'best','clean'))) AS pos,
+           len(list_filter(string_split(LOWER(text), ' '),
+               t -> t IN ('slow','bad','big','old','error','fail','dup',
+                          'worst','stale'))) AS neg
+    FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           CASE WHEN pos + neg = 0 THEN 'Neutral'
+                WHEN CAST(greatest(pos, neg) AS DOUBLE) / (pos + neg) < 0.75
+                     THEN 'Neutral'
+                WHEN pos >= neg THEN 'Positive'
+                ELSE 'Negative' END AS sentiment_value
+    FROM toks
+)
+SELECT sentiment_value, COUNT(*) AS n
+FROM scored
+GROUP BY sentiment_value
+ORDER BY sentiment_value
+"""
+
+
+@register("u2_sentiment_distribution", oracle=_LEXICON_SQL)
+def u2_sentiment_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-over-U2: sentiment distribution with the inference semantics
+    (threshold -> Neutral, label mapping) expressed as pure column
+    expressions - proving the UDF's logic is exactly the documented
+    lexicon (the oracle runs the same lexicon in SQL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    pos_arr = F.array(*[F.lit(x) for x in sorted(
+        {"fast", "good", "small", "new", "fresh", "win", "top", "best", "clean"})])
+    neg_arr = F.array(*[F.lit(x) for x in sorted(
+        {"slow", "bad", "big", "old", "error", "fail", "dup", "worst", "stale"})])
+    pos = F.size(F.filter(w, lambda t: F.array_contains(pos_arr, t)))
+    neg = F.size(F.filter(w, lambda t: F.array_contains(neg_arr, t)))
+    label = (F.when(pos + neg == 0, "Neutral")
+             .when(F.greatest(pos, neg).cast("double") / (pos + neg) < 0.75,
+                   "Neutral")
+             .when(pos >= neg, "Positive")
+             .otherwise("Negative"))
+    return (docs.select(label.alias("sentiment_value"))
+            .groupBy("sentiment_value")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("sentiment_value"))

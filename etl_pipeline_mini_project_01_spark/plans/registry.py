@@ -39,6 +39,9 @@ _PLAN_MODULES = (
     "dedup",
     "similarity",
     "text_analysis",
+    "multimodal",
+    "streaming_windows",
+    "inference",
 )
 
 

@@ -1,0 +1,179 @@
+"""Similarity search over the `embeddings` table (north-star operators):
+brute-force cosine top-k baseline + LSH-bucketed scale path + embedding
+near-dup pairs.
+
+Float determinism: embeddings are float32; both engines widen each element
+to float64 before multiplying, and the dot product is a *sequential left
+fold* over the array (Spark `aggregate`, DuckDB `list_reduce`) - identical
+operation order => bit-identical doubles => hashable across engines.
+
+Scale design (100 TB):
+  * brute force is the correctness baseline: queries x corpus equi-free
+    join - Spark broadcasts the (small) query set so the corpus never
+    shuffles; per-partition top-k then global merge via window;
+  * the bucketed variant (sign-LSH on leading components) turns ANN into
+    an equi-join on bucket id - the same candidate-pruning shape as
+    MinHash LSH, linear in corpus size;
+  * at real scale the corpus side would be IVF-partitioned parquet
+    (cluster id = partition key) - the bucket column here is that
+    partition key in miniature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+N_QUERIES = 5
+TOP_K = 10
+LSH_BITS = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (order-deterministic, float64)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0),
+                       lambda acc, v: acc + v.cast("double") * v.cast("double"))
+
+
+_SQL_DOT = ("list_reduce(list_transform(list_zip({a}, {b}), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)")
+_SQL_NORM2 = ("list_reduce(list_transform({a}, "
+              "p -> CAST(p AS DOUBLE) * CAST(p AS DOUBLE)), (x, y) -> x + y)")
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id, embedding, label FROM embeddings),
+scored AS (
+    SELECT q.query_id, c.vec_id, c.label,
+           {_SQL_DOT.format(a='q.qv', b='c.embedding')}
+             / (sqrt({_SQL_NORM2.format(a='q.qv')})
+                * sqrt({_SQL_NORM2.format(a='c.embedding')})) AS cosine
+    FROM q JOIN c ON q.query_id <> c.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, label, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the first N vectors are the query set
+    (broadcast); every corpus partition scores locally, then a per-query
+    window takes the top-k. The corpus never shuffles - only the tiny
+    scored set does."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")))
+    scored = (
+        q.join(emb, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id", "label",
+            (_dot(F.col("qv"), F.col("embedding"))
+             / (F.sqrt(_norm2(F.col("qv"))) * F.sqrt(_norm2(F.col("embedding")))))
+            .alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .orderBy("query_id", "rank"))
+
+
+@register(
+    "sim_lsh_buckets",
+    oracle=f"""
+WITH sig AS (
+    SELECT vec_id, label,
+           list_reduce(
+               list_transform(range(1, {LSH_BITS} + 1),
+                   i -> CASE WHEN embedding[i] >= 0
+                             THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END),
+               (a, b) -> a + b) AS bucket
+    FROM embeddings
+)
+SELECT bucket,
+       COUNT(*) AS n_vectors,
+       COUNT(DISTINCT label) AS n_labels,
+       MIN(vec_id) AS min_vec_id
+FROM sig
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing (hyperplanes = first 8 coordinate axes,
+    deterministic): bucket id = sign bits of the leading components.
+    ANN then probes only the query's bucket (+ neighbors) - the equi-join
+    scale path; this query materializes the bucket histogram."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.expr(f"""
+        aggregate(
+            transform(sequence(1, {LSH_BITS}),
+                      i -> IF(element_at(embedding, i) >= 0,
+                              shiftleft(CAST(1 AS BIGINT), i - 1),
+                              CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT), (a, b) -> a + b)
+    """)
+    return (
+        emb.select("vec_id", "label", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.countDistinct("label").alias("n_labels"),
+             F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "sim_embedding_near_dups",
+    oracle=f"""
+WITH c AS (SELECT vec_id, embedding, label FROM embeddings),
+pairs AS (
+    SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+             / (sqrt({_SQL_NORM2.format(a='a.embedding')})
+                * sqrt({_SQL_NORM2.format(a='b.embedding')})) AS cosine
+    FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, vec_a, vec_b, cosine
+FROM pairs
+ORDER BY cosine DESC, vec_a, vec_b
+LIMIT 100
+""",
+)
+def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    blocking key stands in for an IVF cluster id at scale): top-100 most
+    similar same-label pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    cosine = (_dot(F.col("a.embedding"), F.col("b.embedding"))
+              / (F.sqrt(_norm2(F.col("a.embedding")))
+                 * F.sqrt(_norm2(F.col("b.embedding")))))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.label").alias("label"),
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+        .limit(100)
+    )

@@ -1,0 +1,131 @@
+"""Streaming query surface: REAL Structured Streaming runs (availableNow
+over the bounded harness input => deterministic, oracle-checkable) plus
+the batch sessionization op.
+
+The oracles are plain window aggregations: on bounded input, a completed
+availableNow streaming aggregation in complete mode equals the batch
+aggregation - which is exactly the correctness property worth gating.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..streaming.windows import (
+    run_to_completion,
+    sliding_value_avg,
+    tumbling_counts,
+)
+from .parity import dsum, sql_dsum
+from .registry import register
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=f"""
+SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+       time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 6 HOUR
+           AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+""",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation, executed as a genuine
+    streaming query (readStream -> watermark -> window agg -> memory sink,
+    availableNow trigger) and compared against the batch semantics."""
+    return (run_to_completion(tumbling_counts(spark, sf_dir),
+                              "stream_tumbling_counts")
+            .orderBy("window_start", "event_type"))
+
+
+@register(
+    "stream_sliding_value_avg",
+    oracle=f"""
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+assigned AS (
+    SELECT unnest([time_bucket(INTERVAL 6 HOUR, ts),
+                   time_bucket(INTERVAL 6 HOUR, ts) - INTERVAL 6 HOUR])
+               AS window_start,
+           value
+    FROM ev
+)
+SELECT window_start,
+       window_start + INTERVAL 12 HOUR AS window_end,
+       COUNT(*) AS n,
+       {sql_dsum('value')} / COUNT(*) AS avg_value
+FROM assigned
+GROUP BY window_start
+ORDER BY window_start
+""",
+)
+def stream_sliding_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (12h window / 6h slide) streaming average - each
+    event lands in two epoch-aligned windows; real streaming execution."""
+    return (run_to_completion(sliding_value_avg(spark, sf_dir),
+                              "stream_sliding_value_avg")
+            .orderBy("window_start"))
+
+
+@register(
+    "sessionization_gaps",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           CASE WHEN CAST(ts AS TIMESTAMP)
+                     - LAG(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 1 HOUR
+                     OR LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM ordered
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       {sql_dsum('value')} AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via gap detection (1h inactivity closes a session):
+    LAG + cumulative-sum session ids + per-session rollup - the batch
+    equivalent of streaming session windows (F.session_window), expressed
+    so the oracle is engine-neutral. Two window passes over one shuffle
+    on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # Interval comparison (microsecond-exact, matching the oracle's
+    # `ts - LAG(ts) > INTERVAL 1 HOUR`; unix_timestamp would truncate).
+    gap = (F.col("ts") - prev_ts) > F.expr("INTERVAL 1 HOUR")
+    ordered = events.withColumn(
+        "is_new_session",
+        F.when(prev_ts.isNull() | gap, 1).otherwise(0))
+    w_cum = (Window.partitionBy("user_id").orderBy("ts")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sessions = ordered.withColumn("session_id",
+                                  F.sum("is_new_session").over(w_cum))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             dsum("value", "session_value"))
+        .orderBy("user_id", "session_id")
+    )

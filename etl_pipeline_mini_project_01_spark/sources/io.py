@@ -1,0 +1,64 @@
+"""Sources & sinks (SURVEY §2.1 S1-S11).
+
+The reference moves data as CSV text into Postgres via COPY
+(bronze_loader.py:109-141) with executemany fallbacks; the engine's
+equivalents are columnar parquet writes with atomic-swap semantics for
+"REFRESH MATERIALIZED VIEW CONCURRENTLY" (gold_refresh.py:40-74).
+
+Scale notes: writes partition by date_key where the layer has one (the
+engine's replacement for the reference's 25+ b-tree indexes is partition
+pruning + parquet min/max skipping); the atomic swap is rename-based on
+posix/HDFS-style filesystems.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite",
+                partition_by: list[str] | None = None) -> None:
+    """S5/S8: bulk columnar sink (COPY -> parquet write; truncate/recreate
+    -> mode='overwrite')."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv_fallback(df: DataFrame, path: str) -> None:
+    """S4: CSV sink used when the primary sink fails (main.py:127-129)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def atomic_overwrite(df: DataFrame, path: str,
+                     partition_by: list[str] | None = None) -> None:
+    """M6 'refresh concurrently': materialize to a staging dir, then swap.
+
+    Readers of `path` never observe a partial table; equivalent of
+    REFRESH MATERIALIZED VIEW CONCURRENTLY (gold_refresh.py:52-55).
+    """
+    staging = path.rstrip("/") + ".__staging__"
+    backup = path.rstrip("/") + ".__old__"
+    write_table(df, staging, "overwrite", partition_by)
+    for p in (backup,):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    if os.path.exists(path):
+        os.rename(path, backup)
+    os.rename(staging, path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+
+
+def catalog_summary(spark: SparkSession) -> dict[str, int]:
+    """S11: catalog introspection (model_executor.py:139-194 counts of
+    schemas/tables/matviews)."""
+    dbs = spark.catalog.listDatabases()
+    n_tables = 0
+    for db in dbs:
+        n_tables += len(spark.catalog.listTables(db.name))
+    return {"databases": len(dbs), "tables": n_tables}

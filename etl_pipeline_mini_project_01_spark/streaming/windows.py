@@ -1,0 +1,90 @@
+"""Structured Streaming counterparts over the `events` table
+(SURVEY §2.13: absent in the reference - its "real-time" is batch re-runs;
+the engine adds true streaming semantics as the north star asks).
+
+Bounded-input pattern: `readStream` over the parquet file with
+`trigger(availableNow=True)` processes all existing data exactly once and
+terminates - so streaming results on the harness data are deterministic
+and comparable to the batch/oracle equivalents. On a live cluster the same
+code tails a directory/Kafka topic unchanged.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import harden
+
+#: Streaming-source schema for events: ts arrives as int64 nanos (the
+#: harness parquet) and is converted in-stream.
+EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    harden(spark)
+    # The file-stream source requires a directory; point it at the
+    # scale-factor dir and glob-filter to the events file(s).
+    raw = (spark.readStream
+           .schema(EVENTS_STREAM_SCHEMA)
+           .option("pathGlobFilter", "events*.parquet")
+           .parquet(sf_dir))
+    # LTZ (session tz = UTC), not NTZ: event-time watermarks require
+    # TIMESTAMP type; values are identical under the pinned UTC session.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(result: DataFrame, query_name: str | None = None) -> DataFrame:
+    """Execute a streaming aggregation over all currently-available input
+    (availableNow) into a memory sink; return the final result table."""
+    name = query_name or f"q_{uuid.uuid4().hex[:12]}"
+    q = (result.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str,
+                    window: str = "6 hours",
+                    watermark: str = "1 day") -> DataFrame:
+    """Tumbling-window counts per event_type with a watermark (late rows
+    beyond `watermark` would be dropped on a live stream)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (events
+           .withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                .alias("total_value")))
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "event_type", "n", "total_value")
+
+
+def sliding_value_avg(spark: SparkSession, sf_dir: str,
+                      window: str = "12 hours", slide: str = "6 hours",
+                      watermark: str = "1 day") -> DataFrame:
+    """Sliding-window average value (each event contributes to
+    window/slide overlapping windows)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (events
+           .withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window, slide).alias("win"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                (F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                 / F.count(F.lit(1))).alias("avg_value")))
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "n", "avg_value")

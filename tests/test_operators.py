@@ -1,0 +1,81 @@
+"""Unit tests for the composed operator library (upserts, SCD2 edges,
+multimodal decode, inference semantics) on tiny in-memory frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_mini_project_01_spark.operators.inference import with_sentiment
+from etl_pipeline_mini_project_01_spark.operators.multimodal import decode_features
+from etl_pipeline_mini_project_01_spark.operators.scd import (
+    idempotent_append,
+    scd2_initial,
+    scd2_merge,
+    upsert_latest,
+)
+
+
+def test_idempotent_append_first_wins(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    incoming = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    out = {(r.k, r.v) for r in idempotent_append(existing, incoming, "k").collect()}
+    assert out == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_upsert_latest_keeps_newest_version(spark):
+    existing = spark.createDataFrame([(1, "old", 1), (2, "keep", 5)],
+                                     "k int, v string, ver int")
+    incoming = spark.createDataFrame([(1, "new", 2), (2, "stale", 4)],
+                                     "k int, v string, ver int")
+    out = {(r.k, r.v) for r in
+           upsert_latest(existing, incoming, "k", ["ver"]).collect()}
+    assert out == {(1, "new"), (2, "keep")}
+
+
+def test_scd2_null_transition_not_detected(spark):
+    """Documented reference semantics (silver_etl.py:192-195): NULL <->
+    value transitions are invisible to plain <> comparison."""
+    snap1 = spark.createDataFrame([(1, None), (2, "x")], "k int, attr string")
+    snap2 = spark.createDataFrame([(1, "now-set"), (2, "x")], "k int, attr string")
+    dim = scd2_initial(snap1, "2024-01-01 00:00:00")
+    merged = scd2_merge(dim, snap2, "k", ["attr"], "2024-01-15 00:00:00")
+    # key 1 changed NULL->value but plain <> returns UNKNOWN -> not expired
+    rows = merged.filter(F.col("k") == 1).collect()
+    assert len(rows) == 1 and rows[0]["attr"] is None
+    # null_safe mode detects it
+    merged_ns = scd2_merge(dim, snap2, "k", ["attr"], "2024-01-15 00:00:00",
+                           null_safe=True)
+    assert merged_ns.filter(F.col("k") == 1).count() == 2
+
+
+def test_multimodal_decode_deterministic(spark):
+    df = spark.createDataFrame([(1, bytearray(b"abc"))],
+                               "doc_id long, payload binary")
+    row = decode_features(df).collect()[0]
+    assert row.n_bytes == 3
+    assert row.checksum == "900150983cd24fb0d6963f7d28e17f72"  # md5('abc')
+    assert sum(row.byte_histogram) == 3
+
+
+def test_multimodal_real_codec_stubbed(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))],
+                               "doc_id long, payload binary")
+    with pytest.raises(NotImplementedError):
+        decode_features(df, codec="jpeg")
+
+
+def test_sentiment_threshold_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "fast good win"),        # all positive -> confident Positive
+         (2, "slow bad fail error"),  # all negative -> confident Negative
+         (3, "fast slow"),            # 50/50 -> below threshold -> Neutral
+         (4, "table chair lamp")],    # no lexicon hits -> Neutral
+        "doc_id long, text string")
+    out = {r.doc_id: (r.sentiment_value, r.sentiment_score)
+           for r in df.select("doc_id", *with_sentiment("text")).collect()}
+    assert out[1] == ("Positive", 1.0)
+    assert out[2] == ("Negative", 1.0)
+    assert out[3] == ("Neutral", 0.5)
+    assert out[4] == ("Neutral", 0.5)

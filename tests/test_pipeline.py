@@ -1,0 +1,49 @@
+"""End-to-end medallion pipeline + IO sinks on sf0.001 into a tmp dir."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_mini_project_01_spark.pipeline import run_pipeline
+from etl_pipeline_mini_project_01_spark.sources.io import (
+    atomic_overwrite,
+    write_csv_fallback,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_full_pipeline(spark, tmp_path):
+    out = str(tmp_path / "warehouse")
+    stats = run_pipeline(spark, SF_DIR, out)
+    assert stats["bronze_rows"] == 1000
+    assert stats["silver_fact_rows"] == 1000
+    assert stats["silver_dim_account_rows"] == 150
+    for view in ("g1_daily_engagement_summary", "g6_daily_event_trends"):
+        assert stats[f"gold_{view}_rows"] > 0
+    # bronze partitioned by nothing here; gold tables re-readable
+    assert spark.read.parquet(f"{out}/gold/g4_hashtag_performance").count() > 0
+
+
+def test_atomic_overwrite_swaps(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df1 = spark.range(5).withColumn("v", F.lit("one"))
+    atomic_overwrite(df1, path)
+    assert spark.read.parquet(path).count() == 5
+    df2 = spark.range(3).withColumn("v", F.lit("two"))
+    atomic_overwrite(df2, path)
+    out = spark.read.parquet(path)
+    assert out.count() == 3
+    assert {r.v for r in out.collect()} == {"two"}
+    assert not os.path.exists(path + ".__staging__")
+    assert not os.path.exists(path + ".__old__")
+
+
+def test_csv_fallback_sink(spark, tmp_path):
+    path = str(tmp_path / "csv_out")
+    df = spark.createDataFrame([(1, "a,b"), (2, None)], "k int, v string")
+    write_csv_fallback(df, path)
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 2
