@@ -27,11 +27,16 @@ HEADLINE = [
     "g5_hourly_posting_patterns",
     "g6_daily_event_trends",
     "g7_viral_content",
+    "q1_pricing_summary",
     "j7_star_join_region_revenue",
+    "m1_scd2_account_dim",
     "a6_dedup_latest_version",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "sim_cosine_topk",
     "text_quality_scores",
+    "sessionization_gaps",
+    "stream_tumbling_counts",
 ]
 
 

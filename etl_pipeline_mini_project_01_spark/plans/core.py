@@ -161,3 +161,107 @@ def o2_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("value"), "event_id")
         .limit(100)
     )
+
+
+@register(
+    "p2_time_window_cutoff",
+    oracle="""
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+       CAST(value AS DOUBLE) AS value
+FROM events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-24 00:00:00'
+ORDER BY event_id
+""",
+)
+def p2_time_window_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: extraction time-window cutoff (hashtag_data_extractor.py:41-47:
+    drop rows older than now - N days; frozen cutoff = RUN_TS - 8 days).
+    At scale this predicate prunes date partitions before any scan."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24 00:00:00").cast("timestamp_ntz")
+    return (events.filter(F.col("ts") >= cutoff)
+            .select("event_id", "ts", "event_type", "value")
+            .orderBy("event_id"))
+
+
+@register(
+    "a7_dedup_keep_first",
+    oracle="""
+WITH versions AS (
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS value, 1 AS src
+    FROM events
+    UNION ALL
+    SELECT event_id, user_id, CAST(value AS DOUBLE) * 2 AS value, 2 AS src
+    FROM events WHERE event_id % 4 = 1
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY src) AS rn
+    FROM versions
+)
+SELECT event_id, user_id, value, src
+FROM ranked WHERE rn = 1
+ORDER BY event_id
+""",
+)
+def a7_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: df.unique(keep='first') (data_quality.py:57-62). Spark's
+    dropDuplicates keeps an ARBITRARY row, so the engine's deterministic
+    form orders by an explicit arrival column - the documented replacement
+    (SURVEY A7 note). Fixture: every 4th event arrives twice."""
+    events = load_table(spark, sf_dir, "events")
+    v1 = events.select("event_id", "user_id", "value").withColumn("src", F.lit(1))
+    v2 = (events.filter(F.col("event_id") % 4 == 1)
+          .select("event_id", "user_id", (F.col("value") * 2).alias("value"))
+          .withColumn("src", F.lit(2)))
+    w = Window.partitionBy("event_id").orderBy("src")
+    return (v1.unionByName(v2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .orderBy("event_id"))
+
+
+@register(
+    "o1_global_sort",
+    oracle="""
+SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+FROM events
+ORDER BY value DESC, event_id
+""",
+)
+def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: full global sort (range-partitioned exchange + per-partition
+    sort). Kept for parity with the reference's ORDER BY-everywhere MVs;
+    the engine prefers O2 top-k when a LIMIT exists (see o2_top_events)."""
+    events = load_table(spark, sf_dir, "events")
+    return (events.select("event_id", "user_id", "event_type", "value")
+            .orderBy(F.desc("value"), "event_id"))
+
+
+@register(
+    "a14_table_stats",
+    oracle="""
+SELECT COUNT(*) AS row_count,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       MIN(CAST(ts AS TIMESTAMP)) AS min_ts,
+       MAX(CAST(ts AS TIMESTAMP)) AS max_ts,
+       (SELECT COUNT(*) FROM (
+           SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) > 1))
+           AS users_with_dups
+FROM events
+""",
+)
+def a14_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: post-load verification stats (bronze_loader.py:198-220,
+    silver_etl.py:501-522): row counts, distinct keys, time range, and the
+    GROUP BY ... HAVING COUNT(*)>1 duplicate detector."""
+    events = load_table(spark, sf_dir, "events")
+    dups = (events.groupBy("user_id").count()
+            .filter(F.col("count") > 1).count())
+    return events.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.lit(dups).cast("bigint").alias("users_with_dups"),
+    )

@@ -28,6 +28,15 @@ from .registry import register
 
 MINHASH_K = 8          # hash functions
 LSH_ROWS_PER_BAND = 2  # -> 4 bands
+MERSENNE_P = 2147483647  # 2^31-1: universal-hash modulus
+
+#: Fixed affine coefficients for the K universal hash functions
+#: h_i(x) = (a_i * md5_32(x) + b_i) mod p - one md5 per shingle total,
+#: K cheap arithmetic variants instead of K md5 passes (8x fewer hashes).
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1103, 12345), (2053, 54321), (4099, 31337), (8209, 271828),
+    (16411, 141421), (32771, 577215), (65537, 662607), (131101, 299792),
+)
 
 
 def _tokens(df: DataFrame) -> DataFrame:
@@ -58,6 +67,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COEFFS_SQL = "(VALUES " + ", ".join(
+    f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+    for i, (a, b) in enumerate(MINHASH_COEFFS)) + ") AS hf(seed, a, b)"
+
 _MINHASH_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id,
@@ -69,15 +82,21 @@ shingles AS (
            w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
     FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
 ),
+hashed AS (
+    SELECT doc_id,
+           list_reduce(list_transform(string_split(substr(md5(shingle), 1, 8), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (x, y) -> x * 16 + y) AS h
+    FROM shingles
+),
 sigs AS (
-    SELECT doc_id, seed,
-           MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS sig
-    FROM shingles, UNNEST(range(0, {MINHASH_K})) AS s(seed)
-    GROUP BY doc_id, seed
+    SELECT doc_id, hf.seed, MIN((hf.a * h + hf.b) % {MERSENNE_P}) AS sig
+    FROM hashed, {_COEFFS_SQL}
+    GROUP BY doc_id, hf.seed
 ),
 buckets AS (
     SELECT doc_id, seed // {LSH_ROWS_PER_BAND} AS band,
-           string_agg(sig, '|' ORDER BY seed) AS bucket
+           string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS bucket
     FROM sigs GROUP BY 1, 2
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -90,10 +109,12 @@ ORDER BY doc_a, doc_b
 
 @register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates: word-3-gram shingles -> K md5
-    minhashes -> banded signatures -> equi-join on (band, bucket) ->
-    distinct candidate pairs. Sub-quadratic: pairs only form inside
-    identical LSH buckets."""
+    """MinHash + LSH near-dup candidates: word-3-gram shingles -> one
+    md5_32 per shingle -> K universal-hash variants (a*h+b mod 2^31-1,
+    fixed coefficients) -> per-(doc,seed) minima -> banded signatures ->
+    equi-join on (band, bucket) -> distinct candidate pairs.
+    Sub-quadratic: pairs only form inside identical LSH buckets; one
+    cryptographic hash per shingle total."""
     docs = _tokens(load_table(spark, sf_dir, "documents"))
     shingles = (
         docs.select(
@@ -105,12 +126,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )).alias("shingle"))
         .distinct()
     )
+    coeffs = F.array(*[
+        F.struct(F.lit(i).alias("seed"),
+                 F.lit(a).cast("bigint").alias("a"),
+                 F.lit(b).cast("bigint").alias("b"))
+        for i, (a, b) in enumerate(MINHASH_COEFFS)])
+    hashed = shingles.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+        .alias("h"))
     sigs = (
-        shingles
-        .select("doc_id", "shingle",
-                F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("seed"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
+        hashed
+        .select("doc_id", "h", F.explode(coeffs).alias("hf"))
+        .groupBy("doc_id", F.col("hf.seed").alias("seed"))
+        .agg(F.min((F.col("hf.a") * F.col("h") + F.col("hf.b")) % MERSENNE_P)
              .alias("sig"))
     )
     buckets = (
@@ -118,7 +147,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "band")
         .agg(F.array_join(
             F.transform(F.array_sort(F.collect_list(F.struct("seed", "sig"))),
-                        lambda x: x["sig"]), "|").alias("bucket"))
+                        lambda x: x["sig"].cast("string")), "|").alias("bucket"))
     )
     a = buckets.alias("a")
     b = buckets.alias("b")

@@ -24,6 +24,14 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for any pandas/pandas_udf interchange (vectorized, not per-row).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Perf: a foreign (driver-provided) session defaults to 200 shuffle
+    # partitions - far too many tasks for the harness volumes and a real
+    # fleet alike before AQE coalesces them. These are all runtime-settable.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
 }
 
 #: Confs we want at session build time (some need a fresh session to apply).
