@@ -129,3 +129,14 @@ def sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
              dsum("value", "session_value"))
         .orderBy("user_id", "session_id")
     )
+
+
+@register("stream_stateful_running_totals")
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals carried in the state store across micro-batches.
+    Rows-only check (Python state function is not SQL-expressible); the
+    batch-equivalence property is asserted in tests/test_streaming.py."""
+    from ..streaming.stateful import run_stateful_to_completion
+    return run_stateful_to_completion(
+        spark, sf_dir, "stateful_totals_q").orderBy("user_id")
