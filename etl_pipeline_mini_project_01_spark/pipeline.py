@@ -52,6 +52,7 @@ def build_bronze(spark: SparkSession, sf_dir: str, run_id: str) -> DataFrame:
             .withColumn("value", nullify_negative("value"))
             .withColumn("event_type",
                         nullify_out_of_domain("event_type", EVENT_DOMAIN))
+            .withColumn("date_key", date_key("ts"))
             .withColumn("ingestion_timestamp", F.col("ts"))
             .withColumn("pipeline_run_id", F.lit(run_id))
             .withColumn("data_version", F.lit("1.0")))

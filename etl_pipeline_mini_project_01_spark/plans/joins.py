@@ -258,3 +258,27 @@ def j2_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c_mktsegment").alias("segment"),
                 F.col("n_name").alias("nation_name"))
     )
+
+
+@register(
+    "skew_salted_aggregate",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS total,
+       {sql_dsum('value')} / COUNT(*) AS avg_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py): event_type is
+    the hot low-cardinality key (5 values x N rows - the worst case for a
+    direct groupBy at scale); salting spreads each key over 8 partial
+    groups, the final merge is 40 rows. Oracle = the direct groupBy:
+    decimal sums make the two-phase result bit-identical."""
+    from ..operators.skew import salted_sum_count
+    events = load_table(spark, sf_dir, "events")
+    return (salted_sum_count(events, "event_type", "value", salt_buckets=8)
+            .orderBy("event_type"))

