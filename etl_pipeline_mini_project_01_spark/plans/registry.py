@@ -42,6 +42,7 @@ _PLAN_MODULES = (
     "multimodal",
     "streaming_windows",
     "inference",
+    "sql_surface",
 )
 
 

@@ -177,3 +177,70 @@ def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
         .limit(100)
     )
+
+
+_BUCKET_SQL = f"""list_reduce(
+               list_transform(range(1, {LSH_BITS} + 1),
+                   i -> CASE WHEN {{v}}[i] >= 0
+                             THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END),
+               (a, b) -> a + b)"""
+
+
+@register(
+    "sim_ivf_probe_topk",
+    oracle=f"""
+WITH c AS (
+    SELECT vec_id, embedding, label,
+           {_BUCKET_SQL.format(v='embedding')} AS bucket
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM c
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, c.vec_id, c.label,
+           {_SQL_DOT.format(a='q.qv', b='c.embedding')}
+             / (sqrt({_SQL_NORM2.format(a='q.qv')})
+                * sqrt({_SQL_NORM2.format(a='c.embedding')})) AS cosine
+    FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, label, cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style probed ANN: score only candidates in the query's LSH
+    bucket (vs sim_cosine_topk's full scan) - the equi-join candidate
+    pruning that makes ANN linear at corpus scale; at 100 TB the bucket is
+    the parquet partition key, so the probe is a partition-pruned scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.expr(f"""
+        aggregate(
+            transform(sequence(1, {LSH_BITS}),
+                      i -> IF(element_at(embedding, i) >= 0,
+                              shiftleft(CAST(1 AS BIGINT), i - 1),
+                              CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT), (a, b) -> a + b)
+    """)
+    c = emb.withColumn("bucket", bucket)
+    q = F.broadcast(
+        c.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+                F.col("bucket").alias("qbucket")))
+    scored = (
+        q.join(c, (F.col("qbucket") == F.col("bucket"))
+               & (F.col("query_id") != F.col("vec_id")))
+        .select("query_id", "vec_id", "label",
+                (_dot(F.col("qv"), F.col("embedding"))
+                 / (F.sqrt(_norm2(F.col("qv")))
+                    * F.sqrt(_norm2(F.col("embedding"))))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .orderBy("query_id", "rank"))

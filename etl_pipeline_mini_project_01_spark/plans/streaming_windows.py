@@ -140,3 +140,52 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.stateful import run_stateful_to_completion
     return run_stateful_to_completion(
         spark, sf_dir, "stateful_totals_q").orderBy("user_id")
+
+
+@register(
+    "session_window_native",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           CASE WHEN CAST(ts AS TIMESTAMP)
+                     - LAG(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 1 HOUR
+                     OR LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 1 HOUR AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS session_value
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 1h gap): Spark merges
+    events whose gaps stay under the timeout; window.end = last event +
+    gap. Oracle = the LAG/cumsum sessionization - proving the built-in
+    operator implements exactly the gap semantics. Works identically as a
+    streaming aggregation (session_window is stream-capable)."""
+    events = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "1 hour")
+    return (
+        events.groupBy(sw.alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value", "session_value"))
+        .select("user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events", "session_value")
+        .orderBy("user_id", "session_start")
+    )

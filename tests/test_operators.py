@@ -79,3 +79,15 @@ def test_sentiment_threshold_semantics(spark):
     assert out[2] == ("Negative", 1.0)
     assert out[3] == ("Neutral", 0.5)
     assert out[4] == ("Neutral", 0.5)
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from etl_pipeline_mini_project_01_spark.plans.registry import (
+        QUERIES,
+        load_all_plans,
+    )
+    load_all_plans()
+    rows = QUERIES["a11_approx_distinct"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.05 * r.exact_users)
