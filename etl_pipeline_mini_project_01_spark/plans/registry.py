@@ -43,6 +43,7 @@ _PLAN_MODULES = (
     "streaming_windows",
     "inference",
     "sql_surface",
+    "digest",
 )
 
 

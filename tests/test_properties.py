@@ -1,0 +1,75 @@
+"""Property-based invariants (hypothesis) for the stateful operators:
+whatever snapshots arrive, SCD2 keeps exactly one current row per key and
+full history; upserts are idempotent."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_pipeline_mini_project_01_spark.operators.scd import (
+    idempotent_append,
+    scd2_initial,
+    scd2_merge,
+    upsert_latest,
+)
+
+KEYS = st.integers(min_value=0, max_value=6)
+VALS = st.integers(min_value=0, max_value=3)
+
+snapshot = st.dictionaries(KEYS, VALS, min_size=1, max_size=7)
+
+_SETTINGS = dict(max_examples=8, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def _df(spark, d: dict[int, int]):
+    return spark.createDataFrame(
+        [(k, f"v{v}") for k, v in sorted(d.items())], "k int, attr string")
+
+
+@given(s1=snapshot, s2=snapshot)
+@settings(**_SETTINGS)
+def test_scd2_one_current_row_per_key(spark, s1, s2):
+    dim = scd2_initial(_df(spark, s1), "2024-01-01 00:00:00")
+    merged = scd2_merge(dim, _df(spark, s2), "k", ["attr"],
+                        "2024-01-15 00:00:00")
+    current_counts = (merged.filter("is_current").groupBy("k").count()
+                      .filter(F.col("count") != 1).count())
+    assert current_counts == 0
+    # every key ever seen still has at least one row (history never lost)
+    seen = set(s1) | set(s2)
+    assert {r.k for r in merged.select("k").distinct().collect()} == seen
+    # changed keys carry exactly 2 rows: expired + new version
+    changed = {k for k in set(s1) & set(s2) if s1[k] != s2[k]}
+    two_rows = {r.k: r.n for r in
+                merged.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for k in changed:
+        assert two_rows[k] == 2
+
+
+@given(s1=snapshot, s2=snapshot)
+@settings(**_SETTINGS)
+def test_idempotent_append_is_idempotent(spark, s1, s2):
+    a, b = _df(spark, s1), _df(spark, s2)
+    once = idempotent_append(a, b, "k")
+    twice = idempotent_append(once, b, "k")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    # first-wins: keys of a keep a's attr
+    got = {r.k: r.attr for r in once.collect()}
+    for k, v in s1.items():
+        assert got[k] == f"v{v}"
+
+
+@given(s1=snapshot, s2=snapshot)
+@settings(**_SETTINGS)
+def test_upsert_latest_is_idempotent_and_latest_wins(spark, s1, s2):
+    a = _df(spark, s1).withColumn("ver", F.lit(1))
+    b = _df(spark, s2).withColumn("ver", F.lit(2))
+    once = upsert_latest(a, b, "k", ["ver"])
+    twice = upsert_latest(once, b, "k", ["ver"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    got = {r.k: r.attr for r in once.collect()}
+    for k, v in s2.items():
+        assert got[k] == f"v{v}"  # newest version wins
