@@ -30,6 +30,7 @@ from .functions.dates import calendar_attrs, date_key
 from .operators.scd import assign_surrogate_keys, scd2_initial
 from .plans import registry
 from .sources.io import atomic_overwrite
+from .sources.resilience import refresh_views
 
 EVENT_DOMAIN = ("click", "view", "purchase", "signup", "error")
 
@@ -105,11 +106,17 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     stats["silver_sec"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    for view in GOLD_VIEWS:
-        df = registry.QUERIES[view](spark, sf_dir)
-        atomic_overwrite(df, f"{out_dir}/gold/{view}")
-        stats[f"gold_{view}_rows"] = (
-            spark.read.parquet(f"{out_dir}/gold/{view}").count())
+    report = refresh_views(
+        spark,
+        {view: (lambda v=view: registry.QUERIES[v](spark, sf_dir))
+         for view in GOLD_VIEWS},
+        writer=lambda view, df: atomic_overwrite(df, f"{out_dir}/gold/{view}"))
+    for view, status in report.items():
+        if status["ok"]:
+            stats[f"gold_{view}_rows"] = (
+                spark.read.parquet(f"{out_dir}/gold/{view}").count())
+        else:  # M6 semantics: one broken view never blocks the rest
+            stats[f"gold_{view}_error"] = status["error"]
     stats["gold_sec"] = round(time.perf_counter() - t0, 2)
     return stats
 
