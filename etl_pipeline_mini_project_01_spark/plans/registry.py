@@ -44,6 +44,7 @@ _PLAN_MODULES = (
     "inference",
     "sql_surface",
     "digest",
+    "olap",
 )
 
 
