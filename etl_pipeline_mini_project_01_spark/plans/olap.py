@@ -89,3 +89,37 @@ def olap_pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "setops_user_segments",
+    oracle="""
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT user_id, 'both' AS segment
+FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM purchasers)
+UNION ALL
+SELECT user_id, 'click_only' AS segment
+FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM purchasers)
+UNION ALL
+SELECT user_id, 'purchase_only' AS segment
+FROM (SELECT user_id FROM purchasers EXCEPT SELECT user_id FROM clickers)
+ORDER BY user_id
+""",
+)
+def setops_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.12: INTERSECT/EXCEPT are engine
+    capabilities beyond the reference's implicit unions): user segments
+    via intersect/except over distinct key sets - each compiles to a
+    hash-partitioned distinct + join under Catalyst."""
+    events = load_table(spark, sf_dir, "events")
+    clickers = (events.filter(F.col("event_type") == "click")
+                .select("user_id").distinct())
+    purchasers = (events.filter(F.col("event_type") == "purchase")
+                  .select("user_id").distinct())
+    both = clickers.intersect(purchasers).withColumn("segment", F.lit("both"))
+    click_only = (clickers.exceptAll(purchasers)
+                  .withColumn("segment", F.lit("click_only")))
+    purchase_only = (purchasers.exceptAll(clickers)
+                     .withColumn("segment", F.lit("purchase_only")))
+    return both.unionByName(click_only).unionByName(purchase_only).orderBy("user_id")
