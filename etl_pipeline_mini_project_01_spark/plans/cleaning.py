@@ -258,3 +258,42 @@ def p6_normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 schema-driven blank->NULL over every string column."""
     docs = load_table(spark, sf_dir, "documents")
     return normalize_string_nulls(docs)
+
+
+@register(
+    "f12_engagement_ratio",
+    oracle="""
+WITH acct AS (
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS follows,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS engagement
+    FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, follows, engagement,
+       CASE WHEN follows > 0 THEN engagement / follows
+            ELSE 0.0 END AS engagement_ratio,
+       engagement / NULLIF(follows, 0) AS engagement_ratio_nullif
+FROM acct
+ORDER BY user_id
+""",
+)
+def f12_engagement_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 exact semantics (silver_etl.py:169-173): the reference's
+    engagement_ratio yields 0 (NOT NULL) on a zero denominator - the
+    when/otherwise form - while its SQL ratios use NULLIF -> NULL. Both
+    variants side by side, since they differ and the difference is the
+    documented behavior."""
+    events = load_table(spark, sf_dir, "events")
+    acct = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("follows"),
+        dsum("value", "engagement"))
+    return acct.select(
+        "user_id", "n_events", "follows", "engagement",
+        F.when(F.col("follows") > 0,
+               F.col("engagement") / F.col("follows"))
+        .otherwise(F.lit(0.0)).alias("engagement_ratio"),
+        (F.col("engagement") / F.nullif(F.col("follows"), F.lit(0)))
+        .alias("engagement_ratio_nullif"),
+    ).orderBy("user_id")
