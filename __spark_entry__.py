@@ -29,10 +29,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so a
+    driver that checks a prefix of the dict covers every operator family
+    (see plans/registry.CHECK_PRIORITY)."""
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted => rows-only)."""
-    return dict(registry.ORACLES)
+    return registry.ordered_oracles()

@@ -13,8 +13,13 @@ Scale design (100 TB):
   * MinHash: docs x shingles x K rows never materialize wide - signatures
     reduce per (doc, seed) immediately; the LSH band join is an equi-join
     on (band, bucket), i.e. shuffle-partitionable, never a cross join;
-  * pair generation happens only within LSH buckets (candidate pruning),
+  * pair generation happens only within LSH buckets (candidate pruning) -
     the defining property that keeps near-dup at 100 TB sub-quadratic.
+    The Jaccard scorer consumes LSH candidates, never all-pairs blocks
+    (a skewed (source, lang) block would be quadratic at scale);
+  * (K, rows_per_band) are tunable: more bands -> higher recall, longer
+    bands -> higher precision. `tests/test_dedup_quality.py` measures
+    candidate precision/recall against exact-Jaccard ground truth.
 """
 
 from __future__ import annotations
@@ -26,17 +31,31 @@ from ..catalog import load_table
 from ..functions.text import word_array
 from .registry import register
 
-MINHASH_K = 8          # hash functions
-LSH_ROWS_PER_BAND = 2  # -> 4 bands
+MINHASH_K = 8          # hash functions (default; tunable via minhash_coeffs)
+LSH_ROWS_PER_BAND = 2  # -> 4 bands at K=8
 MERSENNE_P = 2147483647  # 2^31-1: universal-hash modulus
 
-#: Fixed affine coefficients for the K universal hash functions
+#: Fixed affine coefficients for the first 8 universal hash functions
 #: h_i(x) = (a_i * md5_32(x) + b_i) mod p - one md5 per shingle total,
-#: K cheap arithmetic variants instead of K md5 passes (8x fewer hashes).
-MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+#: K cheap arithmetic variants instead of K md5 passes (Kx fewer hashes).
+_BASE_COEFFS: tuple[tuple[int, int], ...] = (
     (1103, 12345), (2053, 54321), (4099, 31337), (8209, 271828),
     (16411, 141421), (32771, 577215), (65537, 662607), (131101, 299792),
 )
+
+
+def minhash_coeffs(k: int = MINHASH_K) -> tuple[tuple[int, int], ...]:
+    """Deterministic (a_i, b_i) coefficients for K universal hashes.
+
+    The first 8 come from the fixed table (stable across rounds); beyond 8
+    they extend via modular powers - reproducible in any engine because
+    the *values* (not the formula) are injected as literals on both the
+    Spark and oracle sides.
+    """
+    extra = tuple(
+        (pow(31, i + 1, MERSENNE_P - 2) + 1, pow(37, i + 1, MERSENNE_P))
+        for i in range(len(_BASE_COEFFS), k))
+    return (_BASE_COEFFS + extra)[:k]
 
 
 def _tokens(df: DataFrame) -> DataFrame:
@@ -67,12 +86,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COEFFS_SQL = "(VALUES " + ", ".join(
-    f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
-    for i, (a, b) in enumerate(MINHASH_COEFFS)) + ") AS hf(seed, a, b)"
+# ---------------------------------------------------------------------------
+# Shared MinHash/LSH machinery (Spark builders + DuckDB oracle CTE text),
+# parameterized on (K, rows_per_band) and reused by dedup_minhash_lsh AND
+# dedup_ngram_jaccard (candidate generation) AND the quality tests.
+# ---------------------------------------------------------------------------
 
-_MINHASH_ORACLE = f"""
-WITH toks AS (
+def _coeffs_sql(k: int) -> str:
+    return "(VALUES " + ", ".join(
+        f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for i, (a, b) in enumerate(minhash_coeffs(k))) + ") AS hf(seed, a, b)"
+
+
+def lsh_buckets_sql(k: int = MINHASH_K,
+                    rows_per_band: int = LSH_ROWS_PER_BAND) -> str:
+    """DuckDB CTE chain `toks, shingles, hashed, sigs, buckets` mirroring
+    :func:`lsh_buckets`. Caller wraps in ``WITH {..} SELECT ...``."""
+    return f"""toks AS (
     SELECT doc_id,
            list_filter(string_split_regex(LOWER(text), '\\s+'), x -> x <> '') AS w
     FROM documents
@@ -91,33 +121,33 @@ hashed AS (
 ),
 sigs AS (
     SELECT doc_id, hf.seed, MIN((hf.a * h + hf.b) % {MERSENNE_P}) AS sig
-    FROM hashed, {_COEFFS_SQL}
+    FROM hashed, {_coeffs_sql(k)}
     GROUP BY doc_id, hf.seed
 ),
 buckets AS (
-    SELECT doc_id, seed // {LSH_ROWS_PER_BAND} AS band,
+    SELECT doc_id, seed // {rows_per_band} AS band,
            string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS bucket
     FROM sigs GROUP BY 1, 2
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM buckets a
-JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-              AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b
-"""
+)"""
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates: word-3-gram shingles -> one
-    md5_32 per shingle -> K universal-hash variants (a*h+b mod 2^31-1,
-    fixed coefficients) -> per-(doc,seed) minima -> banded signatures ->
-    equi-join on (band, bucket) -> distinct candidate pairs.
-    Sub-quadratic: pairs only form inside identical LSH buckets; one
-    cryptographic hash per shingle total."""
-    docs = _tokens(load_table(spark, sf_dir, "documents"))
+_CANDIDATES_SQL = """cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+)"""
+
+
+def lsh_buckets(docs: DataFrame, k: int = MINHASH_K,
+                rows_per_band: int = LSH_ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, band, bucket): word-3-gram shingles -> one md5_32 per
+    shingle -> K universal-hash variants (a*h+b mod 2^31-1, fixed
+    coefficients) -> per-(doc, seed) minima -> banded signatures.
+    `docs` needs (doc_id, text)."""
+    toks = _tokens(docs)
     shingles = (
-        docs.select(
+        toks.select(
             "doc_id",
             F.explode(F.transform(
                 F.sequence(F.lit(0), F.size("w") - 3),
@@ -130,7 +160,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit(i).alias("seed"),
                  F.lit(a).cast("bigint").alias("a"),
                  F.lit(b).cast("bigint").alias("b"))
-        for i, (a, b) in enumerate(MINHASH_COEFFS)])
+        for i, (a, b) in enumerate(minhash_coeffs(k))])
     hashed = shingles.select(
         "doc_id",
         F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
@@ -142,23 +172,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min((F.col("hf.a") * F.col("h") + F.col("hf.b")) % MERSENNE_P)
              .alias("sig"))
     )
-    buckets = (
-        sigs.withColumn("band", F.expr(f"seed div {LSH_ROWS_PER_BAND}"))
+    return (
+        sigs.withColumn("band", F.expr(f"seed div {rows_per_band}"))
         .groupBy("doc_id", "band")
         .agg(F.array_join(
             F.transform(F.array_sort(F.collect_list(F.struct("seed", "sig"))),
                         lambda x: x["sig"].cast("string")), "|").alias("bucket"))
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+
+
+def lsh_candidates(buckets: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs: equi-join on (band,
+    bucket) - pairs only form inside identical LSH buckets, the property
+    that keeps near-dup sub-quadratic at 100 TB."""
+    a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {lsh_buckets_sql()},
+{_CANDIDATES_SQL}
+SELECT doc_a, doc_b FROM cands
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates (see :func:`lsh_buckets` /
+    :func:`lsh_candidates`). Sub-quadratic: pairs only form inside
+    identical LSH buckets; one cryptographic hash per shingle total."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (lsh_candidates(lsh_buckets(docs))
+            .orderBy("doc_a", "doc_b"))
 
 
 _SIMHASH_ORACLE = """
@@ -183,7 +236,8 @@ bit_sums AS (
     GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bit_sums
 GROUP BY doc_id
 ORDER BY doc_id
@@ -218,60 +272,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = """
-WITH toksets AS (
-    SELECT doc_id, source, lang,
+_JACCARD_ORACLE = f"""
+WITH {lsh_buckets_sql()},
+{_CANDIDATES_SQL},
+toksets AS (
+    SELECT doc_id,
            list_distinct(list_filter(string_split_regex(LOWER(text), '\\s+'),
                                      x -> x <> '')) AS ts
     FROM documents
-),
-pairs AS (
-    SELECT a.source, a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-             / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
-               AS jaccard
-    FROM toksets a
-    JOIN toksets b ON a.source = b.source AND a.lang = b.lang
-                  AND a.doc_id < b.doc_id
 )
-SELECT source, lang,
-       COUNT(*) AS n_pairs,
-       SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS near_dup_pairs,
-       CAST(SUM(CAST(jaccard AS DECIMAL(9,6))) AS DOUBLE) / COUNT(*)
-           AS avg_jaccard
-FROM pairs
-GROUP BY source, lang
-ORDER BY source, lang
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+         / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+           AS jaccard,
+       len(list_intersect(a.ts, b.ts)) >=
+         (0.5 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))))
+           AS is_near_dup
+FROM cands c
+JOIN toksets a ON c.doc_a = a.doc_id
+JOIN toksets b ON c.doc_b = b.doc_id
+ORDER BY doc_a, doc_b
 """
 
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard near-dup, blocked by (source, lang) - blocking is
-    the scale story: pairwise comparison only inside blocks, an equi-join
-    Spark shuffles by block key (vs the quadratic all-pairs cross join).
-    Output is the per-block summary (pair counts, near-dup counts >= 0.5,
-    decimal-exact mean similarity)."""
+    """Token-set Jaccard scoring over LSH candidate pairs - blocking by
+    MinHash/LSH bucket (reusing :func:`lsh_candidates`), NOT by
+    (source, lang) all-pairs: a skewed attribute block (e.g. all "en"/
+    "web" docs) is O(B^2) at 100 TB, while LSH candidates stay
+    sub-quadratic regardless of attribute skew. The (small) candidate
+    set broadcasts against the token-set table, so the corpus never
+    shuffles for pair assembly. Output: per-candidate exact Jaccard +
+    the >= 0.5 near-dup verdict (LSH recall is measured separately in
+    tests/test_dedup_quality.py)."""
     docs = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidates(lsh_buckets(docs))
     toksets = docs.select(
-        "doc_id", "source", "lang",
-        F.array_distinct(word_array("text")).alias("ts"))
-    a, b = toksets.alias("a"), toksets.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
-    union_sz = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - inter
-    pairs = (
-        a.join(b, (F.col("a.source") == F.col("b.source"))
-               & (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.source").alias("source"), F.col("a.lang").alias("lang"),
-                (inter.cast("double") / union_sz).alias("jaccard"))
-    )
+        "doc_id", F.array_distinct(word_array("text")).alias("ts"))
+    ts_a = toksets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    ts_b = toksets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union_sz = F.size("ts_a") + F.size("ts_b") - inter
     return (
-        pairs.groupBy("source", "lang")
-        .agg(F.count(F.lit(1)).alias("n_pairs"),
-             F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
-             .alias("near_dup_pairs"),
-             (F.sum(F.col("jaccard").cast("decimal(9,6)")).cast("double")
-              / F.count(F.lit(1))).alias("avg_jaccard"))
-        .orderBy("source", "lang")
+        F.broadcast(cands)
+        .join(ts_a, "doc_a")
+        .join(ts_b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (inter.cast("double") / union_sz).alias("jaccard"),
+            (inter >= 0.5 * union_sz).alias("is_near_dup"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -52,7 +52,8 @@ daily AS (
            CAST(MAX(value) AS DOUBLE) AS max_value,
            COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
            COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_count,
-           SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS high_value_events,
+           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_value_events,
            CAST(100.0 * COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
                 AS DOUBLE) / NULLIF(COUNT(*), 0) AS purchase_pct
     FROM base
@@ -103,10 +104,12 @@ def g1_daily_engagement_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g2_top_performing_content",
     oracle="""
-WITH fact AS (
+WITH topk AS (
     SELECT e.event_id, e.user_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
-           e.event_id % 500 AS doc_id
+           e.event_id % (SELECT COUNT(*) FROM documents) AS doc_id
     FROM events e
+    ORDER BY value DESC, event_id
+    LIMIT 1000
 )
 SELECT f.event_id, f.event_type, f.value,
        SUBSTRING(d.text, 1, 200) AS content_preview,
@@ -114,27 +117,39 @@ SELECT f.event_id, f.event_type, f.value,
        c.c_name AS account_name,
        CAST(f.value AS DOUBLE) / NULLIF(d.n_chars, 0) AS engagement_rate,
        ROW_NUMBER() OVER (ORDER BY f.value DESC, f.event_id) AS engagement_rank
-FROM fact f
+FROM topk f
 LEFT JOIN documents d ON f.doc_id = d.doc_id
 LEFT JOIN customer c ON f.user_id = c.c_custkey
 ORDER BY engagement_rank
-LIMIT 1000
 """,
 )
 def g2_top_performing_content(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G2 (gold/02:56-89): top-1000 content by engagement - fact joined to
-    content + account dims (broadcast), F6 preview, F16/A10 guarded rate,
-    W1 global rank AFTER the top-k-able sort. The deterministic
-    event->document FK is event_id % |documents| (harness has no content
-    table keyed to events)."""
-    events = load_table(spark, sf_dir, "events")
+    """G2 (gold/02:56-89): top-1000 content by engagement. Top-k FIRST
+    (orderBy+limit plans as TakeOrderedAndProject - no global-window
+    exchange over the full fact), then dim joins + rank over the 1000
+    survivors only. The deterministic event->document FK is
+    event_id % |documents|, with |documents| derived via a broadcast
+    1-row count join (scalar-subquery shape; no driver-side count), so
+    every SF exercises the whole documents table. F6 preview, F16/A10
+    guarded rate, W1 rank."""
     docs = F.broadcast(load_table(spark, sf_dir, "documents"))
     cust = F.broadcast(load_table(spark, sf_dir, "customer"))
-    fact = events.withColumn("doc_id", F.col("event_id") % 500)
+    n_docs = F.broadcast(
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("__n_docs")))
+    topk = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .join(n_docs)  # 1-row broadcast: scalar-subquery shape
+        .withColumn("doc_id", F.col("event_id") % F.col("__n_docs"))
+        .drop("__n_docs")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(1000)
+    )
     w = Window.orderBy(F.desc("value"), "event_id")
     return (
-        fact.join(docs, "doc_id", "left")
-        .join(cust, fact.user_id == cust.c_custkey, "left")
+        topk.join(docs, "doc_id", "left")
+        .join(cust, topk.user_id == cust.c_custkey, "left")
         .select(
             "event_id", "event_type", "value",
             preview("text", 200).alias("content_preview"),
@@ -145,7 +160,6 @@ def g2_top_performing_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("engagement_rank", F.row_number().over(w))
         .orderBy("engagement_rank")
-        .limit(1000)
     )
 
 

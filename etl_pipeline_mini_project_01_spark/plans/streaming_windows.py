@@ -87,9 +87,10 @@ WITH ordered AS (
 ),
 sessions AS (
     SELECT user_id, ts, value,
-           SUM(is_new_session) OVER (
+           CAST(SUM(is_new_session) OVER (
                PARTITION BY user_id ORDER BY ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
     FROM ordered
 )
 SELECT user_id, session_id,

@@ -4,9 +4,6 @@ order-insensitive value comparison)."""
 
 from __future__ import annotations
 
-import datetime
-import decimal
-import math
 import os
 import sys
 
@@ -40,50 +37,30 @@ def duck():
     con.close()
 
 
-def canon_value(v):
-    """Normalize one cell for cross-engine comparison."""
-    if isinstance(v, decimal.Decimal):
-        return ("dec", str(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        return ("f", repr(v))
-    if isinstance(v, datetime.datetime):
-        return ("ts", v.isoformat())
-    if isinstance(v, datetime.date):
-        return ("d", v.isoformat())
-    if isinstance(v, (list, tuple)):
-        return ("arr", tuple(canon_value(x) for x in v))
-    return (type(v).__name__, v)
 
 
-def canon_rows(columns, rows):
-    """Driver-mimic: sort columns by name, then sort rows."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
-    out.sort(key=repr)
-    return [columns[i] for i in order], out
+# Canonicalization lives in driver_mimic.py (the standalone driver replica)
+# so pytest parity and the mimic CANNOT drift apart again - round 1's four
+# red rows all came from the old collect()-based canon here missing pandas
+# dtype representation (HUGEINT->float64) and Arrow-cast failures.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from driver_mimic import canon_frame  # noqa: E402
 
 
 def assert_query_matches_oracle(spark, duck, name, sf_dir=SF_DIR):
     from etl_pipeline_mini_project_01_spark.plans.registry import ORACLES, QUERIES
 
-    sdf = QUERIES[name](spark, sf_dir)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    # Arrow toPandas / duckdb .df(): the grading driver's exact path.
+    s_cols, s_canon = canon_frame(QUERIES[name](spark, sf_dir).toPandas())
+    d_cols, d_canon = canon_frame(duck.sql(ORACLES[name]).df())
 
-    rel = duck.sql(ORACLES[name])
-    d_cols = list(rel.columns)
-    d_rows = rel.fetchall()
-
-    assert sorted(s_cols) == sorted(d_cols), (
-        f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    assert s_cols == d_cols, (
+        f"{name}: column mismatch spark={s_cols} duck={d_cols}"
     )
-    assert len(s_rows) == len(d_rows), (
-        f"{name}: row count mismatch spark={len(s_rows)} duck={len(d_rows)}"
+    assert len(s_canon) == len(d_canon), (
+        f"{name}: row count mismatch spark={len(s_canon)} duck={len(d_canon)}"
     )
-    _, s_canon = canon_rows(s_cols, s_rows)
-    cols, d_canon = canon_rows(d_cols, d_rows)
     mismatches = [
         (i, a, b) for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b
     ]
@@ -91,5 +68,5 @@ def assert_query_matches_oracle(spark, duck, name, sf_dir=SF_DIR):
         i, a, b = mismatches[0]
         raise AssertionError(
             f"{name}: {len(mismatches)}/{len(s_canon)} rows differ; first at "
-            f"sorted-index {i}\n  cols:  {cols}\n  spark: {a}\n  duck:  {b}"
+            f"sorted-index {i}\n  cols:  {s_cols}\n  spark: {a}\n  duck:  {b}"
         )

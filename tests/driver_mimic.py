@@ -1,6 +1,17 @@
 """Standalone driver-mimic: plain foreign SparkSession + the full
 queries()/oracle_sql() contract at a chosen SF (default sf0.01), exactly
 as the grading driver runs it. Usage: python tests/driver_mimic.py [sf_dir]
+
+Canonicalization contract (matches the real driver, per the round-1
+ArrowInvalid traceback): BOTH sides materialize to pandas - Spark via
+Arrow `toPandas()`, DuckDB via `.df()` - and values are compared with
+their pandas dtype identity intact. That is what makes the two round-1
+failure classes reproduce locally:
+  * DuckDB HUGEINT (bare integer SUM) lands as float64 `123.0` while
+    Spark hands back int64 `123` -> canon treats ints and floats as
+    DIFFERENT, like the driver's value hash;
+  * out-of-range timestamps (e.g. 9999-12-31) crash inside Arrow's
+    us->ns cast in `toPandas()` -> surfaces as a query error here too.
 """
 
 from __future__ import annotations
@@ -14,6 +25,8 @@ import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -22,19 +35,48 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(v):
+    """Dtype-sensitive scalar canonicalization of a pandas cell value.
+
+    Ints and floats deliberately do NOT unify (("i", 123) != ("f", "123.0"))
+    - the driver's hash sees pandas representations, so an oracle that
+    materializes float64 where Spark returns int64 must FAIL here.
+    """
+    if v is None or v is pd.NaT:
+        return ("null",)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return ("null",) if math.isnan(f) else ("f", repr(f))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
     if isinstance(v, decimal.Decimal):
         return ("dec", str(v))
-    if isinstance(v, float):
-        return ("f", "nan" if math.isnan(v) else repr(v))
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
         return ("t", v.isoformat())
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, datetime.date):
+        # Spark DATE -> datetime.date object; DuckDB DATE -> midnight
+        # Timestamp. The real driver equates them (f9_date_dimension was
+        # green in round 1), so normalize dates to midnight timestamps.
+        return ("t", v.isoformat() + "T00:00:00")
+    if isinstance(v, (list, tuple, np.ndarray)):
         return ("arr", tuple(canon(x) for x in v))
-    return (type(v).__name__, v)
+    return (type(v).__name__, str(v))
+
+
+def canon_frame(pdf: pd.DataFrame):
+    """(sorted columns, sorted canonical row tuples) for a pandas frame -
+    the driver sorts columns by name before hashing values."""
+    cols = sorted(pdf.columns)
+    rows = [tuple(canon(v) for v in row)
+            for row in pdf[cols].itertuples(index=False, name=None)]
+    rows.sort(key=repr)
+    return cols, rows
 
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional query-name filter
     spark = (SparkSession.builder.master("local[8]")
              .appName("driver-mimic").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
@@ -54,11 +96,15 @@ def main() -> int:
 
     qs, oracles = mod.queries(), mod.oracle_sql()
     failures = 0
-    for name in sorted(qs):
+    for name in qs:  # registration order == the order the driver checks
+        if only and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             sdf = qs[name](spark, sf)
-            scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+            # Arrow path, like the grading driver (harden() enables Arrow;
+            # the driver's round-1 traceback goes through pandas_compat).
+            scols, srows = canon_frame(sdf.toPandas())
         except Exception as exc:
             print(f"FAIL {name}: spark error {str(exc)[:200]}")
             failures += 1
@@ -67,18 +113,19 @@ def main() -> int:
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(srows)} rows [{dt:.1f}s]")
             continue
-        rel = con.sql(oracles[name])
-        dcols, drows = list(rel.columns), rel.fetchall()
-        order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-        order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        a = sorted((tuple(canon(r[i]) for i in order_s) for r in srows), key=repr)
-        b = sorted((tuple(canon(r[i]) for i in order_d) for r in drows), key=repr)
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+        try:
+            dcols, drows = canon_frame(con.sql(oracles[name]).df())
+        except Exception as exc:
+            print(f"FAIL {name}: oracle error {str(exc)[:200]}")
             failures += 1
-        elif a != b:
-            diff = next((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y) \
-                if len(a) == len(b) else ("len", len(a), len(b))
+            continue
+        if scols != dcols:
+            print(f"FAIL {name}: columns {scols} vs {dcols}")
+            failures += 1
+        elif srows != drows:
+            diff = next((i, x, y) for i, (x, y) in
+                        enumerate(zip(srows, drows)) if x != y) \
+                if len(srows) == len(drows) else ("len", len(srows), len(drows))
             print(f"FAIL {name}: value mismatch {diff!r:.300}")
             failures += 1
         else:
