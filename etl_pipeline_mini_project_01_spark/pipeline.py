@@ -9,7 +9,10 @@ Differences from the reference by design:
     booleans;
   * silver's single-transaction semantics become stage-to-staging +
     atomic rename (sources/io.atomic_overwrite);
-  * the per-layer DDL scripts (S9) are implicit in the written schemas.
+  * the per-layer DDL scripts (S9) run as step 0 via sources/ddl
+    (spark.sql over models/<layer>/*.sql in lexical order, mirroring
+    /root/reference/src/loader/model_executor.py:32-110), declaring the
+    medallion catalog the writes then fill.
 
 Run: python -m etl_pipeline_mini_project_01_spark.pipeline <sf_dir> <out_dir>
 """
@@ -29,7 +32,8 @@ from .functions.cleaning import nullify_negative, nullify_out_of_domain
 from .functions.dates import calendar_attrs, date_key
 from .operators.scd import assign_surrogate_keys, scd2_initial
 from .plans import registry
-from .sources.io import atomic_overwrite
+from .sources.ddl import execute_ddl_scripts
+from .sources.io import atomic_overwrite, catalog_summary
 from .sources.resilience import refresh_views
 
 EVENT_DOMAIN = ("click", "view", "purchase", "signup", "error")
@@ -90,19 +94,29 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     stats: dict[str, object] = {}
 
+    # Step 0 (S9): literal DDL scripts declare the medallion catalog.
+    t0 = time.perf_counter()
+    ddl_report = execute_ddl_scripts(
+        spark, {"OUT_DIR": os.path.abspath(out_dir)}, recreate=True)
+    stats["ddl_statements"] = sum(ddl_report.values())
+    stats["ddl_files"] = len(ddl_report)
+
     t0 = time.perf_counter()
     bronze = build_bronze(spark, sf_dir, run_id)
     atomic_overwrite(bronze, f"{out_dir}/bronze/events", ["date_key"]
                      if "date_key" in bronze.columns else None)
-    stats["bronze_rows"] = spark.read.parquet(f"{out_dir}/bronze/events").count()
+    # Partitions landed outside the catalog's view: recover them (the
+    # at-scale equivalent of the reference's post-COPY ANALYZE).
+    spark.sql("ALTER TABLE bronze.events RECOVER PARTITIONS")
+    stats["bronze_rows"] = spark.table("bronze.events").count()
     stats["bronze_sec"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
     silver = build_silver(spark, sf_dir, bronze)
     for name, df in silver.items():
         atomic_overwrite(df, f"{out_dir}/silver/{name}")
-        stats[f"silver_{name}_rows"] = (
-            spark.read.parquet(f"{out_dir}/silver/{name}").count())
+        spark.sql(f"REFRESH TABLE silver.{name}")
+        stats[f"silver_{name}_rows"] = spark.table(f"silver.{name}").count()
     stats["silver_sec"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
@@ -113,11 +127,12 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         writer=lambda view, df: atomic_overwrite(df, f"{out_dir}/gold/{view}"))
     for view, status in report.items():
         if status["ok"]:
-            stats[f"gold_{view}_rows"] = (
-                spark.read.parquet(f"{out_dir}/gold/{view}").count())
+            spark.sql(f"REFRESH TABLE gold.{view}")
+            stats[f"gold_{view}_rows"] = spark.table(f"gold.{view}").count()
         else:  # M6 semantics: one broken view never blocks the rest
             stats[f"gold_{view}_error"] = status["error"]
     stats["gold_sec"] = round(time.perf_counter() - t0, 2)
+    stats.update(catalog_summary(spark))  # S11 introspection check
     return stats
 
 

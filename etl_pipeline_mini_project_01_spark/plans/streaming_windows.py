@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..streaming.windows import (
     run_to_completion,
+    run_to_file_sink,
     sliding_value_avg,
     tumbling_counts,
 )
@@ -71,6 +72,46 @@ def stream_sliding_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (run_to_completion(sliding_value_avg(spark, sf_dir),
                               "stream_sliding_value_avg")
             .orderBy("window_start"))
+
+
+@register(
+    "stream_file_sink_counts",
+    oracle=f"""
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS watermark FROM ev),
+agg AS (
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS total_value
+    FROM ev
+    GROUP BY 1, 2, 3
+)
+SELECT a.window_start, a.window_end, a.event_type, a.n, a.total_value
+FROM agg a, wm
+WHERE a.window_end <= wm.watermark
+ORDER BY a.window_start, a.event_type
+""",
+)
+def stream_file_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode file-sink streaming run (the scale path beside the
+    complete/memory harness pattern): tumbling 6h counts, 1h watermark,
+    parquet sink + checkpoint, availableNow. Only windows the watermark
+    closed (window_end <= max event time - 1h) are emitted - the oracle
+    models exactly that append-mode contract."""
+    import hashlib
+    import shutil
+
+    # Deterministic scratch per input dir; cleared up-front so every call
+    # is a fresh run, and left in place after (the returned DataFrame
+    # reads the sink files lazily - no driver-side materialization).
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    scratch = f"/tmp/spark_graft_stream_sink_{tag}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    agg = tumbling_counts(spark, sf_dir, watermark="1 hour")
+    out = run_to_file_sink(agg, f"{scratch}/out", f"{scratch}/ckpt")
+    return out.orderBy("window_start", "event_type")
 
 
 @register(

@@ -54,6 +54,32 @@ def run_to_completion(result: DataFrame, query_name: str | None = None) -> DataF
     return spark.table(name)
 
 
+def run_to_file_sink(result: DataFrame, out_dir: str, checkpoint_dir: str,
+                     output_mode: str = "append") -> DataFrame:
+    """The 100 TB sink story: append-mode parquet file sink + checkpoint.
+
+    `run_to_completion`'s complete/memory pattern keeps the whole
+    aggregate on the driver - right for the bounded harness, wrong at
+    scale. This variant is what a production job runs: the watermark
+    closes windows, closed windows append to files (executors write,
+    nothing accumulates on the driver), and the checkpoint makes the
+    query restartable exactly-once. Windows still open when the bounded
+    input ends are (correctly) never emitted - that is append-mode
+    semantics, and the oracle twin models it explicitly.
+    """
+    q = (result.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    # Read back with the aggregation's schema (the sink dir may hold zero
+    # files if no window closed).
+    return result.sparkSession.read.schema(result.schema).parquet(out_dir)
+
+
 def tumbling_counts(spark: SparkSession, sf_dir: str,
                     window: str = "6 hours",
                     watermark: str = "1 day") -> DataFrame:
