@@ -74,6 +74,75 @@ def sentiment_batch(texts: pd.Series) -> pd.DataFrame:
     })
 
 
+#: Reference model id (sentiment_analyzer.py:34) and batch size (:118).
+HF_MODEL_NAME = "distilbert-base-uncased-finetuned-sst-2-english"
+HF_BATCH_SIZE = 32
+
+_REAL_MODEL = None
+
+
+def _load_real_model():
+    """Real-transformer path (sentiment_analyzer.py:70-133): lazy
+    per-executor HuggingFace pipeline with device autoselect
+    (cuda -> mps -> cpu) and batch-32 scoring. The container ships no
+    transformers/torch, so this raises NotImplementedError there - the
+    plumbing (signature, lazy singleton, Arrow batching, threshold and
+    label post-processing) is identical to the lexicon path and is what
+    tests exercise."""
+    global _REAL_MODEL
+    if _REAL_MODEL is not None:
+        return _REAL_MODEL
+    try:
+        import torch
+        from transformers import pipeline
+    except ImportError as exc:  # honest env gate, like multimodal codecs
+        raise NotImplementedError(
+            "real-model sentiment requires transformers+torch; install "
+            "them or use the 'lexicon' backend") from exc
+    if torch.cuda.is_available():
+        device = 0
+    elif getattr(torch.backends, "mps", None) and torch.backends.mps.is_available():
+        device = "mps"
+    else:
+        device = -1
+    clf = pipeline("sentiment-analysis", model=HF_MODEL_NAME, device=device)
+
+    def score_batch(texts: list[str]) -> list[tuple[str, float]]:
+        out = []
+        for res in clf(texts, batch_size=HF_BATCH_SIZE, truncation=True):
+            label = "Positive" if res["label"] == "POSITIVE" else "Negative"
+            conf = float(res["score"])
+            if conf < CONFIDENCE_THRESHOLD:
+                label = "Neutral"  # same post-processing as the lexicon path
+            out.append((label, round(conf, 4)))
+        return out
+
+    _REAL_MODEL = score_batch
+    return _REAL_MODEL
+
+
+def make_sentiment_udf(backend: str = "lexicon"):
+    """Build the Series->DataFrame sentiment pandas_udf for a backend:
+    'lexicon' (deterministic, oracle-reproducible) or 'hf' (the
+    reference's real transformer; env-gated). Both ride the same Arrow
+    batching and per-executor lazy-singleton shape."""
+    if backend == "lexicon":
+        return sentiment_batch
+    if backend != "hf":
+        raise ValueError(f"unknown sentiment backend: {backend}")
+
+    @pandas_udf(_SENTIMENT_SCHEMA)
+    def sentiment_batch_hf(texts: pd.Series) -> pd.DataFrame:
+        model = _load_real_model()
+        scored = model(texts.fillna("").tolist())
+        return pd.DataFrame({
+            "sentiment_value": [s[0] for s in scored],
+            "sentiment_score": [s[1] for s in scored],
+        })
+
+    return sentiment_batch_hf
+
+
 def with_sentiment(text_col: str | Column) -> list[Column]:
     """Column bundle: sentiment_value / sentiment_score / sentiment_model -
     the three bronze sentiment columns (bronze/02:74-78)."""

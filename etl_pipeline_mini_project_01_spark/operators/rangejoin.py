@@ -1,0 +1,46 @@
+"""Range-bucketed interval join (SCALE.md TODO closed in round 2).
+
+The 4-row score-band join (J3) is fine as a BroadcastNestedLoopJoin -
+O(rows x 4). With a LARGE interval dimension (10^5+ bands) BNLJ is
+O(rows x bands): the scalable rewrite buckets both sides by a fixed
+stride so the join becomes an equi-join on bucket id:
+
+  * each point maps to bucket floor(x / stride) - one row;
+  * each interval [lo, hi) explodes to every bucket it overlaps
+    (~width/stride rows, bounded when stride >= typical width);
+  * equi-join on bucket, then the exact `lo <= x < hi` filter.
+
+Shuffle-partitionable by bucket, never a cross join. This is the same
+trick Spark's own storage-partitioned range joins and interval libraries
+use; here it is a reusable operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketed_range_join(points: DataFrame, point_col: str,
+                        intervals: DataFrame, lo_col: str, hi_col: str,
+                        stride: float,
+                        how: str = "inner") -> DataFrame:
+    """Join each point row to every interval row with lo <= point < hi,
+    via stride-bucketing. `points` and `intervals` must have disjoint
+    column names apart from the join artifacts. Intervals wider than
+    many strides explode proportionally - pick stride near the typical
+    interval width."""
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / F.lit(stride)).cast("bigint"))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(
+            F.floor(F.col(lo_col) / F.lit(stride)).cast("bigint"),
+            # hi is exclusive: the last overlapped bucket is the one
+            # containing the largest value strictly below hi.
+            F.floor((F.col(hi_col) - F.lit(1e-12)) / F.lit(stride))
+            .cast("bigint"))))
+    joined = p.join(iv, "__bucket", how).filter(
+        (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) < F.col(hi_col)))
+    return joined.drop("__bucket")

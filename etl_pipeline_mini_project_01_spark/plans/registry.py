@@ -34,6 +34,8 @@ _PLAN_MODULES = (
     "json_text",
     "windows",
     "joins",
+    "asof",
+    "rangejoin",
     "silver",
     "gold",
     "dedup",
@@ -62,7 +64,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- changed this round (LSH blocking shared text / rank-after-limit)
     "dedup_minhash_lsh", "g2_top_performing_content",
     # -- new this round --------------------------------------------------
-    "f1_html_entities", "stream_file_sink_counts",
+    "f1_html_entities", "stream_file_sink_counts", "asof_join_latest_order",
     # -- never checked in round 1 (25) -----------------------------------
     "sim_lsh_buckets", "sim_embedding_near_dups", "sim_ivf_probe_topk",
     "text_quality_scores", "text_language_id", "text_token_counts",
@@ -84,9 +86,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",             # F13/F15/F18
     "f9_date_dimension",              # F9/F10/A4
     "a6_dedup_latest_version",        # A6/W3/M3
-    "j7_star_join_region_revenue", "j1_change_detection",
+    # J1 (j1_change_detection) cedes its slot to the new as-of join: the
+    # change-detection left join is exercised inside m1_scd2_account_dim
+    # and j1 keeps its round-1 green row.
+    "j7_star_join_region_revenue",
     "j2_dimension_lookup", "j3_band_join", "j4_anti_join_missing_fk",
-    "j5_semi_join_cleanup",           # J1-J7
+    "j5_semi_join_cleanup",           # J2-J7
     "m2_idempotent_dim_insert", "m5_orphan_cleanup",  # M2/M5
     "g3_account_influence",           # G3, A9/A10
     "g4_hashtag_performance",         # G4, A11/A13

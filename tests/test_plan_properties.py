@@ -59,3 +59,54 @@ def test_fact_dim_lookup_no_fact_shuffle(spark):
 def test_aggregates_are_partial_final(spark, name):
     plan = _plan(spark, name)
     assert "partial_" in plan  # map-side combine present
+
+
+def test_g2_rank_after_limit_no_global_window_over_fact(spark):
+    """VERDICT r1 #5: top-k must plan as TakeOrderedAndProject over the
+    fact; the rank window may only run over the 1000 survivors."""
+    plan = _plan(spark, "g2_top_performing_content")
+    assert "TakeOrderedAndProject" in plan
+    # the window's single-partition exchange happens after the take;
+    # the full fact must never range-partition for a global sort
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_jaccard_blocks_by_lsh_buckets_not_attributes(spark):
+    """VERDICT r1 #4: candidate pairs come from the LSH bucket equi-join;
+    no all-pairs join keyed on (source, lang) attribute blocks."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines
+    # no join keyed on the skewable attributes
+    assert all("source" not in ln and "lang" not in ln for ln in join_lines)
+    # pairing happens on the LSH (band, bucket) equi-keys
+    assert any("band" in ln and "bucket" in ln for ln in join_lines)
+    # candidate set broadcasts against the token-set table
+    assert "BroadcastHashJoin" in plan
+
+
+def test_file_sink_streaming_reads_back_lazily(spark):
+    """stream_file_sink_counts returns a plain batch scan over the sink
+    files - no driver-side materialization in the query path."""
+    plan = _plan(spark, "stream_file_sink_counts")
+    assert "FileScan parquet" in plan
+
+
+def test_asof_join_is_single_key_shuffle_not_range_join(spark):
+    """The as-of composition must cost one hash shuffle on the join key -
+    never a BroadcastNestedLoopJoin/CartesianProduct range join."""
+    plan = _plan(spark, "asof_join_latest_order")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # no join at all: union + window
+    assert "Exchange hashpartitioning(user_id" in plan
+
+
+def test_bucketed_range_join_is_equi_join_not_bnlj(spark):
+    """The large-dim interval join must plan as a hash equi-join on the
+    stride bucket, never a nested-loop range join."""
+    plan = _plan(spark, "rangejoin_value_bands")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -55,3 +55,33 @@ def test_refresh_views_tolerates_partial_failure(spark):
     assert report["good"]["ok"] and report["also_good"]["ok"]
     assert not report["bad"]["ok"] and "bad view" in report["bad"]["error"]
     assert written == {"good": 3, "also_good": 1}
+
+
+def test_sentiment_backend_factory(spark):
+    """U2 real-model wiring: the 'hf' backend builds the same UDF shape
+    and env-gates cleanly when transformers/torch are absent; 'lexicon'
+    stays the deterministic default."""
+    import pytest
+
+    from etl_pipeline_mini_project_01_spark.operators import inference
+
+    udf_lex = inference.make_sentiment_udf("lexicon")
+    df = spark.createDataFrame([("fast good best",), ("slow bad error",)],
+                               ["text"])
+    rows = df.select(udf_lex("text").alias("s")).collect()
+    assert rows[0]["s"]["sentiment_value"] == "Positive"
+    assert rows[1]["s"]["sentiment_value"] == "Negative"
+
+    with pytest.raises(ValueError):
+        inference.make_sentiment_udf("nope")
+
+    try:
+        import transformers  # noqa: F401
+        has_hf = True
+    except ImportError:
+        has_hf = False
+    if not has_hf:
+        # UDF construction succeeds; model load env-gates at call time.
+        udf_hf = inference.make_sentiment_udf("hf")
+        with pytest.raises(Exception, match="NotImplementedError|transformers"):
+            df.select(udf_hf("text").alias("s")).collect()
