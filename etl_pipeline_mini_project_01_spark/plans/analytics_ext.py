@@ -1,0 +1,98 @@
+"""Analytics extensions beyond the reference's aggregate inventory:
+exact quantiles (interpolated percentile - bit-identical between Spark's
+`percentile` and DuckDB's `quantile_cont`, both linear interpolation
+over the sorted group) and RANGE-framed rolling windows (a true
+event-time sliding frame, not a row-count frame).
+
+Scale notes: exact percentile sorts within each group - right for
+bounded group counts (per event_type here); for raw 100 TB columns the
+drop-in is `approx_percentile` (t-digest sketch, no global sort), same
+call-site shape as the exact/approx count-distinct pair (a11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .parity import DEC
+from .registry import register
+
+
+@register(
+    "stats_value_quantiles",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.50) AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       quantile_cont(value, 0.95) AS p95
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stats_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per event_type. Both engines compute
+    lower + f*(upper-lower) at rank p*(n-1) over the sorted group, so
+    doubles match bit-for-bit (verified empirically before registering)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.percentile("value", F.lit(0.25)).alias("p25"),
+             F.percentile("value", F.lit(0.50)).alias("p50"),
+             F.percentile("value", F.lit(0.75)).alias("p75"),
+             F.percentile("value", F.lit(0.95)).alias("p95"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "rolling_7day_user_value",
+    oracle="""
+WITH daily AS (
+    SELECT user_id,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           date_diff('day', DATE '1970-01-01',
+                     CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_no,
+           SUM(CAST(value AS DECIMAL(18,4))) AS daily_dec
+    FROM events
+    GROUP BY 1, 2, 3
+)
+SELECT user_id, d,
+       CAST(daily_dec AS DOUBLE) AS daily_value,
+       CAST(SUM(daily_dec) OVER (
+           PARTITION BY user_id ORDER BY day_no
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS rolling_7d_value,
+       CAST(COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY day_no
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS active_days_in_window
+FROM daily
+ORDER BY user_id, d
+""",
+)
+def rolling_7day_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed rolling 7-day engagement per user: daily decimal
+    totals, then a calendar-day range frame (gaps count - an absent day
+    still ages out of the window, which a ROWS frame gets wrong).
+    One shuffle on user_id; frame arithmetic is per-partition."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (events
+             .groupBy("user_id",
+                      F.to_date("ts").alias("d"),
+                      F.datediff(F.to_date("ts"),
+                                 F.lit("1970-01-01").cast("date"))
+                      .alias("day_no"))
+             .agg(F.sum(F.col("value").cast(DEC)).alias("daily_dec")))
+    w = (Window.partitionBy("user_id").orderBy("day_no")
+         .rangeBetween(-6, Window.currentRow))
+    return (daily.select(
+        "user_id", "d",
+        F.col("daily_dec").cast("double").alias("daily_value"),
+        F.sum("daily_dec").over(w).cast("double").alias("rolling_7d_value"),
+        F.count(F.lit(1)).over(w).alias("active_days_in_window"))
+        .orderBy("user_id", "d"))

@@ -47,6 +47,7 @@ _PLAN_MODULES = (
     "sql_surface",
     "digest",
     "olap",
+    "analytics_ext",
 )
 
 
