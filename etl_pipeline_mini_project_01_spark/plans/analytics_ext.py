@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .parity import DEC
+from .parity import DEC, dsum, sql_dsum
 from .registry import register
 
 
@@ -96,3 +96,45 @@ def rolling_7day_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("daily_dec").over(w).cast("double").alias("rolling_7d_value"),
         F.count(F.lit(1)).over(w).alias("active_days_in_window"))
         .orderBy("user_id", "d"))
+
+
+@register(
+    "w_rank_family",
+    oracle=f"""
+WITH totals AS (
+    SELECT event_type, user_id,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, total_value,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS dense_rnk,
+       CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+       CAST(CUME_DIST() OVER w AS DOUBLE) AS cume,
+       CAST(NTILE(4) OVER w AS INT) AS quartile
+FROM totals
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY total_value DESC, user_id)
+ORDER BY event_type, rnk, user_id
+""",
+)
+def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete rank-function family (W1 deepened): rank, dense_rank,
+    percent_rank, cume_dist, ntile(4) over per-type user totals, with an
+    explicit tie-break so every engine orders identically. percent_rank =
+    (rank-1)/(n-1) and cume_dist = rank_hi/n are identical IEEE divisions
+    in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    totals = (events.groupBy("event_type", "user_id")
+              .agg(dsum("value", "total_value")))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), "user_id")
+    return (totals.select(
+        "event_type", "user_id", "total_value",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+        F.ntile(4).over(w).alias("quartile"))
+        .orderBy("event_type", "rnk", "user_id"))

@@ -325,3 +325,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_EDITDIST_ORACLE = f"""
+WITH {lsh_buckets_sql()},
+{_CANDIDATES_SQL},
+texts AS (SELECT doc_id, substr(LOWER(TRIM(text)), 1, 120) AS t
+          FROM documents)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_distance,
+       CAST(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+            / GREATEST(len(a.t), len(b.t)) AS DOUBLE) AS similarity
+FROM cands c
+JOIN texts a ON c.doc_a = a.doc_id
+JOIN texts b ON c.doc_b = b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_editdistance_pairs", oracle=_EDITDIST_ORACLE)
+def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup scoring (fuzzy titles/names, the other
+    classic training-data dedup axis beside token Jaccard): Levenshtein
+    over LSH candidate pairs only - O(len^2) per comparison is affordable
+    precisely because the LSH blocking keeps the pair count sub-quadratic;
+    a 120-char prefix bounds the DP cost. Same candidate-broadcast shape
+    as dedup_ngram_jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidates(lsh_buckets(docs))
+    texts = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.trim("text")), 1, 120).alias("t"))
+    t_a = texts.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    t_b = texts.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    dist = F.levenshtein("t_a", "t_b")
+    return (
+        F.broadcast(cands)
+        .join(t_a, "doc_a")
+        .join(t_b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            dist.cast("bigint").alias("edit_distance"),
+            (F.lit(1.0) - dist.cast("double")
+             / F.greatest(F.length("t_a"), F.length("t_b")))
+            .cast("double").alias("similarity"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -92,6 +92,38 @@ def olap_pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap_grouping_sets",
+    oracle=f"""
+SELECT event_type,
+       date_part('dow', ts) IN (0, 6) AS is_weekend,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (is_weekend), ())
+ORDER BY event_type NULLS FIRST, is_weekend NULLS FIRST
+""",
+)
+def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    per-type totals, per-weekend totals, and the grand total in ONE
+    Expand + aggregate pass - one shuffle for all three groupings, vs
+    three scans if issued separately."""
+    events = load_table(spark, sf_dir, "events")
+    events.select(
+        "event_type", "value",
+        F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+    ).createOrReplaceTempView("ev_gs")
+    return spark.sql(f"""
+        SELECT event_type, is_weekend,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM ev_gs
+        GROUP BY GROUPING SETS ((event_type), (is_weekend), ())
+        ORDER BY event_type ASC NULLS FIRST, is_weekend ASC NULLS FIRST
+    """)
+
+
+@register(
     "setops_user_segments",
     oracle="""
 WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
