@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..streaming.windows import (
+    dedup_event_stream,
     run_to_completion,
     run_to_file_sink,
     sliding_value_avg,
@@ -171,6 +172,28 @@ def sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
              dsum("value", "session_value"))
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+       CAST(value AS DOUBLE) AS value
+FROM events
+ORDER BY event_id
+""",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates + watermark-bounded state):
+    the input stream carries a deterministic 10%-duplicate tail; the
+    operator must emit every event exactly once, i.e. exactly the batch
+    table. Append mode - deduped rows emit as they arrive."""
+    deduped = run_to_completion(
+        dedup_event_stream(spark, sf_dir), "stream_dedup_events_q",
+        output_mode="append")
+    return (deduped
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .orderBy("event_id"))
 
 
 @register("stream_stateful_running_totals")

@@ -39,14 +39,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_to_completion(result: DataFrame, query_name: str | None = None) -> DataFrame:
-    """Execute a streaming aggregation over all currently-available input
-    (availableNow) into a memory sink; return the final result table."""
+def run_to_completion(result: DataFrame, query_name: str | None = None,
+                      output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming query over all currently-available input
+    (availableNow) into a memory sink; return the final result table.
+    Aggregations use complete mode; stateful non-aggregations
+    (dropDuplicates) use append."""
     name = query_name or f"q_{uuid.uuid4().hex[:12]}"
     q = (result.writeStream
          .format("memory")
          .queryName(name)
-         .outputMode("complete")
+         .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
@@ -78,6 +81,21 @@ def run_to_file_sink(result: DataFrame, out_dir: str, checkpoint_dir: str,
     # Read back with the aggregation's schema (the sink dir may hold zero
     # files if no window closed).
     return result.sparkSession.read.schema(result.schema).parquet(out_dir)
+
+
+def dedup_event_stream(spark: SparkSession, sf_dir: str,
+                       watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on the event key with a
+    watermark bounding the dedup state (keys older than the watermark
+    age out of the state store - without it, state grows unboundedly at
+    100 TB). The harness events are unique by event_id, so a
+    deterministic 10%-duplicate tail is unioned in-stream: the operator
+    must emit each event exactly once."""
+    events = read_events_stream(spark, sf_dir)
+    dupes = events.filter(F.col("event_id") % 10 == 0)
+    return (events.unionByName(dupes)
+            .withWatermark("ts", watermark)
+            .dropDuplicates(["event_id"]))
 
 
 def tumbling_counts(spark: SparkSession, sf_dir: str,

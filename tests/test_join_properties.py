@@ -1,0 +1,87 @@
+"""Property tests: the composed as-of and bucketed-range joins must
+equal their naive (obviously-correct, unscalable) formulations on
+randomized inputs - hypothesis drives the data, Spark runs both."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_pipeline_mini_project_01_spark.operators.asof import (
+    asof_join_backward,
+)
+from etl_pipeline_mini_project_01_spark.operators.rangejoin import (
+    bucketed_range_join,
+)
+
+_EPOCH = datetime.datetime(2024, 1, 1)
+
+_asof_data = st.tuples(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 1000)),
+             min_size=1, max_size=25),   # left: (key, minutes)
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 1000),
+                       st.integers(-100, 100)),
+             min_size=0, max_size=25),   # right: (key, minutes, payload)
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_asof_data)
+def test_asof_equals_naive_latest_prior(spark, data):
+    lrows, rrows = data
+    left = spark.createDataFrame(
+        [(i, k, _EPOCH + datetime.timedelta(minutes=m))
+         for i, (k, m) in enumerate(lrows)], ["event_id", "k", "ts"])
+    # unique (key, ts) on the right - the operator's documented contract
+    seen, rdedup = set(), []
+    for k, m, p in rrows:
+        if (k, m) not in seen:
+            seen.add((k, m))
+            rdedup.append((k, _EPOCH + datetime.timedelta(minutes=m), p))
+    right = spark.createDataFrame(rdedup or [(99, _EPOCH, 0)],
+                                  ["k", "rts", "payload"])
+
+    got = {r["event_id"]: r["payload"]
+           for r in asof_join_backward(left, right, "k", "ts", "rts",
+                                       ["payload"]).collect()}
+
+    rlocal = {}
+    for k, rts, p in (rdedup or []):
+        rlocal.setdefault(k, []).append((rts, p))
+    expect = {}
+    for i, (k, m) in enumerate(lrows):
+        ts = _EPOCH + datetime.timedelta(minutes=m)
+        prior = [(rts, p) for rts, p in rlocal.get(k, []) if rts <= ts]
+        expect[i] = max(prior)[1] if prior else None
+    assert got == expect
+
+
+_range_data = st.tuples(
+    st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=30),
+    st.lists(st.tuples(st.floats(0, 100, allow_nan=False),
+                       st.floats(0.1, 15)), min_size=1, max_size=15),
+    st.floats(0.5, 20),
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_range_data)
+def test_bucketed_range_join_equals_naive_theta(spark, data):
+    pts, ivs, stride = data
+    points = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(pts)], ["pid", "x"])
+    intervals = spark.createDataFrame(
+        [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(ivs)],
+        ["iid", "lo", "hi"])
+
+    got = {(r["pid"], r["iid"]) for r in bucketed_range_join(
+        points, "x", intervals, "lo", "hi", stride).collect()}
+    naive = {(r["pid"], r["iid"]) for r in points.join(
+        intervals, (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+        .collect()}
+    assert got == naive
