@@ -140,11 +140,18 @@ _CANDIDATES_SQL = """cands AS (
 
 
 def lsh_buckets(docs: DataFrame, k: int = MINHASH_K,
-                rows_per_band: int = LSH_ROWS_PER_BAND) -> DataFrame:
-    """(doc_id, band, bucket): word-3-gram shingles -> one md5_32 per
+                rows_per_band: int = LSH_ROWS_PER_BAND,
+                hash_fn: str = "md5_32") -> DataFrame:
+    """(doc_id, band, bucket): word-3-gram shingles -> one base hash per
     shingle -> K universal-hash variants (a*h+b mod 2^31-1, fixed
     coefficients) -> per-(doc, seed) minima -> banded signatures.
-    `docs` needs (doc_id, text)."""
+    `docs` needs (doc_id, text).
+
+    hash_fn: 'md5_32' (default) is engine-neutral - required for the
+    DuckDB oracle twins; 'xxhash64' is the production fast path (pure
+    JVM, no hex round-trip, ~10x cheaper per shingle) for 100 TB runs
+    where cross-engine reproducibility is not needed. Candidate quality
+    is hash-agnostic (tests/test_dedup_quality.py covers both)."""
     toks = _tokens(docs)
     shingles = (
         toks.select(
@@ -161,10 +168,14 @@ def lsh_buckets(docs: DataFrame, k: int = MINHASH_K,
                  F.lit(a).cast("bigint").alias("a"),
                  F.lit(b).cast("bigint").alias("b"))
         for i, (a, b) in enumerate(minhash_coeffs(k))])
+    if hash_fn == "xxhash64":
+        base = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    elif hash_fn == "md5_32":
+        base = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     hashed = shingles.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
-        .alias("h"))
+        "doc_id", base.cast("bigint").alias("h"))
     sigs = (
         hashed
         .select("doc_id", "h", F.explode(coeffs).alias("hf"))

@@ -82,3 +82,16 @@ def test_more_bands_means_higher_recall_fewer_rows_higher_precision(spark):
     assert r_hi >= r_lo  # more/shorter bands never lose recall
     # longer bands are stricter: candidate set can only shrink
     assert hi_precision <= hi_recall
+
+
+def test_xxhash_fast_path_keeps_candidate_quality(spark):
+    """The production hash (xxhash64, JVM-only) must find essentially the
+    same near-dups as the oracle-neutral md5_32 path - LSH quality is a
+    property of the banding, not the base hash."""
+    docs = load_table(spark, SF_DIR, "documents")
+    shingles = _shingle_sets(spark)
+    truth = _true_pairs(shingles, 0.5)
+    fast = {(r["doc_a"], r["doc_b"]) for r in lsh_candidates(
+        lsh_buckets(docs, hash_fn="xxhash64")).collect()}
+    recall = len(fast & truth) / len(truth)
+    assert recall >= 0.8, (recall, len(truth), len(fast))
