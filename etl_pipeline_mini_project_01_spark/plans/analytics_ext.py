@@ -138,3 +138,31 @@ def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).cast("double").alias("cume"),
         F.ntile(4).over(w).alias("quartile"))
         .orderBy("event_type", "rnk", "user_id"))
+
+
+@register(
+    "topk_per_group_docs",
+    oracle="""
+SELECT lang, doc_id, n_chars, rn
+FROM (
+    SELECT lang, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= 3
+ORDER BY lang, rn
+""",
+)
+def topk_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per language: the per-group top-k shape.
+    Catalyst compiles the rank-filter into WindowGroupLimit (partial
+    per-partition top-k BEFORE the shuffle, then final top-k) - the
+    distributed heap optimization that makes per-group top-k scale
+    without sorting whole partitions; asserted in plan guards."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    return (docs.select("lang", "doc_id", "n_chars",
+                        F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3)
+            .orderBy("lang", "rn"))

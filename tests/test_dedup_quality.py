@@ -95,3 +95,18 @@ def test_xxhash_fast_path_keeps_candidate_quality(spark):
         lsh_buckets(docs, hash_fn="xxhash64")).collect()}
     recall = len(fast & truth) / len(truth)
     assert recall >= 0.8, (recall, len(truth), len(fast))
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """The 100 TB drop-in for exact quantiles (t-digest sketch) must land
+    within its accuracy bound of the exact interpolated percentile -
+    mirrors the exact/approx count-distinct pair (a11)."""
+    from etl_pipeline_mini_project_01_spark.catalog import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    row = events.agg(
+        F.percentile("value", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx"),
+        F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    spread = row["hi"] - row["lo"]
+    assert abs(row["approx"] - row["exact"]) <= 0.02 * spread, row

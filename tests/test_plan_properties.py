@@ -110,3 +110,12 @@ def test_bucketed_range_join_is_equi_join_not_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_per_group_topk_uses_window_group_limit(spark):
+    """row_number + rank filter must compile to WindowGroupLimit
+    (partial per-partition top-k before the shuffle), not a full
+    per-partition sort feeding a filter."""
+    plan = _plan(spark, "topk_per_group_docs")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # map-side top-k before the exchange
