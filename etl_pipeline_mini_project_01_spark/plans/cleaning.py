@@ -297,3 +297,65 @@ def f12_engagement_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("engagement") / F.nullif(F.col("follows"), F.lit(0)))
         .alias("engagement_ratio_nullif"),
     ).orderBy("user_id")
+
+
+@register(
+    "dq_violation_summary",
+    oracle="""
+SELECT 'negative_value' AS rule,
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       COUNT(*) AS total_rows
+FROM events
+UNION ALL
+SELECT 'out_of_domain_event_type',
+       CAST(SUM(CASE WHEN event_type NOT IN
+                ('click','view','purchase','signup','error')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM events
+UNION ALL
+SELECT 'null_or_nonpositive_user',
+       CAST(SUM(CASE WHEN user_id IS NULL OR user_id <= 0
+                THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM events
+UNION ALL
+SELECT 'empty_document_text',
+       CAST(SUM(CASE WHEN TRIM(text) = '' OR text IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM documents
+ORDER BY rule
+""",
+)
+def dq_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: per-rule violation counts for exactly the
+    rules the cleaning layer enforces (negative values -> NULL, domain
+    validation, orphan users, empty documents) - the reference applies
+    these fixes silently (transformer data-quality steps); a real
+    pipeline also wants them COUNTED before fixing, as the
+    reject-monitoring side channel. One pass per table via conditional
+    aggregation (A9), unioned."""
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rule(df, name, cond):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.when(cond, 1).otherwise(0)).alias("violations"),
+            F.count(F.lit(1)).alias("total_rows"))
+
+    out = (
+        rule(events, "negative_value", F.col("value") < 0)
+        .unionByName(rule(
+            events, "out_of_domain_event_type",
+            ~F.col("event_type").isin(
+                "click", "view", "purchase", "signup", "error")))
+        .unionByName(rule(
+            events, "null_or_nonpositive_user",
+            F.col("user_id").isNull() | (F.col("user_id") <= 0)))
+        .unionByName(rule(
+            docs, "empty_document_text",
+            F.col("text").isNull() | (F.trim("text") == "")))
+    )
+    return out.orderBy("rule")

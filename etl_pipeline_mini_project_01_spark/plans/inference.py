@@ -72,3 +72,44 @@ def u2_sentiment_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("sentiment_value")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("sentiment_value"))
+
+
+@register(
+    "u3_udtf_tokenize",
+    oracle="""
+WITH tagged AS (
+    SELECT doc_id,
+           list_slice(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                  x -> x <> ''), 1, 3) AS toks
+    FROM documents
+)
+SELECT doc_id, i AS pos, toks[i] AS token
+FROM tagged, UNNEST(range(1, len(toks) + 1)) AS t(i)
+ORDER BY doc_id, pos
+""",
+)
+def u3_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/U4 surface: a Python UDTF (one row in -> N rows out with
+    custom per-row logic) tokenizing the first 3 terms per document.
+    Deliberately a DEMO of the table-function API - for anything this
+    simple, explode() is the fast path (JVM, codegen) and the engine's
+    other queries use it; a UDTF earns its cost only when the expansion
+    logic cannot be expressed with built-ins. Oracle = the set-based
+    equivalent, proving the UDTF reproduces relational semantics."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class Tokenize3:
+        def eval(self, doc_id: int, text: str):
+            toks = [t for t in (text or "").lower().split() if t][:3]
+            for i, tok in enumerate(toks, start=1):
+                yield doc_id, i, tok
+
+    spark.udtf.register("tokenize3", Tokenize3)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_for_udtf")
+    return spark.sql("""
+        SELECT t.doc_id, t.pos, t.token
+        FROM docs_for_udtf d, LATERAL tokenize3(d.doc_id, d.text) t
+        ORDER BY t.doc_id, t.pos
+    """)

@@ -18,6 +18,7 @@ from ..streaming.windows import (
     run_to_completion,
     run_to_file_sink,
     sliding_value_avg,
+    stream_static_segment_counts,
     tumbling_counts,
 )
 from .parity import dsum, sql_dsum
@@ -172,6 +173,28 @@ def sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
              dsum("value", "session_value"))
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "stream_static_join_segments",
+    oracle=f"""
+SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       COUNT(*) AS n,
+       {sql_dsum('e.value')} AS total_value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+ORDER BY segment
+""",
+)
+def stream_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (streaming events x broadcast
+    customer dim) + per-segment aggregation, run as a real streaming
+    query; on bounded input the completed result equals the batch
+    join-aggregate, which is the oracle."""
+    return (run_to_completion(stream_static_segment_counts(spark, sf_dir),
+                              "stream_static_join_q")
+            .orderBy("segment"))
 
 
 @register(

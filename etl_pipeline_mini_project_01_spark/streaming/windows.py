@@ -83,6 +83,29 @@ def run_to_file_sink(result: DataFrame, out_dir: str, checkpoint_dir: str,
     return result.sparkSession.read.schema(result.schema).parquet(out_dir)
 
 
+def stream_static_segment_counts(spark: SparkSession, sf_dir: str,
+                                 watermark: str = "1 day") -> DataFrame:
+    """Stream-static join: the event stream enriches against the static
+    customer dim (broadcast - the dim never shuffles, each micro-batch
+    probes the same hash relation), then aggregates per market segment.
+    The canonical streaming enrichment shape: at 100 TB/day the stream
+    side stays partitioned by arrival, the dim side broadcasts or is a
+    state-store lookup."""
+    from ..catalog import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    cust = F.broadcast(load_table(spark, sf_dir, "customer")
+                       .select("c_custkey", "c_mktsegment"))
+    return (events
+            .withWatermark("ts", watermark)
+            .join(cust, events.user_id == cust.c_custkey, "left")
+            .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN"))
+                     .alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                 .alias("total_value")))
+
+
 def dedup_event_stream(spark: SparkSession, sf_dir: str,
                        watermark: str = "1 day") -> DataFrame:
     """Streaming exact dedup: dropDuplicates on the event key with a
