@@ -166,3 +166,71 @@ def topk_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.row_number().over(w).alias("rn"))
             .filter(F.col("rn") <= 3)
             .orderBy("lang", "rn"))
+
+
+@register(
+    "stats_moments",
+    oracle="""
+WITH m AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,4))) AS sx,
+           SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+               AS sx2,
+           SUM(CAST(date_part('hour', ts) AS DECIMAL(18,4))) AS sy,
+           SUM(CAST(date_part('hour', ts) AS DECIMAL(18,4))
+               * CAST(date_part('hour', ts) AS DECIMAL(18,4))) AS sy2,
+           SUM(CAST(value AS DECIMAL(18,4))
+               * CAST(date_part('hour', ts) AS DECIMAL(18,4))) AS sxy
+    FROM events
+    GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(sx AS DOUBLE) / n AS mean_value,
+       (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           / (n - 1) AS var_value,
+       sqrt((CAST(sx2 AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+           AS stddev_value,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / sqrt((CAST(sx2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                * (CAST(sy2 AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+           AS corr_value_hour
+FROM m
+ORDER BY event_type
+""",
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic second moments: variance/stddev/correlation from
+    EXACT decimal sums (sum x, x^2, y, y^2, xy as decimals - order-
+    insensitive), then identical IEEE double expressions on both engines.
+    Spark's built-in stddev/corr merge float partials in partition order
+    and are NOT cross-engine reproducible; this is the parity-safe form
+    (and the classic map-side-combinable moments trick: one shuffle of
+    5 numbers per group, however large the group)."""
+    events = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast(DEC)
+    y = F.hour("ts").cast(DEC)
+    m = (events.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).alias("sx"), F.sum(x * x).alias("sx2"),
+              F.sum(y).alias("sy"), F.sum(y * y).alias("sy2"),
+              F.sum(x * y).alias("sxy")))
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    sy = F.col("sy").cast("double")
+    sy2 = F.col("sy2").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_num = sx2 - sx * sx / n
+    vary_num = sy2 - sy * sy / n
+    return (m.select(
+        "event_type", "n",
+        (sx / n).alias("mean_value"),
+        (var_num / (n - 1)).alias("var_value"),
+        F.sqrt(var_num / (n - 1)).alias("stddev_value"),
+        ((sxy - sx * sy / n) / F.sqrt(var_num * vary_num))
+        .alias("corr_value_hour"))
+        .orderBy("event_type"))
