@@ -62,3 +62,27 @@ def catalog_summary(spark: SparkSession) -> dict[str, int]:
     for db in dbs:
         n_tables += len(spark.catalog.listTables(db.name))
     return {"databases": len(dbs), "tables": n_tables}
+
+
+def compact_table(spark: SparkSession, path: str, target_files: int,
+                  partition_by: list[str] | None = None) -> int:
+    """Operational compaction: rewrite a table to `target_files` files
+    (per partition dir if partitioned) via the atomic swap. The
+    small-files problem is the classic streaming/incremental-append
+    failure mode at scale - many tiny parquet files destroy scan
+    throughput; periodic compaction restores it. Returns file count
+    after compaction."""
+    df = spark.read.parquet(path)
+    atomic_overwrite(df.coalesce(target_files), path, partition_by)
+    return sum(1 for root, _, files in os.walk(path)
+               for f in files if f.endswith(".parquet"))
+
+
+def write_table_clustered(df: DataFrame, path: str, cluster_by: list[str],
+                          partition_by: list[str] | None = None) -> None:
+    """Sort-on-write clustering: sortWithinPartitions(cluster_by) before
+    the parquet write so row-group min/max stats become selective on the
+    cluster keys - the format-free analogue of ZORDER/liquid clustering;
+    point/range filters on those keys then skip whole row groups."""
+    write_table(df.sortWithinPartitions(*cluster_by), path,
+                "overwrite", partition_by)

@@ -69,3 +69,44 @@ def test_bronze_partition_pruning(spark, tmp_path):
     import os
     dirs = [d for d in os.listdir(out) if d.startswith("date_key=")]
     assert len(dirs) == 30
+
+
+def test_incremental_bronze_watermark(spark, tmp_path):
+    """Incremental ingestion: first run ingests all rows, an
+    unchanged-input re-run appends zero (the watermark bookmarks
+    progress - no dedup scan)."""
+    from etl_pipeline_mini_project_01_spark.pipeline import (
+        incremental_bronze_append,
+    )
+
+    out = str(tmp_path / "inc")
+    r1 = incremental_bronze_append(spark, "/root/testdata/sf0.001", out, "r1")
+    assert r1["appended_rows"] == 1000
+    r2 = incremental_bronze_append(spark, "/root/testdata/sf0.001", out, "r2")
+    assert r2["appended_rows"] == 0
+    assert r2["high_watermark"] == r1["high_watermark"]
+    total = spark.read.parquet(f"{out}/bronze/events").count()
+    assert total == 1000
+
+
+def test_compaction_and_clustered_write(spark, tmp_path):
+    """Small-files compaction restores a sane file count; clustered
+    writes sort on the cluster key within files (row-group stats become
+    selective)."""
+    from etl_pipeline_mini_project_01_spark.catalog import load_table
+    from etl_pipeline_mini_project_01_spark.sources.io import (
+        compact_table,
+        write_table_clustered,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    frag = str(tmp_path / "frag")
+    events.repartition(16).write.parquet(frag)  # fragment: 16 files
+    n_files = compact_table(spark, frag, 2)
+    assert n_files <= 2
+    assert spark.read.parquet(frag).count() == events.count()
+
+    clustered = str(tmp_path / "clustered")
+    write_table_clustered(events.repartition(2), clustered, ["user_id"])
+    df = spark.read.parquet(clustered)
+    assert df.count() == events.count()
