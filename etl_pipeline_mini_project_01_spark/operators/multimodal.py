@@ -74,3 +74,78 @@ def _histogram(payload: bytes) -> list[int]:
     for byte in payload:
         bins[byte % N_HISTOGRAM_BINS] += 1
     return bins
+
+
+FRAME_SIZE = 64  # units per fake "frame" (chars for the fake codec)
+
+FRAME_SCHEMA = ("doc_id bigint, frame_no int, frame_bytes int, "
+                "frame_checksum string")
+
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, pixels binary"
+
+
+def sample_frames(df: DataFrame, payload_col: str = "payload",
+                  key_col: str = "doc_id", every_n: int = 2,
+                  codec: str = "fake") -> DataFrame:
+    """Video frame-sampling plumbing: one payload row -> N frame rows
+    (mapInPandas legitimately changes cardinality), keeping every
+    `every_n`-th frame. codec='fake' decodes the payload as utf-8 and
+    treats each FRAME_SIZE-char chunk as a frame - deterministic and
+    oracle-expressible (DuckDB cannot byte-slice BLOBs); a real video
+    codec plugs into the same schema/batch shape (chunking raw bytes)
+    and is env-stubbed."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: real video decoding requires libraries "
+            "not present in this environment")
+
+    import hashlib
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                text = payload.decode("utf-8")
+                n_frames = (len(text) + FRAME_SIZE - 1) // FRAME_SIZE
+                for i in range(0, n_frames, every_n):
+                    chunk = text[i * FRAME_SIZE:(i + 1) * FRAME_SIZE]
+                    raw = chunk.encode("utf-8")
+                    rows.append((key, i, len(raw),
+                                 hashlib.md5(raw).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "frame_bytes",
+                               "frame_checksum"])
+
+    return df.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  payload_col: str = "payload", key_col: str = "doc_id",
+                  codec: str = "fake") -> DataFrame:
+    """Image-resize plumbing: payload -> fixed (width x height) pixel
+    buffer. codec='fake' nearest-neighbor-samples the raw byte stream to
+    width*height bytes (deterministic); a real decoder (PIL etc.) slots
+    into the same contract and is env-stubbed."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: real image decoding requires libraries "
+            "not present in this environment")
+
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def sample(payload: bytes) -> bytes:
+                if not payload:
+                    return bytes(target)
+                # nearest-neighbor over the byte stream
+                return bytes(payload[(i * len(payload)) // target]
+                             for i in range(target))
+            yield pd.DataFrame({
+                "doc_id": pdf[key_col],
+                "width": width,
+                "height": height,
+                "pixels": pdf[payload_col].map(sample),
+            })
+
+    return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)

@@ -47,3 +47,31 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_payload = docs.select(
         "doc_id", F.col("text").cast("binary").alias("payload"))
     return decode_features(with_payload)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST(i AS INT) AS frame_no,
+       CAST(octet_length(encode(substring(text, 1 + i * 64, 64))) AS INT)
+           AS frame_bytes,
+       md5(substring(text, 1 + i * 64, 64)) AS frame_checksum
+FROM documents,
+     UNNEST(range(0, CAST(ceil(length(text) / 64.0) AS INT))) t(i)
+WHERE i % 2 = 0
+ORDER BY doc_id, frame_no
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over payloads (every 2nd 64-unit 'frame', fake
+    codec): one row in -> N frame rows out through Arrow-batched
+    mapInPandas - cardinality-changing decode, the video-pipeline shape.
+    The oracle rebuilds the same frames with slicing + md5, proving the
+    pandas stage preserves exact content semantics."""
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+    return sample_frames(with_payload).orderBy("doc_id", "frame_no")

@@ -91,3 +91,29 @@ def test_approx_distinct_within_tolerance(spark):
     assert rows
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(3, 0.05 * r.exact_users)
+
+
+def test_resize_images_plumbing(spark):
+    """Resize plumbing: fixed-size pixel buffers, deterministic fake
+    codec, Arrow-batched; real codecs env-gate cleanly."""
+    import pytest
+
+    from etl_pipeline_mini_project_01_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"abcdefghij" * 20), (2, b""), (3, b"x")],
+        ["doc_id", "payload"])
+    out = {r["doc_id"]: r for r in
+           resize_images(df, 4, 4).collect()}
+    assert all(len(out[i]["pixels"]) == 16 for i in (1, 2, 3))
+    assert out[1]["width"] == 4 and out[1]["height"] == 4
+    assert out[3]["pixels"] == b"x" * 16  # nearest-neighbor of 1 byte
+    # deterministic across runs
+    again = {r["doc_id"]: bytes(r["pixels"])
+             for r in resize_images(df, 4, 4).collect()}
+    assert again == {k: bytes(v["pixels"]) for k, v in out.items()}
+
+    with pytest.raises(NotImplementedError):
+        resize_images(df, 4, 4, codec="pil").collect()
