@@ -1,0 +1,360 @@
+"""Training-data curation operators - the decision layer on top of the
+dedup/similarity families: which document survives (cluster -> keeper),
+which split it lands in (train/val/test), whether it is sampled, what its
+salient terms are (TF-IDF), and PII scrubbing before the corpus ships.
+
+These extend the reference's cleaning pipeline (the reference stops at
+per-row transforms, /root/reference/src/transformer/text_cleaner.py) with
+the corpus-level operations a 100 TB training-data pipeline needs.
+
+Scale design (100 TB):
+  * dedup_clusters: connected components run on the NEAR-DUP PAIR GRAPH
+    (LSH candidates that passed the Jaccard gate), which is orders of
+    magnitude smaller than the corpus; hash-to-min label propagation is
+    O(diameter) distributed rounds, each a partitioned equi-join - no
+    driver-side adjacency. For web-scale graphs swap in large-star/
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") - same join shape, provably O(log^2 n) rounds. Lineage is
+    truncated with localCheckpoint() each round so plans stay flat.
+  * split/sample: pure map-side column expressions on an md5-derived
+    bucket - no shuffle at all; deterministic across engines, retries,
+    and scale factors (doc_id-keyed, salt-separated per use).
+  * tfidf: two hash aggregations (tf per (doc,term), df per term) plus a
+    broadcast of the tiny per-term df table; the corpus shuffles once.
+  * pii_redaction: per-row regexp_replace chain, whole-stage codegen,
+    zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import word_array
+from .dedup import _CANDIDATES_SQL, lsh_buckets, lsh_buckets_sql, lsh_candidates
+from .registry import register
+
+
+def md5_32_sql(expr: str) -> str:
+    """DuckDB twin of Spark's ``conv(substr(md5(x),1,8),16,10)``: first 8
+    md5 hex chars folded to a non-negative 32-bit integer."""
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({expr}), 1, 8), ''), "
+        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        f"(x, y) -> x * 16 + y)"
+    )
+
+
+def md5_32(col) -> F.Column:
+    """Spark side of :func:`md5_32_sql`: 32-bit int from the md5 prefix."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Connected-component duplicate clusters -> keeper decision
+# ---------------------------------------------------------------------------
+
+def _near_dup_edges(docs: DataFrame) -> DataFrame:
+    """Undirected near-dup edge list: LSH candidates (sub-quadratic) that
+    pass the exact token-Jaccard >= 0.5 gate - the same pair semantics as
+    `dedup_ngram_jaccard`, reduced to (src, dst)."""
+    cands = lsh_candidates(lsh_buckets(docs))
+    toksets = docs.select(
+        "doc_id", F.array_distinct(word_array("text")).alias("ts"))
+    ts_a = toksets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    ts_b = toksets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union_sz = F.size("ts_a") + F.size("ts_b") - inter
+    pairs = (
+        F.broadcast(cands)
+        .join(ts_a, "doc_a").join(ts_b, "doc_b")
+        .where(inter >= 0.5 * union_sz)
+        .select("doc_a", "doc_b")
+    )
+    return pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """(doc_id, label): hash-to-min connected components over an
+    undirected edge list. Each round propagates the current minimum label
+    across edges (one partitioned equi-join + min-aggregate) and stops at
+    the fixed point; rounds needed = graph diameter, bounded by
+    `max_rounds`. The convergence probe (`isEmpty`) inspects a count, not
+    row contents - the data never visits the driver."""
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")))
+    for _ in range(max_rounds):
+        prop = (edges.join(labels, edges.src == labels.doc_id)
+                .select(F.col("dst").alias("doc_id"), "label"))
+        new_labels = (labels.union(prop)
+                      .groupBy("doc_id").agg(F.min("label").alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.label") != F.col("o.label")))
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {lsh_buckets_sql()},
+{_CANDIDATES_SQL},
+toksets AS (
+    SELECT doc_id,
+           list_distinct(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                     x -> x <> '')) AS ts
+    FROM documents
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cands c
+    JOIN toksets a ON c.doc_a = a.doc_id
+    JOIN toksets b ON c.doc_b = b.doc_id
+    WHERE len(list_intersect(a.ts, b.ts)) >=
+          0.5 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+),
+comp AS (SELECT doc_id, MIN(label) AS label FROM walk GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(c.label, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.label, d.doc_id) AS is_keeper
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: near-dup pairs -> connected components ->
+    one keeper per duplicate cluster. cluster_id = the component's
+    minimum doc_id (own id when unclustered); is_keeper marks the single
+    document per cluster that survives deduplication. Oracle = recursive
+    CTE reachability in DuckDB over the identical pair graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = connected_components(_near_dup_edges(docs))
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus splits and stratified sampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+SELECT doc_id,
+       {md5_32_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+       CASE WHEN {md5_32_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                 THEN 'train'
+            WHEN {md5_32_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+                 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment: md5 of the
+    salted doc_id -> bucket 0..99 -> split. Hash-keyed (not random), so
+    the assignment is stable across runs, retries, engines, and scale
+    factors - the property a reproducible training corpus needs. Pure
+    map-side expression: no shuffle, no RNG state."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        md5_32(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+        F.lit(100))
+    return (
+        docs.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.when(bucket < 80, "train")
+             .when(bucket < 90, "val")
+             .otherwise("test").alias("split"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {md5_32_sql("'smp|' || CAST(doc_id AS VARCHAR)")} % 100
+      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+ORDER BY doc_id
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling by language: dominant 'en' kept at 10%,
+    every other stratum at 50% - the rebalancing step of a multilingual
+    training mix. Same salted-hash-threshold trick as the split op
+    (different salt, so sampling is independent of split assignment);
+    deterministic and shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    frac = F.pmod(
+        md5_32(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))),
+        F.lit(100))
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return (
+        docs.where(frac < rate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF salient terms
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY 1, 2
+),
+df AS (
+    SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+    SELECT t.doc_id, t.tok, t.tf, d.df,
+           t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS tfidf
+    FROM tf t JOIN df d USING (tok), n
+)
+SELECT doc_id, tok, tf, df, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rn
+      FROM scored)
+WHERE rn <= 3
+ORDER BY doc_id, rank
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Two hash aggregations (term
+    frequency per (doc, term); document frequency per term) + a broadcast
+    join of the small per-term df table; the corpus shuffles once, on
+    (doc_id, tok). n_docs rides in as a broadcast single-row aggregate -
+    never a hardcoded literal, so the op is scale-agnostic. Float parity:
+    JVM Math.log and DuckDB libm ln disagree by 1 ulp, so the raw tfidf
+    double is the RANKING key only, never an output column - the emitted
+    rank is stable because score gaps between distinct (tf, df) pairs are
+    >= ~1e-5 (far above ulp noise) and exact ties share (tf, df), where
+    both engines compute the identical double and fall to the tok
+    tiebreak (FIXTURES.md §C)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(word_array("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (toks.distinct().groupBy("tok")
+           .agg(F.count(F.lit(1)).alias("df")))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")))
+    )
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tf", "df", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[A-Za-z0-9./_-]+"
+_HANDLE_RE = r"@[A-Za-z0-9_]+"
+
+_PII_ORACLE = f"""
+WITH raw AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or https://ex.example/'
+                || CAST(doc_id AS VARCHAR)
+                || ' ping @agent' || CAST(doc_id AS VARCHAR) AS raw
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_URL_RE}', '<URL>', 'g'),
+           '{_HANDLE_RE}', '<USER>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(
+           regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_HANDLE_RE}')) AS BIGINT) AS n_handles
+FROM raw
+ORDER BY doc_id
+"""
+
+
+@register("pii_redaction", oracle=_PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing before a corpus ships: emails -> <EMAIL>, URLs ->
+    <URL>, @handles -> <USER>, plus per-row redaction counts. The corpus
+    text is synthetic, so a deterministic contact trailer (keyed on
+    doc_id) is appended first to give the scrubber real work; replacement
+    order (email, then URL, then handle) prevents the handle pattern from
+    eating email domains. Handle COUNTING also runs post-email-redaction
+    for the same reason. Pure regexp_replace chain - whole-stage codegen,
+    no Python in the hot path; regexes restricted to the Java-regex /
+    RE2 common subset so both engines agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did,
+        F.lit("@example.com or https://ex.example/"), did,
+        F.lit(" ping @agent"), did)
+    deemailed = F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>")
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace(deemailed, _URL_RE, "<URL>"),
+                _HANDLE_RE, "<USER>").alias("redacted"),
+            F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+            F.regexp_count(raw, F.lit(_URL_RE)).cast("bigint").alias("n_urls"),
+            F.regexp_count(deemailed, F.lit(_HANDLE_RE)).cast("bigint")
+             .alias("n_handles"))
+        .orderBy("doc_id")
+    )

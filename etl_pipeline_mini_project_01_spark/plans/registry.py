@@ -48,6 +48,7 @@ _PLAN_MODULES = (
     "digest",
     "olap",
     "analytics_ext",
+    "curation",
 )
 
 

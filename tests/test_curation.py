@@ -1,0 +1,109 @@
+"""Semantic invariants of the curation family (plans/curation.py).
+Oracle parity is covered by test_oracle_parity's parametrization; these
+assert the properties parity alone can't see (keeper uniqueness,
+transitivity, split fractions, redaction completeness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from etl_pipeline_mini_project_01_spark.plans.curation import (
+    _near_dup_edges,
+    dedup_clusters,
+    pii_redaction,
+    sample_stratified,
+    split_train_val_test,
+    tfidf_top_terms,
+)
+from etl_pipeline_mini_project_01_spark.catalog import load_table
+
+
+def test_clusters_one_keeper_per_cluster(spark):
+    out = dedup_clusters(spark, SF_DIR).cache()
+    per_cluster = (out.groupBy("cluster_id")
+                   .agg(F.sum(F.col("is_keeper").cast("int")).alias("keepers")))
+    assert per_cluster.where("keepers <> 1").isEmpty()
+    # cluster label is the component minimum -> never above the member id
+    assert out.where("cluster_id > doc_id").isEmpty()
+    out.unpersist()
+
+
+def test_clusters_respect_near_dup_edges(spark):
+    """Every near-dup pair must land in the same cluster (the defining
+    property of connected components over the pair graph)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    edges = _near_dup_edges(docs)
+    clusters = dedup_clusters(spark, SF_DIR).select("doc_id", "cluster_id")
+    a = clusters.withColumnRenamed("doc_id", "src").withColumnRenamed(
+        "cluster_id", "c_src")
+    b = clusters.withColumnRenamed("doc_id", "dst").withColumnRenamed(
+        "cluster_id", "c_dst")
+    joined = edges.join(a, "src").join(b, "dst")
+    assert joined.where("c_src <> c_dst").isEmpty()
+
+
+def test_split_partitions_the_corpus(spark):
+    out = split_train_val_test(spark, SF_DIR).cache()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert out.count() == docs.count()  # total function: every doc assigned
+    assert out.where("bucket < 0 OR bucket >= 100").isEmpty()
+    bad = out.where(
+        "(bucket < 80 AND split <> 'train') OR "
+        "(bucket >= 80 AND bucket < 90 AND split <> 'val') OR "
+        "(bucket >= 90 AND split <> 'test')")
+    assert bad.isEmpty()
+    n = out.count()
+    fracs = {r["split"]: r["c"] / n
+             for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    # 80/10/10 within binomial noise on a 500-doc corpus
+    assert abs(fracs.get("train", 0) - 0.8) < 0.08
+    assert abs(fracs.get("val", 0) - 0.1) < 0.06
+    assert abs(fracs.get("test", 0) - 0.1) < 0.06
+    out.unpersist()
+
+
+def test_split_is_deterministic(spark):
+    h1 = split_train_val_test(spark, SF_DIR).collect()
+    h2 = split_train_val_test(spark, SF_DIR).collect()
+    assert h1 == h2
+
+
+def test_stratified_sample_rates(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    totals = {r["lang"]: r["c"]
+              for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    kept = {r["lang"]: r["c"]
+            for r in sample_stratified(spark, SF_DIR)
+            .groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    for lang, total in totals.items():
+        rate = kept.get(lang, 0) / total
+        target = 0.10 if lang == "en" else 0.50
+        # 3-sigma binomial tolerance for the stratum size
+        sigma = (target * (1 - target) / total) ** 0.5
+        assert abs(rate - target) < max(3 * sigma, 0.05), (lang, rate, target)
+
+
+def test_pii_redaction_is_complete(spark):
+    out = pii_redaction(spark, SF_DIR).cache()
+    # the injected trailer guarantees at least one of each PII kind
+    assert out.where("n_emails < 1 OR n_urls < 1 OR n_handles < 1").isEmpty()
+    leftovers = out.where(
+        "redacted RLIKE '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}'"
+        " OR redacted RLIKE 'https?://'")
+    assert leftovers.isEmpty()
+    assert out.where("redacted NOT LIKE '%<EMAIL>%'").isEmpty()
+    out.unpersist()
+
+
+def test_tfidf_rank_shape(spark):
+    out = tfidf_top_terms(spark, SF_DIR).cache()
+    assert out.where("rank < 1 OR rank > 3").isEmpty()
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("c"),
+        F.collect_set("rank").alias("ranks"))
+    # ranks are dense from 1 with no gaps or dups
+    assert per_doc.where("c <> size(ranks)").isEmpty()
+    assert per_doc.where("array_min(ranks) <> 1").isEmpty()
+    out.unpersist()

@@ -119,3 +119,33 @@ def test_per_group_topk_uses_window_group_limit(spark):
     plan = _plan(spark, "topk_per_group_docs")
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan  # map-side top-k before the exchange
+
+
+def test_split_and_sample_are_map_side_only(spark):
+    """Hash-split and stratified sample are pure per-row expressions:
+    no hash-partitioned shuffle anywhere (the only Exchange allowed is
+    the final presentation sort's range partitioning)."""
+    for name in ("split_train_val_test", "sample_stratified"):
+        plan = _plan(spark, name)
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_tfidf_broadcasts_term_stats(spark):
+    """The per-term df table and the single-row corpus count must
+    broadcast; the corpus itself shuffles only for its own aggregations,
+    never for the join."""
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row n_docs factor
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_redaction_is_codegen_scan(spark):
+    """Regex scrubbing stays JVM-side over the scan - no Python
+    evaluation, no join, no shuffle before the presentation sort."""
+    plan = _plan(spark, "pii_redaction")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
