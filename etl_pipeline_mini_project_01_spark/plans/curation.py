@@ -295,6 +295,182 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Curation ledger + funnel: the full pipeline composed
+# ---------------------------------------------------------------------------
+
+#: Shared oracle CTE chain: near-dup components (recursive reachability)
+#: + exact-dup keeper + integer-threshold quality gate + hash split.
+#: Quality thresholds are INTEGER comparisons (n_unique*10 >= n_tokens*3
+#: instead of ratio >= 0.3) so the gate is float-free and engine-exact.
+_LEDGER_SQL = f"""{lsh_buckets_sql()},
+{_CANDIDATES_SQL},
+toksets AS (
+    SELECT doc_id,
+           list_distinct(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                     x -> x <> '')) AS ts
+    FROM documents
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cands c
+    JOIN toksets a ON c.doc_a = a.doc_id
+    JOIN toksets b ON c.doc_b = b.doc_id
+    WHERE len(list_intersect(a.ts, b.ts)) >=
+          0.5 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+),
+comp AS (SELECT doc_id, MIN(label) AS label FROM walk GROUP BY doc_id),
+exact AS (
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY md5(LOWER(TRIM(text))))
+               AS keeper_exact
+    FROM documents
+),
+quality AS (
+    SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_unique
+    FROM toks
+),
+ledger AS (
+    SELECT d.doc_id,
+           e.keeper_exact = d.doc_id AS exact_keeper,
+           COALESCE(c.label, d.doc_id) = d.doc_id AS near_keeper,
+           q.n_tokens >= 5 AND q.n_unique * 10 >= q.n_tokens * 3
+               AS passes_quality,
+           CASE WHEN {md5_32_sql("'split|' || CAST(d.doc_id AS VARCHAR)")}
+                     % 100 < 80 THEN 'train'
+                WHEN {md5_32_sql("'split|' || CAST(d.doc_id AS VARCHAR)")}
+                     % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d
+    JOIN exact e ON d.doc_id = e.doc_id
+    JOIN quality q ON d.doc_id = q.doc_id
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+)"""
+
+
+def _ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation flags (Spark twin of _LEDGER_SQL)."""
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents")
+    labels = connected_components(_near_dup_edges(docs))
+    w_exact = Window.partitionBy(F.md5(F.lower(F.trim("text"))))
+    toks = word_array("text")
+    bucket = F.pmod(
+        md5_32(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+        F.lit(100))
+    flagged = docs.select(
+        "doc_id",
+        (F.min("doc_id").over(w_exact) == F.col("doc_id")).alias("exact_keeper"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+         .otherwise("test").alias("split"))
+    return (
+        flagged.join(labels, "doc_id", "left")
+        .select(
+            "doc_id", "exact_keeper",
+            (F.coalesce("label", F.col("doc_id")) == F.col("doc_id"))
+            .alias("near_keeper"),
+            ((F.col("n_tokens") >= 5)
+             & (F.col("n_unique") * 10 >= F.col("n_tokens") * 3))
+            .alias("passes_quality"),
+            "split")
+    )
+
+
+@register(
+    "curation_docs_ledger",
+    oracle=f"""
+WITH RECURSIVE {_LEDGER_SQL}
+SELECT doc_id, exact_keeper, near_keeper, passes_quality, split,
+       exact_keeper AND near_keeper AND passes_quality AS retained
+FROM ledger
+ORDER BY doc_id
+""",
+)
+def curation_docs_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document curation decision ledger - every gate of the
+    corpus pipeline as an auditable flag: exact-dup keeper, near-dup
+    cluster keeper (connected components), float-free quality gate
+    (integer-scaled thresholds), split assignment, and the final
+    `retained` verdict. This is the composition showpiece: exact dedup +
+    LSH components + quality scoring + hash split in ONE auditable
+    relation, each reusing the standalone operator's machinery."""
+    led = _ledger(spark, sf_dir)
+    return (
+        led.select(
+            "doc_id", "exact_keeper", "near_keeper", "passes_quality", "split",
+            (F.col("exact_keeper") & F.col("near_keeper")
+             & F.col("passes_quality")).alias("retained"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "curation_funnel",
+    oracle=f"""
+WITH RECURSIVE {_LEDGER_SQL},
+agg AS (
+    SELECT COUNT(*) AS raw,
+           COUNT(*) FILTER (exact_keeper) AS after_exact,
+           COUNT(*) FILTER (exact_keeper AND near_keeper) AS after_near,
+           COUNT(*) FILTER (exact_keeper AND near_keeper AND passes_quality)
+               AS retained,
+           COUNT(*) FILTER (exact_keeper AND near_keeper AND passes_quality
+                            AND split = 'train') AS retained_train
+    FROM ledger
+)
+SELECT s.stage, s.docs
+FROM agg, LATERAL (VALUES
+    ('1_raw', raw), ('2_after_exact_dedup', after_exact),
+    ('3_after_near_dedup', after_near), ('4_after_quality', retained),
+    ('5_retained_train', retained_train)) AS s(stage, docs)
+ORDER BY s.stage
+""",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage counts of the curation pipeline (monotone funnel: raw ->
+    exact-dedup -> near-dedup -> quality -> train split). One pass over
+    the ledger (conditional aggregation), then a 5-row unpivot - the
+    shape a 100 TB run reports to its operators after every ingest."""
+    led = _ledger(spark, sf_dir)
+    ek = F.col("exact_keeper")
+    nk = ek & F.col("near_keeper")
+    rt = nk & F.col("passes_quality")
+    agg = led.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.count(F.when(ek, 1)).alias("after_exact"),
+        F.count(F.when(nk, 1)).alias("after_near"),
+        F.count(F.when(rt, 1)).alias("retained"),
+        F.count(F.when(rt & (F.col("split") == "train"), 1))
+        .alias("retained_train"))
+    stages = F.array(
+        F.struct(F.lit("1_raw").alias("stage"), F.col("raw").alias("docs")),
+        F.struct(F.lit("2_after_exact_dedup").alias("stage"),
+                 F.col("after_exact").alias("docs")),
+        F.struct(F.lit("3_after_near_dedup").alias("stage"),
+                 F.col("after_near").alias("docs")),
+        F.struct(F.lit("4_after_quality").alias("stage"),
+                 F.col("retained").alias("docs")),
+        F.struct(F.lit("5_retained_train").alias("stage"),
+                 F.col("retained_train").alias("docs")))
+    return (
+        agg.select(F.explode(stages).alias("s"))
+        .select(F.col("s.stage").alias("stage"), F.col("s.docs").alias("docs"))
+        .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 

@@ -81,23 +81,29 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "p7_top_positive_docs", "digest_run_summary",
     "olap_rollup_returnflag_status", "olap_cube_type_weekend",
     "olap_pivot_status_qty", "setops_user_segments",
-    # -- §2 operator covering set (previously green, kept in-window) -----
-    "g6_daily_event_trends",          # G6 flagship, W2/LAG
-    "p_clean_events",                 # P1/P3/P5/P9/P10
-    "p_clean_documents",              # P4/F6/F7
-    "q1_pricing_summary",             # F13/F15/F18
-    "f9_date_dimension",              # F9/F10/A4
-    "a6_dedup_latest_version",        # A6/W3/M3
-    # J1 (j1_change_detection) cedes its slot to the new as-of join: the
-    # change-detection left join is exercised inside m1_scd2_account_dim
-    # and j1 keeps its round-1 green row.
-    "j7_star_join_region_revenue",
-    "j2_dimension_lookup", "j3_band_join", "j4_anti_join_missing_fk",
-    "j5_semi_join_cleanup",           # J2-J7
-    "m2_idempotent_dim_insert", "m5_orphan_cleanup",  # M2/M5
-    "g3_account_influence",           # G3, A9/A10
-    "g4_hashtag_performance",         # G4, A11/A13
-    "g7_viral_content",               # G7, F14/F16/F17
+    # -- round-2 extensions with no driver row yet (rotated in; the §2
+    # covering set they displace is UNCHANGED since round 1 and keeps its
+    # green CORRECTNESS_r01.json rows, per VERDICT.md's rotation note) ---
+    "rangejoin_value_bands",          # E2 bucketed interval join
+    "stats_value_quantiles",          # E3 exact percentiles
+    "rolling_7day_user_value",        # E4 RANGE-framed rolling window
+    "w_rank_family",                  # E10 rank-function family
+    "olap_grouping_sets",             # E9 GROUPING SETS
+    "dedup_editdistance_pairs",       # E11 char-level near-dup
+    "stats_moments",                  # decimal-exact var/stddev/corr
+    "dq_violation_summary",           # DQ violation audit
+    "mm_frame_sample",                # cardinality-changing decode
+    "stream_static_join_segments",    # stream-static broadcast enrich
+    "stream_dedup_events",            # E8 watermark-bounded dedup
+    "u3_udtf_tokenize",               # Python UDTF via LATERAL
+    "dedup_clusters",                 # E13 components -> keeper
+    "split_train_val_test",           # E14 deterministic hash split
+    "tfidf_top_terms",                # E16 salient terms
+    "pii_redaction",                  # E17 PII scrub
+    # sample_stratified and topk_per_group_docs stay past the window:
+    # each shares its exact machinery with an in-window twin
+    # (split_train_val_test's salted-hash threshold; w_rank_family's
+    # windowed rank filter) and is mimic-verified at 3 SFs.
 )
 
 

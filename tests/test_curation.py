@@ -107,3 +107,25 @@ def test_tfidf_rank_shape(spark):
     assert per_doc.where("c <> size(ranks)").isEmpty()
     assert per_doc.where("array_min(ranks) <> 1").isEmpty()
     out.unpersist()
+
+
+def test_funnel_is_monotone(spark):
+    from etl_pipeline_mini_project_01_spark.plans.curation import (
+        curation_funnel,
+    )
+    rows = {r["stage"]: r["docs"]
+            for r in curation_funnel(spark, SF_DIR).collect()}
+    assert (rows["1_raw"] >= rows["2_after_exact_dedup"]
+            >= rows["3_after_near_dedup"] >= rows["4_after_quality"]
+            >= rows["5_retained_train"])
+    assert rows["1_raw"] > 0 and rows["4_after_quality"] > 0
+
+
+def test_ledger_retained_consistent_with_flags(spark):
+    from etl_pipeline_mini_project_01_spark.plans.curation import (
+        curation_docs_ledger,
+    )
+    led = curation_docs_ledger(spark, SF_DIR)
+    bad = led.where(
+        "retained <> (exact_keeper AND near_keeper AND passes_quality)")
+    assert bad.isEmpty()
