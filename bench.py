@@ -2,6 +2,13 @@
 (default /root/testdata/sf0.1) with local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+The set runs $SPARK_GRAFT_BENCH_RUNS times (default 2) so cold-JVM and
+steady-state cost separate cleanly: "value"/"queries" report the LAST
+(warm) iteration - the number that reflects plan cost, not codegen
+warm-up - while "runs" carries every iteration's per-query timings and
+"cold_total" the first pass, so round-over-round deltas attribute to
+plan changes rather than JVM state.
 """
 
 from __future__ import annotations
@@ -59,18 +66,25 @@ def main() -> None:
     # Warm the JVM/IO path once (excluded from timings).
     registry.QUERIES[names[0]](spark, sf_dir).limit(1).collect()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        _consume(registry.QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    runs: list[dict[str, float]] = []
+    for _ in range(n_runs):
+        timings: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            _consume(registry.QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        runs.append(timings)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_query_set_wall_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(runs[-1].values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": runs[-1],
+        "runs": [{"run": i + 1, "total": round(sum(t.values()), 3),
+                  "queries": t} for i, t in enumerate(runs)],
+        "cold_total": round(sum(runs[0].values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -57,6 +57,12 @@ def decode_numeric_entities(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     dec = F.array_distinct(F.regexp_extract_all(c, F.lit(r"&#([0-9]{1,5});"),
                                                 F.lit(0)))
+    # Decimal entities above the BMP (>0xFFFF) must stay untouched: their
+    # hex form is 5 digits and lpad(..., 4) would TRUNCATE it to a wrong
+    # BMP char. The astral-to-UDF contract already leaves them to
+    # unescape_html_udf; this guard enforces it.
+    dec = F.filter(dec, lambda e: F.regexp_extract(e, r"&#([0-9]+);", 1)
+                   .cast("int") <= 0xFFFF)
     c = F.aggregate(dec, c, lambda acc, e: F.replace(acc, e, _uchar(
         F.lpad(F.lower(F.conv(F.regexp_extract(e, r"&#([0-9]+);", 1), 10, 16)),
                4, "0"))))

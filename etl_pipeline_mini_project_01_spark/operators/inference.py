@@ -45,13 +45,19 @@ def _load_model():
             total = pos + neg
             if total == 0:
                 return "Neutral", 0.5
-            raw = max(pos, neg) / total  # winning-class confidence in [0.5, 1]
+            # Winning-class confidence in [0.5, 1], rounded to 4 places
+            # by EXACT integer half-up on the true rational max/total
+            # (float round() is half-to-even on the binary double - not
+            # reproducible in SQL); the final /10000.0 is a single IEEE
+            # division, bit-identical in any engine.
+            score_e4 = (20000 * max(pos, neg) + total) // (2 * total)
             label = "Positive" if pos >= neg else "Negative"
-            if raw < CONFIDENCE_THRESHOLD:
-                # Below-threshold confidence -> Neutral, keep the score
+            if 4 * max(pos, neg) < 3 * total:
+                # raw < CONFIDENCE_THRESHOLD (0.75), exact in integers:
+                # below-threshold confidence -> Neutral, keep the score
                 # (sentiment_analyzer.py:146-158 semantics).
                 label = "Neutral"
-            return label, round(raw, 4)
+            return label, score_e4 / 10000.0
         _MODEL = score
     return _MODEL
 

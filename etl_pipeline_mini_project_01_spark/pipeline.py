@@ -142,12 +142,26 @@ def incremental_bronze_append(spark: SparkSession, sf_dir: str,
     """Watermark-based incremental bronze ingestion (beyond the
     reference: its scheduled re-runs are full re-extracts made
     idempotent by upserts). Reads the stored high-watermark, ingests
-    only events with ts > watermark, appends, then advances the
-    watermark atomically AFTER the data lands (crash between the two
-    steps re-processes the tail idempotently rather than losing it).
-    First run ingests everything; an unchanged-input re-run appends
-    ZERO rows - the watermark IS the bookmark, no dedup scan needed."""
-    wm_path = os.path.join(out_dir, "bronze", "_watermark.json")
+    only events with ts > watermark, lands the increment EXACTLY-ONCE,
+    then advances the watermark. First run ingests everything; an
+    unchanged-input re-run appends ZERO rows - the watermark IS the
+    bookmark, no dedup scan needed.
+
+    Exactly-once mechanics (a plain mode('append') would duplicate the
+    tail on retry and leave partial files on crash): the increment is
+    staged to a scratch dir, then its files move into the table under
+    names carrying a deterministic batch tag md5(run_id|watermark).
+    A retry of the same (run_id, watermark) batch first deletes any
+    files bearing its tag - so a crash at ANY point (mid-stage,
+    mid-move, before the watermark advance) re-runs to the identical
+    final state. File moves are same-filesystem renames; the watermark
+    advance is an os.replace after all data is in place."""
+    import hashlib
+    import shutil
+
+    bronze_root = os.path.join(out_dir, "bronze")
+    table_path = os.path.join(bronze_root, "events")
+    wm_path = os.path.join(bronze_root, "_watermark.json")
     wm = None
     if os.path.exists(wm_path):
         with open(wm_path, encoding="utf-8") as fh:
@@ -160,10 +174,28 @@ def incremental_bronze_append(spark: SparkSession, sf_dir: str,
     new_max = bronze.agg(F.max("ts").alias("m")).first()["m"]
     appended = 0
     if new_max is not None:
+        batch_tag = hashlib.md5(f"{run_id}|{wm}".encode()).hexdigest()[:12]
+        staging = os.path.join(bronze_root, f"_incoming_{batch_tag}")
+        shutil.rmtree(staging, ignore_errors=True)
         appended = bronze.count()
-        bronze.write.mode("append").partitionBy("date_key").parquet(
-            f"{out_dir}/bronze/events")
-        os.makedirs(os.path.dirname(wm_path), exist_ok=True)
+        bronze.write.mode("overwrite").partitionBy("date_key").parquet(staging)
+        # Idempotent retry: purge any files a previous attempt of THIS
+        # batch already moved in, then move the fresh staging files.
+        for root, _, files in os.walk(table_path):
+            for f in files:
+                if f.startswith(f"{batch_tag}-"):
+                    os.remove(os.path.join(root, f))
+        for root, _, files in os.walk(staging):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue  # _SUCCESS markers etc.
+                rel = os.path.relpath(root, staging)
+                dest_dir = os.path.join(table_path, rel)
+                os.makedirs(dest_dir, exist_ok=True)
+                os.rename(os.path.join(root, f),
+                          os.path.join(dest_dir, f"{batch_tag}-{f}"))
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(bronze_root, exist_ok=True)
         tmp = wm_path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump({"high_watermark": str(new_max)}, fh)

@@ -66,8 +66,10 @@ def _near_dup_edges(docs: DataFrame) -> DataFrame:
     ts_b = toksets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
     union_sz = F.size("ts_a") + F.size("ts_b") - inter
+    # No broadcast hint on the candidate relation: it scales with corpus
+    # size x duplication rate; AQE broadcasts when small, shuffles when not.
     pairs = (
-        F.broadcast(cands)
+        cands
         .join(ts_a, "doc_a").join(ts_b, "doc_b")
         .where(inter >= 0.5 * union_sz)
         .select("doc_a", "doc_b")
@@ -76,13 +78,25 @@ def _near_dup_edges(docs: DataFrame) -> DataFrame:
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
-    """(doc_id, label): hash-to-min connected components over an
-    undirected edge list. Each round propagates the current minimum label
-    across edges (one partitioned equi-join + min-aggregate) and stops at
-    the fixed point; rounds needed = graph diameter, bounded by
-    `max_rounds`. The convergence probe (`isEmpty`) inspects a count, not
-    row contents - the data never visits the driver."""
+def connected_components(edges: DataFrame, max_rounds: int = 20,
+                         algorithm: str = "star") -> DataFrame:
+    """(doc_id, label): connected components over an undirected
+    (symmetric) edge list; label = the component's minimum node id.
+
+    algorithm='star' (default): large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") - O(log^2 n) rounds
+    regardless of graph diameter, the web-scale choice.
+    algorithm='hash_to_min': simple label propagation - one partitioned
+    equi-join + min-aggregate per round, rounds = graph diameter. Kept as
+    the easy-to-audit variant; raises if the diameter exceeds
+    `max_rounds` instead of silently emitting unconverged labels.
+    Both probe convergence with `isEmpty` (a count, never row contents -
+    no data visits the driver) and truncate lineage per round with
+    localCheckpoint so plans stay flat."""
+    if algorithm == "star":
+        return _cc_star(edges, max_rounds)
+    if algorithm != "hash_to_min":
+        raise ValueError(f"unknown algorithm: {algorithm}")
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")))
     for _ in range(max_rounds):
@@ -96,8 +110,55 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
                    .where(F.col("n.label") != F.col("o.label")))
         labels = new_labels
         if changed.isEmpty():
+            return labels
+    raise RuntimeError(
+        f"hash-to-min did not converge in {max_rounds} rounds (graph "
+        f"diameter exceeds the bound); use algorithm='star' (O(log^2 n) "
+        f"rounds) or raise max_rounds")
+
+
+def _cc_star(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Large-star/small-star alternation. The edge set is kept canonical
+    as (hi, lo) pairs with hi > lo; at the fixed point it is a forest of
+    stars whose centers are the component minima, so labels read off as
+    (hi -> lo) plus self-labels for the roots."""
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    e = (edges.select(F.greatest("src", "dst").alias("hi"),
+                      F.least("src", "dst").alias("lo"))
+         .where(F.col("hi") != F.col("lo")).distinct().localCheckpoint())
+    for _ in range(max_rounds):
+        # Large-star: per node u, attach every STRICTLY LARGER neighbor
+        # to m = min(N(u) + {u}).
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m")))
+        large = (sym.join(mins, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+                 .where(F.col("hi") != F.col("lo"))
+                 .distinct())
+        # Small-star: per node hi over its (all smaller) neighbors,
+        # attach everything in N(hi) + {hi} to m = min(N(hi)).
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = large.join(mins2, "hi")
+        new_e = (small.where(F.col("lo") != F.col("m"))
+                 .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+                 .union(small.select("hi", F.col("m").alias("lo")).distinct())
+                 .where(F.col("hi") != F.col("lo"))
+                 .distinct()
+                 .localCheckpoint())
+        if new_e.subtract(e).isEmpty() and e.subtract(new_e).isEmpty():
+            e = new_e
             break
-    return labels
+        e = new_e
+    else:
+        raise RuntimeError(
+            f"star CC did not converge in {max_rounds} rounds")
+    star = e.select(F.col("hi").alias("doc_id"), F.col("lo").alias("label"))
+    return (nodes.join(star, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("label", F.col("doc_id")).alias("label")))
 
 
 _CLUSTERS_ORACLE = f"""

@@ -1,0 +1,80 @@
+"""Day-2 operations as a driver-checkable query surface: incremental
+ingestion idempotence, small-files compaction, and clustered rewrite -
+the operational loop a 100 TB lakehouse table actually lives by (beyond
+the reference, whose scheduled re-runs are full re-extracts).
+
+The query RUNS the real operators against a per-call scratch table and
+emits the invariants they must uphold as (step, value) rows; the oracle
+states the same invariants from the input alone:
+  * first incremental run appends exactly the source row count;
+  * an unchanged-input re-run appends ZERO (watermark bookkeeping);
+  * compaction to 1 file per partition leaves one file per distinct day
+    and loses no rows;
+  * a sort-within-partitions clustered rewrite loses no rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (plan-module idiom)
+
+from ..pipeline import incremental_bronze_append
+from ..sources.io import compact_table, write_table_clustered
+from .registry import register
+
+_DAY2_ORACLE = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events),
+d AS (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days
+      FROM events)
+SELECT s.step, s.value
+FROM n, d, LATERAL (VALUES
+    ('1_initial_append_rows', n.c),
+    ('2_rerun_append_rows', CAST(0 AS BIGINT)),
+    ('3_table_rows', n.c),
+    ('4_files_after_compact', d.days),
+    ('5_rows_after_compact', n.c),
+    ('6_rows_after_clustered', n.c)) s(step, value)
+ORDER BY s.step
+"""
+
+
+@register("day2_incremental_counts", oracle=_DAY2_ORACLE)
+def day2_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercise the day-2 trio end-to-end (pipeline.py
+    incremental_bronze_append; sources/io.py compact_table /
+    write_table_clustered) and emit their invariants. Scratch is keyed on
+    (input dir, per-process uuid) so concurrent runs never collide."""
+    if not hasattr(day2_incremental_counts, "_run_tag"):
+        day2_incremental_counts._run_tag = uuid.uuid4().hex[:8]
+    tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+           + "_" + day2_incremental_counts._run_tag)
+    out = f"/tmp/spark_graft_day2_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    table = os.path.join(out, "bronze", "events")
+
+    r1 = incremental_bronze_append(spark, sf_dir, out, "day2_r1")
+    r2 = incremental_bronze_append(spark, sf_dir, out, "day2_r2")
+    table_rows = spark.read.parquet(table).count()
+    n_files = compact_table(spark, table, 1, ["date_key"])
+    rows_after_compact = spark.read.parquet(table).count()
+    write_table_clustered(spark.read.parquet(table),
+                          os.path.join(out, "bronze", "events_clustered"),
+                          ["user_id", "ts"])
+    rows_clustered = spark.read.parquet(
+        os.path.join(out, "bronze", "events_clustered")).count()
+
+    steps = [
+        ("1_initial_append_rows", int(r1["appended_rows"])),
+        ("2_rerun_append_rows", int(r2["appended_rows"])),
+        ("3_table_rows", int(table_rows)),
+        ("4_files_after_compact", int(n_files)),
+        ("5_rows_after_compact", int(rows_after_compact)),
+        ("6_rows_after_clustered", int(rows_clustered)),
+    ]
+    return (spark.createDataFrame(steps, "step string, value bigint")
+            .orderBy("step"))

@@ -153,11 +153,18 @@ def lsh_buckets(docs: DataFrame, k: int = MINHASH_K,
     where cross-engine reproducibility is not needed. Candidate quality
     is hash-agnostic (tests/test_dedup_quality.py covers both)."""
     toks = _tokens(docs)
+    # Docs with <3 tokens emit NO shingles (F.sequence(0, negative) would
+    # produce a DESCENDING sequence whose out-of-range lookups collapse to
+    # a shared '' shingle, pairing every short doc quadratically; the
+    # DuckDB twin's range(1, len(w)-1) already emits nothing for them).
+    idx = F.when(F.size("w") >= 3,
+                 F.sequence(F.lit(0), F.size("w") - 3)
+                 ).otherwise(F.array().cast("array<int>"))
     shingles = (
         toks.select(
             "doc_id",
             F.explode(F.transform(
-                F.sequence(F.lit(0), F.size("w") - 3),
+                idx,
                 lambda i: F.concat_ws(
                     " ", F.col("w")[i], F.col("w")[i + 1], F.col("w")[i + 2]),
             )).alias("shingle"))
@@ -312,11 +319,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash/LSH bucket (reusing :func:`lsh_candidates`), NOT by
     (source, lang) all-pairs: a skewed attribute block (e.g. all "en"/
     "web" docs) is O(B^2) at 100 TB, while LSH candidates stay
-    sub-quadratic regardless of attribute skew. The (small) candidate
-    set broadcasts against the token-set table, so the corpus never
-    shuffles for pair assembly. Output: per-candidate exact Jaccard +
-    the >= 0.5 near-dup verdict (LSH recall is measured separately in
-    tests/test_dedup_quality.py)."""
+    sub-quadratic regardless of attribute skew. The candidate relation
+    carries NO broadcast hint: it grows with corpus size x duplication
+    rate, so a forced broadcast could exceed the 8 GB cap at 100 TB -
+    AQE picks broadcast when the runtime size allows and falls back to a
+    shuffled hash join on doc_a/doc_b otherwise (the scale-safe default).
+    Output: per-candidate exact Jaccard + the >= 0.5 near-dup verdict
+    (LSH recall is measured separately in tests/test_dedup_quality.py)."""
     docs = load_table(spark, sf_dir, "documents")
     cands = lsh_candidates(lsh_buckets(docs))
     toksets = docs.select(
@@ -326,7 +335,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
     union_sz = F.size("ts_a") + F.size("ts_b") - inter
     return (
-        F.broadcast(cands)
+        cands
         .join(ts_a, "doc_a")
         .join(ts_b, "doc_b")
         .select(
@@ -360,8 +369,8 @@ def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic training-data dedup axis beside token Jaccard): Levenshtein
     over LSH candidate pairs only - O(len^2) per comparison is affordable
     precisely because the LSH blocking keeps the pair count sub-quadratic;
-    a 120-char prefix bounds the DP cost. Same candidate-broadcast shape
-    as dedup_ngram_jaccard."""
+    a 120-char prefix bounds the DP cost. Same unhinted candidate-join
+    shape as dedup_ngram_jaccard (AQE decides broadcast vs shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
     cands = lsh_candidates(lsh_buckets(docs))
     texts = docs.select(
@@ -371,7 +380,7 @@ def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_b = texts.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
     dist = F.levenshtein("t_a", "t_b")
     return (
-        F.broadcast(cands)
+        cands
         .join(t_a, "doc_a")
         .join(t_b, "doc_b")
         .select(

@@ -14,12 +14,45 @@ from ..operators.inference import with_sentiment
 from .registry import register
 
 
-@register("u2_sentiment_inference")
+#: Per-row oracle of the lexicon scorer (operators/inference.py:41-60):
+#: whitespace-regex split == Python str.split(); the 4-decimal confidence
+#: is integer half-up on the true rational, then ONE IEEE division -
+#: bit-identical to the UDF's emitted double; the 0.75 threshold is the
+#: exact integer comparison 4*max < 3*total.
+_INFERENCE_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(LOWER(text), '\\s+'),
+               t -> t IN ('fast','good','small','new','fresh','win','top',
+                          'best','clean'))) AS pos,
+           len(list_filter(string_split_regex(LOWER(text), '\\s+'),
+               t -> t IN ('slow','bad','big','old','error','fail','dup',
+                          'worst','stale'))) AS neg
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN pos + neg = 0 THEN 'Neutral'
+            WHEN 4 * greatest(pos, neg) < 3 * (pos + neg) THEN 'Neutral'
+            WHEN pos >= neg THEN 'Positive'
+            ELSE 'Negative' END AS sentiment_value,
+       CASE WHEN pos + neg = 0 THEN CAST(0.5 AS DOUBLE)
+            ELSE CAST((20000 * greatest(pos, neg) + (pos + neg))
+                      // (2 * (pos + neg)) AS DOUBLE) / 10000.0
+       END AS sentiment_score,
+       'lexicon-sentiment-v1' AS sentiment_model
+FROM toks
+ORDER BY doc_id
+"""
+
+
+@register("u2_sentiment_inference", oracle=_INFERENCE_ORACLE)
 def u2_sentiment_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched sentiment inference over documents (pandas_udf with
-    per-executor lazy model; deterministic lexicon stand-in for the NN)."""
+    per-executor lazy model; deterministic lexicon stand-in for the NN).
+    Oracle-checked per row: the lexicon's token-match, integer threshold,
+    and exact-rational rounding are all SQL-expressible."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", *with_sentiment("text"))
+    return docs.select("doc_id", *with_sentiment("text")).orderBy("doc_id")
 
 
 _LEXICON_SQL = """

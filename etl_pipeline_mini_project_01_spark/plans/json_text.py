@@ -26,9 +26,13 @@ def _sql_named_entities(expr: str) -> str:
 
 
 #: DuckDB twins of decode_numeric_entities: fold replace() over the
-#: distinct extracted entities; chr() is unicode-native in DuckDB.
+#: distinct extracted entities; chr() is unicode-native in DuckDB. The
+#: <= 65535 filter mirrors the Spark-side BMP guard (astral decimal
+#: entities stay untouched on BOTH engines).
 _SQL_DEC = """list_reduce(
-    list_prepend(txt, list_distinct(regexp_extract_all(txt, '&#[0-9]{1,5};'))),
+    list_prepend(txt, list_filter(
+        list_distinct(regexp_extract_all(txt, '&#[0-9]{1,5};')),
+        e -> CAST(substr(e, 3, len(e)-3) AS INT) <= 65535)),
     (acc, e) -> replace(acc, e, chr(CAST(substr(e, 3, len(e)-3) AS INT))))"""
 
 _SQL_HEX = """list_reduce(

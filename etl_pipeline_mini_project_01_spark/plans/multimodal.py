@@ -38,15 +38,47 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("mm_decode_features")
+#: DuckDB twin of the fake codec's byte histogram: byte % 8 depends only
+#: on each byte's LOW HEX NIBBLE (16 = 0 mod 8), so the histogram reads
+#: off the even-position chars of hex(payload) - no blob byte-indexing
+#: needed (DuckDB can't subscript BLOBs).
+_DECODE_ORACLE = """
+WITH nib AS (
+    SELECT doc_id,
+           (strpos('0123456789ABCDEF',
+                   substring(hex(encode(text)), 2 * i, 1)) - 1) % 8 AS bin
+    FROM documents,
+         UNNEST(range(1, octet_length(encode(text)) + 1)) t(i)
+)
+SELECT d.doc_id,
+       CAST(octet_length(encode(d.text)) AS INT) AS n_bytes,
+       md5(d.text) AS checksum,
+""" + ",\n".join(
+    f"       CAST(COUNT(*) FILTER (WHERE n.bin = {b}) AS INT) AS bin_{b}"
+    for b in range(8)) + """
+FROM documents d
+LEFT JOIN nib n ON d.doc_id = n.doc_id
+GROUP BY d.doc_id, d.text
+ORDER BY d.doc_id
+"""
+
+
+@register("mm_decode_features", oracle=_DECODE_ORACLE)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract via mapInPandas (deterministic
-    fake codec; real codecs stubbed - see operators/multimodal.py).
-    Rows-only check: the pandas stage is not SQL-expressible in DuckDB."""
+    fake codec; real codecs stubbed - see operators/multimodal.py). The
+    registered surface flattens the histogram to 8 scalar bin_N columns:
+    driver-safe (the grading driver's pandas canonicalizer cannot sort
+    array cells) AND oracle-checkable - the array form stays available
+    via decode_features() directly."""
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select(
         "doc_id", F.col("text").cast("binary").alias("payload"))
-    return decode_features(with_payload)
+    decoded = decode_features(with_payload)
+    return decoded.select(
+        "doc_id", "n_bytes", "checksum",
+        *[F.col("byte_histogram")[b].alias(f"bin_{b}") for b in range(8)],
+    ).orderBy("doc_id")
 
 
 @register(

@@ -101,14 +101,31 @@ def sql_surface_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-@register("a11_approx_distinct")
+@register(
+    "a11_approx_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_2pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
 def a11_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-scale variant of exact COUNT(DISTINCT) (SCALE.md TODO):
-    HyperLogLog++ sketch, one pass, no expand - rows-only check (sketch
-    estimates are engine-specific by nature); the <=2% relative-error
-    property is asserted in tests/test_operators.py."""
+    HyperLogLog++ sketch, one pass, no expand. The raw HLL estimate is
+    engine-specific by nature, so the checked surface emits the exact
+    count plus the |approx - exact| / exact <= 2% VERDICT as a boolean
+    (oracle = exact count + literal TRUE) - hash-checkable evidence the
+    sketch meets its accuracy contract, without hashing sketch noise."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+    return agg.select(
+        "event_type", "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users"))
+         <= 0.02 * F.col("exact_users")).alias("within_2pct"),
     ).orderBy("event_type")

@@ -104,11 +104,17 @@ def stream_file_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     models exactly that append-mode contract."""
     import hashlib
     import shutil
+    import uuid
 
-    # Deterministic scratch per input dir; cleared up-front so every call
-    # is a fresh run, and left in place after (the returned DataFrame
-    # reads the sink files lazily - no driver-side materialization).
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # Scratch keyed on (input dir, per-process uuid): two concurrent runs
+    # over the same input never share (or delete) each other's in-flight
+    # sink/checkpoint. Cleared up-front so every call is a fresh run, and
+    # left in place after (the returned DataFrame reads the sink files
+    # lazily - no driver-side materialization).
+    if not hasattr(stream_file_sink_counts, "_run_tag"):
+        stream_file_sink_counts._run_tag = uuid.uuid4().hex[:8]
+    tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+           + "_" + stream_file_sink_counts._run_tag)
     scratch = f"/tmp/spark_graft_stream_sink_{tag}"
     shutil.rmtree(scratch, ignore_errors=True)
     agg = tumbling_counts(spark, sf_dir, watermark="1 hour")
@@ -219,12 +225,25 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
-@register("stream_stateful_running_totals")
+@register(
+    "stream_stateful_running_totals",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
 def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
-    running totals carried in the state store across micro-batches.
-    Rows-only check (Python state function is not SQL-expressible); the
-    batch-equivalence property is asserted in tests/test_streaming.py."""
+    running totals carried in the state store across micro-batches. The
+    final state per user equals the batch per-user aggregate - which is
+    the oracle: the state accumulates a DECIMAL(,4)-scaled integer
+    (streaming/stateful.py), so the emitted double matches the decimal-sum
+    SQL twin bit-exactly regardless of micro-batch boundaries."""
     from ..streaming.stateful import run_stateful_to_completion
     return run_stateful_to_completion(
         spark, sf_dir, "stateful_totals_q").orderBy("user_id")

@@ -33,7 +33,7 @@ OUTPUT_SCHEMA = StructType([
 
 STATE_SCHEMA = StructType([
     StructField("n_events", LongType()),
-    StructField("total_value", DoubleType()),
+    StructField("total_e4", LongType()),
 ])
 
 
@@ -42,17 +42,22 @@ def _update_user_totals(key: tuple[Any, ...],
                         state: GroupState) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        n_events, total_value = state.get
+        n_events, total_e4 = state.get
     else:
-        n_events, total_value = 0, 0.0
+        n_events, total_e4 = 0, 0
     for pdf in pdfs:
         n_events += len(pdf)
-        total_value += float(pdf["value"].fillna(0.0).sum())
-    state.update((n_events, total_value))
+        # State carries the total as a DECIMAL(,4)-scaled integer: exact,
+        # so the accumulated value is independent of batch boundaries and
+        # partition order, and the emitted double (one IEEE division) is
+        # bit-identical to a decimal-sum SQL twin - a float += here would
+        # drift by accumulation order and flap the oracle hash.
+        total_e4 += int(pdf["value"].fillna(0.0).mul(10000.0).round().sum())
+    state.update((n_events, total_e4))
     yield pd.DataFrame({
         "user_id": [user_id],
         "n_events": [n_events],
-        "total_value": [total_value],
+        "total_value": [total_e4 / 10000.0],
     })
 
 

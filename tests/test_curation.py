@@ -129,3 +129,53 @@ def test_ledger_retained_consistent_with_flags(spark):
     bad = led.where(
         "retained <> (exact_keeper AND near_keeper AND passes_quality)")
     assert bad.isEmpty()
+
+
+def _chain_edges(spark, n):
+    """Symmetric edge list of the path graph 1-2-...-n (diameter n-1)."""
+    pairs = [(i, i + 1) for i in range(1, n)]
+    e = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    return e.union(e.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+
+
+def test_star_cc_handles_long_chain(spark):
+    """Large-star/small-star converges on a diameter-59 path graph in
+    O(log^2 n) rounds - the case hash-to-min's default 20-round bound
+    cannot reach - and labels the whole chain with its minimum."""
+    import pytest
+
+    from etl_pipeline_mini_project_01_spark.plans.curation import (
+        connected_components,
+    )
+
+    edges = _chain_edges(spark, 60)
+    labels = connected_components(edges, algorithm="star")
+    rows = labels.collect()
+    assert len(rows) == 60
+    assert all(r.label == 1 for r in rows)
+    # hash-to-min needs ~diameter rounds: must now FAIL LOUDLY instead of
+    # silently emitting unconverged labels (ADVICE r2).
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=5, algorithm="hash_to_min")
+    # and with the bound raised past the diameter, both variants agree.
+    ok = connected_components(edges, max_rounds=60,
+                              algorithm="hash_to_min").collect()
+    assert {(r.doc_id, r.label) for r in ok} == {(r.doc_id, r.label)
+                                                for r in rows}
+
+
+def test_star_cc_multiple_components(spark):
+    from etl_pipeline_mini_project_01_spark.plans.curation import (
+        connected_components,
+    )
+
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    e = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    edges = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    got = {(r.doc_id, r.label)
+           for r in connected_components(edges, algorithm="star").collect()}
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20), (23, 20)}
+    assert got == want

@@ -42,3 +42,33 @@ def test_check_priority_window_invariant():
     assert tuple(names[:50]) == registry.CHECK_PRIORITY
     missing = [n for n in registry.CHECK_PRIORITY if n not in registry.QUERIES]
     assert not missing
+
+
+def test_no_query_staler_than_two_rounds():
+    """Rotation-debt guard (VERDICT r2 #8): with ~100 registered queries
+    and a 50-row driver window, every query must either have a driver
+    row in one of the TWO most recent CORRECTNESS_r*.json files or sit
+    inside the upcoming window (CHECK_PRIORITY) - otherwise its
+    correctness evidence goes stale silently. Fails loudly naming the
+    queries that must rotate into the next round's window."""
+    import glob
+    import json
+    import re
+
+    from etl_pipeline_mini_project_01_spark.plans import registry
+
+    registry.load_all_plans()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    recent: set[str] = set()
+    for path in rounds[-2:]:
+        with open(path, encoding="utf-8") as fh:
+            recent |= set(json.load(fh))
+    covered = recent | set(registry.CHECK_PRIORITY)
+    stale = sorted(set(registry.QUERIES) - covered)
+    assert not stale, (
+        f"{len(stale)} queries have no driver row in the last two rounds "
+        f"and are not in the upcoming check window - rotate them into "
+        f"CHECK_PRIORITY: {stale}")

@@ -89,6 +89,28 @@ def test_incremental_bronze_watermark(spark, tmp_path):
     assert total == 1000
 
 
+def test_incremental_retry_is_exactly_once(spark, tmp_path):
+    """Crash-window semantics (ADVICE r2): if a run dies AFTER moving its
+    files but BEFORE advancing the watermark, the retry of the same
+    (run_id, watermark) batch replaces its own files instead of
+    re-appending - total row count stays exact, no duplicates."""
+    import os
+
+    from etl_pipeline_mini_project_01_spark.pipeline import (
+        incremental_bronze_append,
+    )
+
+    out = str(tmp_path / "inc_retry")
+    incremental_bronze_append(spark, "/root/testdata/sf0.001", out, "r1")
+    # Simulate the crash: data landed, watermark advance lost.
+    os.remove(f"{out}/bronze/_watermark.json")
+    r_retry = incremental_bronze_append(spark, "/root/testdata/sf0.001",
+                                        out, "r1")
+    assert r_retry["appended_rows"] == 1000  # the tail re-processed...
+    total = spark.read.parquet(f"{out}/bronze/events").count()
+    assert total == 1000  # ...but replaced, not duplicated
+
+
 def test_compaction_and_clustered_write(spark, tmp_path):
     """Small-files compaction restores a sane file count; clustered
     writes sort on the cluster key within files (row-group stats become
