@@ -78,3 +78,56 @@ def day2_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (spark.createDataFrame(steps, "step string, value bigint")
             .orderBy("step"))
+
+
+_EVOLUTION_ORACLE = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events)
+SELECT s.step, s.value
+FROM n, LATERAL (VALUES
+    ('1_v1_rows', n.c),
+    ('2_v2_rows', n.c),
+    ('3_merged_rows', 2 * n.c),
+    ('4_merged_cols', CAST(4 AS BIGINT)),
+    ('5_v1_null_source', n.c),
+    ('6_v2_source_rows', n.c)) s(step, value)
+ORDER BY s.step
+"""
+
+
+@register("day2_schema_evolution", oracle=_EVOLUTION_ORACLE)
+def day2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a live table (the other unavoidable day-2 op):
+    a v1 writer lands (event_id, user_id, value); a later v2 writer adds
+    a `source` column to the SAME directory; a mergeSchema read must see
+    the union schema with v1 rows NULL in the new column - no rewrite of
+    old files. The oracle states the invariants (row/column counts,
+    NULL accounting) from the input alone."""
+    from ..catalog import load_table
+
+    if not hasattr(day2_schema_evolution, "_run_tag"):
+        day2_schema_evolution._run_tag = uuid.uuid4().hex[:8]
+    tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+           + "_" + day2_schema_evolution._run_tag)
+    out = f"/tmp/spark_graft_evolve_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    events = load_table(spark, sf_dir, "events")
+    v1 = events.select("event_id", "user_id", "value")
+    v2 = v1.withColumn("source", F.lit("v2"))
+    v1.write.mode("overwrite").parquet(out)
+    v2.write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    n_v1 = v1.count()
+    steps = [
+        ("1_v1_rows", n_v1),
+        ("2_v2_rows", int(v2.count())),
+        ("3_merged_rows", int(merged.count())),
+        ("4_merged_cols", len(merged.columns)),
+        ("5_v1_null_source", int(merged.where(F.col("source").isNull())
+                                 .count())),
+        ("6_v2_source_rows", int(merged.where(F.col("source") == "v2")
+                                 .count())),
+    ]
+    return (spark.createDataFrame(steps, "step string, value bigint")
+            .orderBy("step"))

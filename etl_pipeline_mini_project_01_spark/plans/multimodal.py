@@ -81,6 +81,48 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Resize oracle: byte k (0-based) of the payload is hex chars
+#: (2k+1, 2k+2) of hex(payload), so the fake codec's nearest-neighbor
+#: byte sampling (index (j*len)//target) reconstructs from the hex
+#: string - DuckDB cannot subscript BLOBs, but never needs to.
+_RESIZE_ORACLE = """
+WITH px AS (
+    SELECT doc_id,
+           hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       string_agg(substring(hx, 2 * ((j * n) // 64) + 1, 2), ''
+                  ORDER BY j) AS pixels_hex
+FROM px, UNNEST(range(0, 64)) u(j)
+WHERE n > 0
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("mm_image_resize", oracle=_RESIZE_ORACLE)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing surface: every payload -> a fixed 8x8 pixel
+    buffer via Arrow-batched mapInPandas (fake codec nearest-neighbor
+    byte sampling; real decoders env-gated). Emitted as the hex string of
+    the 64-byte buffer - driver-safe and bit-exactly reconstructible in
+    SQL, proving the pandas stage's byte-level semantics."""
+    from ..operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+    resized = resize_images(with_payload, 8, 8)
+    return resized.select(
+        "doc_id", "width", "height",
+        F.hex("pixels").alias("pixels_hex"),
+    ).orderBy("doc_id")
+
+
 @register(
     "mm_frame_sample",
     oracle="""

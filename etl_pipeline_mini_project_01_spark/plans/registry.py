@@ -59,10 +59,10 @@ _PLAN_MODULES = (
 #: then (b) the oldest round-1-green carries, rotated back in so no
 #: query's driver row goes stale beyond 2 rounds
 #: (tests/test_entry.py::test_no_query_staler_than_two_rounds enforces
-#: this against the CORRECTNESS_r*.json history). The 9 round-1 carries
-#: that do not fit (f2/f4 json twins, a1/a3 scalar aggs, o1 sort,
-#: p_clean_documents, f9/f11 date ops, a8 profile) plus the unchanged
-#: round-2 greens rotate in next round.
+#: this against the CORRECTNESS_r*.json history). The 13 round-1 carries
+#: that do not fit (f2/f4 json twins, a1/a2/a3 scalar aggs, o1/o2 sorts,
+#: p2/p_clean_documents, f9/f11 date ops, f12 ratio, a8 profile) plus
+#: the unchanged round-2 greens rotate in next round.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- fixed / changed this round (need fresh green) -------------------
     "mm_decode_features",             # r2's only err row: scalar bins + oracle
@@ -81,7 +81,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "curation_docs_ledger",
     "curation_funnel",
     "day2_incremental_counts",        # incremental/compact/cluster invariants
-    # -- oldest round-1 greens, rotated back in (35 of 44) ---------------
+    "day2_schema_evolution",          # mergeSchema union-schema invariants
+    "text_gopher_quality",            # integer-scaled Gopher rules
+    "text_repetition",                # top-bigram repetition gate
+    "mm_image_resize",                # 8x8 resize plumbing, hex-exact oracle
+    # -- oldest round-1 greens, rotated back in (31 of 44) ---------------
     "g6_daily_event_trends", "g3_account_influence",
     "g4_hashtag_performance", "g5_hourly_posting_patterns",
     "g7_viral_content",
@@ -91,12 +95,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "m2_idempotent_dim_insert", "m4_surrogate_keys", "m5_orphan_cleanup",
     "silver_fact_build",
     "w1_user_engagement_rank", "w2_user_daily_value_change",
-    "a2_event_type_distribution", "a5_latest_user_snapshot",
+    "a5_latest_user_snapshot",
     "a6_dedup_latest_version", "a7_dedup_keep_first",
     "a12_daily_modal_event_type", "a14_table_stats",
-    "o2_top_events", "p2_time_window_cutoff", "p_clean_events",
+    "p_clean_events",
     "p6_normalized_documents", "f1_html_clean", "f5_json_roundtrip",
-    "f12_engagement_ratio", "x1_token_frequencies", "q1_pricing_summary",
+    "x1_token_frequencies", "q1_pricing_summary",
     "dedup_exact", "sim_cosine_topk",
 )
 

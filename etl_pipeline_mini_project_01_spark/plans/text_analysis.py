@@ -173,6 +173,138 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Canonical stopword list for the Gopher "contains stopwords" rule
+#: (Rae et al. 2021 use the-be-to-of-and-that-have-with).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@register(
+    "text_gopher_quality",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(LOWER(text), '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           list_reduce(list_transform(w, t -> len(t)), (a, b) -> a + b)
+               AS sum_len,
+           len(list_filter(w, t -> regexp_matches(t, '[a-z]')))
+               AS alpha_tokens,
+           len(list_distinct(list_filter(w, t -> t IN {GOPHER_STOPWORDS!r})))
+               AS n_stopwords
+    FROM toks
+)
+SELECT doc_id, n_tokens,
+       n_tokens >= 30 AND n_tokens <= 100000 AS r_word_count,
+       sum_len >= 4 * n_tokens AND sum_len <= 10 * n_tokens
+           AS r_mean_word_len,
+       5 * alpha_tokens >= 4 * n_tokens AS r_alpha_ratio,
+       n_stopwords >= 2 AS r_stopwords,
+       (n_tokens >= 30 AND n_tokens <= 100000)
+           AND (sum_len >= 4 * n_tokens AND sum_len <= 10 * n_tokens)
+           AND (5 * alpha_tokens >= 4 * n_tokens)
+           AND (n_stopwords >= 2) AS passes_gopher
+FROM feat
+ORDER BY doc_id
+""",
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus quality rules (Rae et al. 2021, §A1.1): word
+    count bounds, mean-word-length bounds, alphabetic-token ratio,
+    stopword presence - each emitted as its own verdict plus the combined
+    gate. Every threshold is an INTEGER-scaled comparison (4n <= sum_len,
+    5*alpha >= 4n) so the gate is float-free and engine-exact; pure
+    column expressions, whole-stage codegen, one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    feat = docs.select(
+        "doc_id", word_array("text").alias("w")).select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.aggregate("w", F.lit(0), lambda a, t: a + F.length(t))
+        .alias("sum_len"),
+        F.size(F.filter("w", lambda t: t.rlike("[a-z]")))
+        .alias("alpha_tokens"),
+        F.size(F.array_distinct(
+            F.filter("w", lambda t: F.array_contains(stop_arr, t))))
+        .alias("n_stopwords"))
+    n = F.col("n_tokens")
+    r_wc = (n >= 30) & (n <= 100000)
+    r_mwl = (F.col("sum_len") >= 4 * n) & (F.col("sum_len") <= 10 * n)
+    r_alpha = 5 * F.col("alpha_tokens") >= 4 * n
+    r_stop = F.col("n_stopwords") >= 2
+    return feat.select(
+        "doc_id", "n_tokens",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_ratio"),
+        r_stop.alias("r_stopwords"),
+        (r_wc & r_mwl & r_alpha & r_stop).alias("passes_gopher"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(LOWER(text), '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+    FROM toks, UNNEST(range(1, len(w))) t(i)
+),
+cnt AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+top AS (
+    SELECT doc_id, g AS top_bigram, c AS top_bigram_count,
+           CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+    FROM cnt
+)
+SELECT doc_id, n_bigrams, top_bigram, top_bigram_count,
+       top_bigram_count * 10 <= n_bigrams AS passes_repetition
+FROM top
+WHERE rn = 1
+ORDER BY doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (the duplicated-n-gram corpus gate, Gopher
+    §A1.1 'repetitious text'): most frequent word bigram per document and
+    its share of all bigrams; verdict = top-bigram share <= 10%,
+    integer-scaled (10 * count <= n_bigrams) so it is float-free. One
+    explode + one (doc, bigram) hash aggregate + one per-doc window pass;
+    ties break on the lexicographically smallest bigram in both
+    engines."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_arr = word_array("text")
+    bigrams = F.when(
+        F.size(w_arr) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(w_arr) - 2),
+                    lambda i: F.concat_ws(" ", w_arr[i], w_arr[i + 1])),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select("doc_id", F.explode(bigrams).alias("g"))
+    cnt = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    w_sum = Window.partitionBy("doc_id")
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+    top = cnt.select(
+        "doc_id", F.col("g").alias("top_bigram"),
+        F.col("c").alias("top_bigram_count"),
+        F.sum("c").over(w_sum).alias("n_bigrams"),
+        F.row_number().over(w_rank).alias("rn"))
+    return (top.where(F.col("rn") == 1)
+            .select("doc_id", "n_bigrams", "top_bigram", "top_bigram_count",
+                    (F.col("top_bigram_count") * 10 <= F.col("n_bigrams"))
+                    .alias("passes_repetition"))
+            .orderBy("doc_id"))
+
+
 @register(
     "text_fingerprint",
     oracle="""

@@ -82,7 +82,8 @@ def test_jaccard_blocks_by_lsh_buckets_not_attributes(spark):
     assert all("source" not in ln and "lang" not in ln for ln in join_lines)
     # pairing happens on the LSH (band, bucket) equi-keys
     assert any("band" in ln and "bucket" in ln for ln in join_lines)
-    # candidate set broadcasts against the token-set table
+    # no FORCED broadcast hint on the (unbounded) candidate relation -
+    # but at this scale AQE should still CHOOSE broadcast for it
     assert "BroadcastHashJoin" in plan
 
 
