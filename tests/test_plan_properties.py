@@ -87,6 +87,22 @@ def test_jaccard_blocks_by_lsh_buckets_not_attributes(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_repetition_top1_uses_window_group_limit(spark):
+    """text_repetition's rank=1 filter must compile to WindowGroupLimit
+    (partial map-side top-1 per doc BEFORE the shuffle) - the
+    distributed-heap shape, not a full sort of every bigram count."""
+    plan = _plan(spark, "text_repetition")
+    assert "WindowGroupLimit" in plan
+
+
+def test_gopher_quality_is_map_side_only(spark):
+    """The Gopher gate is a pure per-row map: no aggregation or join
+    exchange - the only allowed exchange is the final presentation sort."""
+    plan = _plan(spark, "text_gopher_quality")
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("rangepartitioning" in ln for ln in exchanges), exchanges
+
+
 def test_file_sink_streaming_reads_back_lazily(spark):
     """stream_file_sink_counts returns a plain batch scan over the sink
     files - no driver-side materialization in the query path."""
