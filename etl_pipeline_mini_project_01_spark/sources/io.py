@@ -86,3 +86,27 @@ def write_table_clustered(df: DataFrame, path: str, cluster_by: list[str],
     point/range filters on those keys then skip whole row groups."""
     write_table(df.sortWithinPartitions(*cluster_by), path,
                 "overwrite", partition_by)
+
+
+def vacuum_orphans(table_root: str) -> list[str]:
+    """Day-2 hygiene: remove leftover scratch from crashed writers - the
+    `_incoming_<tag>` staging dirs of incremental appends and the
+    `.__staging__` / `.__old__` dirs of interrupted atomic swaps. Safe by
+    construction: writers never read these paths back; a LIVE writer's
+    staging is recreated from scratch on its retry (its batch-tagged
+    moves are idempotent), so vacuuming concurrently with a crashed
+    run's retry cannot lose data. Returns the removed paths."""
+    removed: list[str] = []
+    parent = os.path.dirname(table_root.rstrip("/")) or "."
+    if not os.path.isdir(parent):
+        return removed
+    for entry in sorted(os.listdir(parent)):
+        full = os.path.join(parent, entry)
+        if not os.path.isdir(full):
+            continue
+        if (entry.startswith("_incoming_")
+                or entry.endswith(".__staging__")
+                or entry.endswith(".__old__")):
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
+    return removed

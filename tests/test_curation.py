@@ -165,6 +165,33 @@ def test_star_cc_handles_long_chain(spark):
                                                 for r in rows}
 
 
+def test_star_cc_cross_validates_hash_to_min_random_graph(spark):
+    """The two CC implementations must agree label-for-label on a
+    deterministic pseudo-random graph (120 nodes, 150 md5-derived
+    edges - mixes singletons, small clusters, and larger blobs)."""
+    import hashlib
+
+    from etl_pipeline_mini_project_01_spark.plans.curation import (
+        connected_components,
+    )
+
+    def h(i, salt):
+        return int(hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:8], 16)
+
+    pairs = [(h(i, "a") % 120 + 1, h(i, "b") % 120 + 1) for i in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    edges = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    star = {(r.doc_id, r.label)
+            for r in connected_components(edges, algorithm="star").collect()}
+    h2m = {(r.doc_id, r.label)
+           for r in connected_components(edges, max_rounds=150,
+                                         algorithm="hash_to_min").collect()}
+    assert star == h2m
+    assert len(star) == len({d for d, _ in star})  # one label per node
+
+
 def test_star_cc_multiple_components(spark):
     from etl_pipeline_mini_project_01_spark.plans.curation import (
         connected_components,

@@ -111,6 +111,27 @@ def test_incremental_retry_is_exactly_once(spark, tmp_path):
     assert total == 1000  # ...but replaced, not duplicated
 
 
+def test_vacuum_orphans_cleans_crashed_writer_scratch(spark, tmp_path):
+    import os
+
+    from etl_pipeline_mini_project_01_spark.pipeline import (
+        incremental_bronze_append,
+    )
+    from etl_pipeline_mini_project_01_spark.sources.io import vacuum_orphans
+
+    out = str(tmp_path / "vac")
+    incremental_bronze_append(spark, "/root/testdata/sf0.001", out, "r1")
+    # fake crashed-writer leftovers beside the table
+    os.makedirs(f"{out}/bronze/_incoming_deadbeef0000")
+    os.makedirs(f"{out}/bronze/events.__staging__")
+    os.makedirs(f"{out}/bronze/events.__old__")
+    removed = vacuum_orphans(f"{out}/bronze/events")
+    assert len(removed) == 3
+    assert not os.path.exists(f"{out}/bronze/_incoming_deadbeef0000")
+    # the live table is untouched
+    assert spark.read.parquet(f"{out}/bronze/events").count() == 1000
+
+
 def test_compaction_and_clustered_write(spark, tmp_path):
     """Small-files compaction restores a sane file count; clustered
     writes sort on the cluster key within files (row-group stats become
