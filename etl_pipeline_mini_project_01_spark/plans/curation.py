@@ -122,10 +122,21 @@ def _cc_star(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     as (hi, lo) pairs with hi > lo; at the fixed point it is a forest of
     stars whose centers are the component minima, so labels read off as
     (hi -> lo) plus self-labels for the roots."""
+    def _sig(df: DataFrame):
+        """(count, hash-sum) edge-set signature - one aggregate job.
+        The hash sum accumulates as DECIMAL(38,0): exact and
+        overflow-free under ANSI mode (a long SUM of 64-bit hashes
+        overflows)."""
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)"))
+            .alias("h")).first()
+
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     e = (edges.select(F.greatest("src", "dst").alias("hi"),
                       F.least("src", "dst").alias("lo"))
          .where(F.col("hi") != F.col("lo")).distinct().localCheckpoint())
+    prev_sig = _sig(e)
     for _ in range(max_rounds):
         # Large-star: per node u, attach every STRICTLY LARGER neighbor
         # to m = min(N(u) + {u}).
@@ -148,9 +159,16 @@ def _cc_star(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
                  .where(F.col("hi") != F.col("lo"))
                  .distinct()
                  .localCheckpoint())
-        if new_e.subtract(e).isEmpty() and e.subtract(new_e).isEmpty():
+        # Convergence probe, cheapest-first: a signature mismatch proves
+        # change in ONE aggregate job; only on signature equality (i.e.
+        # at/near the fixed point) pay for the exact set-equality
+        # subtracts - so the exact check runs ~once per query.
+        new_sig = _sig(new_e)
+        if new_sig == prev_sig and \
+                new_e.subtract(e).isEmpty() and e.subtract(new_e).isEmpty():
             e = new_e
             break
+        prev_sig = new_sig
         e = new_e
     else:
         raise RuntimeError(
