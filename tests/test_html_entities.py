@@ -66,6 +66,54 @@ def test_decimal_astral_entities_stay_untouched_in_jvm_chain(spark):
     assert {r["i"]: r["out"] for r in udf_got}[0] == html.unescape(cases[0])
 
 
+def test_jvm_chain_fuzz_matches_stdlib_on_bmp(spark):
+    """Seeded fuzz: 120 pseudo-random strings mixing named entities,
+    decimal/hex numerics across the BMP boundary, double-escapes, and
+    plain text. For inputs whose numeric entities are all BMP the chain
+    must equal html.unescape exactly; astral decimals must pass through
+    untouched while everything else around them still decodes."""
+    import hashlib
+    import re
+
+    names = [e for e, _ in NAMED_ENTITIES_FULL[:-1]]
+
+    def rnd(i, salt, n):
+        return int(hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:8],
+                   16) % n
+
+    cases = []
+    for i in range(120):
+        parts = []
+        for j in range(rnd(i, "len", 5) + 1):
+            kind = rnd(i * 31 + j, "kind", 5)
+            if kind == 0:
+                parts.append(names[rnd(i * 7 + j, "name", len(names))])
+            elif kind == 1:
+                parts.append(f"&#{rnd(i * 13 + j, 'dec', 65536) + 33};")
+            elif kind == 2:
+                parts.append(f"&#x{rnd(i * 17 + j, 'hex', 0xFFD0) + 33:x};")
+            elif kind == 3:
+                parts.append(f"&#{rnd(i * 19 + j, 'astral', 34464) + 65536};")
+            else:
+                parts.append(f"w{rnd(i * 23 + j, 'txt', 100)}")
+        cases.append(" ".join(parts))
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)],
+                               ["i", "t"])
+    got = {r["i"]: r["out"] for r in
+           df.select("i", unescape_entities("t").alias("out")).collect()}
+    astral_re = re.compile(r"&#(\d{5,});")
+    for i, s in enumerate(cases):
+        has_astral = any(int(m) > 0xFFFF for m in astral_re.findall(s))
+        if not has_astral:
+            assert got[i] == html.unescape(s), (s, got[i])
+        else:
+            # astral decimals survive verbatim; the rest still decodes
+            for m in astral_re.findall(s):
+                if int(m) > 0xFFFF:
+                    assert f"&#{m};" in got[i], (s, got[i])
+
+
 def test_pandas_udf_escape_hatch_covers_astral_and_exotic(spark):
     exotic = ["&#x1F600; grin", "&clubs; &hearts;", "&amp;#39;", None]
     df = spark.createDataFrame([(i, s) for i, s in enumerate(exotic)],
