@@ -49,6 +49,21 @@ def _candidates(spark, k, rows_per_band):
     return {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
 
 
+def test_short_docs_emit_no_shingles_and_never_pair(spark):
+    """ADVICE r2: docs with <3 tokens must produce ZERO LSH signatures
+    (the unguarded descending F.sequence collapsed them all onto one
+    shared '' shingle, pairing every short doc quadratically)."""
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "totally different text here"),
+         (4, "totally different text here"), (5, "")],
+        "doc_id long, text string")
+    buckets = lsh_buckets(df)
+    assert buckets.where(F.col("doc_id").isin(1, 2, 5)).isEmpty()
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in lsh_candidates(buckets).collect()}
+    assert pairs == {(3, 4)}  # identical long docs pair; short docs never
+
+
 def test_coeffs_deterministic_and_extensible():
     assert minhash_coeffs(8) == minhash_coeffs(8)
     assert minhash_coeffs(16)[:8] == minhash_coeffs(8)
