@@ -81,6 +81,27 @@ def test_sentiment_threshold_semantics(spark):
     assert out[4] == ("Neutral", 0.5)
 
 
+def test_sentiment_distribution_equals_aggregated_udf(spark):
+    """Coherence: u2_sentiment_distribution (pure column expressions)
+    must equal the per-row pandas_udf surface aggregated - proving the
+    two inference surfaces implement one lexicon."""
+    from etl_pipeline_mini_project_01_spark.plans.registry import (
+        QUERIES,
+        load_all_plans,
+    )
+    load_all_plans()
+    sf = "/root/testdata/sf0.001"
+    from_udf = {
+        (r.sentiment_value, r.n)
+        for r in QUERIES["u2_sentiment_inference"](spark, sf)
+        .groupBy("sentiment_value").agg(F.count(F.lit(1)).alias("n"))
+        .collect()}
+    from_sql = {(r.sentiment_value, r.n)
+                for r in QUERIES["u2_sentiment_distribution"](spark, sf)
+                .collect()}
+    assert from_udf == from_sql
+
+
 def test_approx_distinct_within_tolerance(spark):
     from etl_pipeline_mini_project_01_spark.plans.registry import (
         QUERIES,
