@@ -186,6 +186,88 @@ _BUCKET_SQL = f"""list_reduce(
                (a, b) -> a + b)"""
 
 
+# ---------------------------------------------------------------------------
+# Multi-table random-hyperplane LSH - the RECALL path for ANN.
+#
+# A single K-bit signature match has P = (1 - theta/pi)^K per neighbor:
+# for the harness embeddings (planted near-dups at cosine ~0.4, theta ~66
+# degrees, bit-agreement p ~0.63) that is ~2.5% at K=8 - near-zero recall,
+# as for any single-table scheme on weakly-clustered data. The standard
+# fix (Indyk-Motwani) is L independent tables of K bits each: candidate
+# iff ANY table matches, P = 1-(1-p^K)^L. Measured on the harness data
+# (tests/test_sim_quality.py): K=4, L=8 gives ~0.7 recall@5 scanning
+# ~40% of the corpus; K=6, L=12 ~0.46 recall at ~19% scanned.
+#
+# Scale shape: signatures are L extra bigint columns computed in one
+# map-side pass (K*L sequential-fold dot products per row); candidates
+# form via L equi-joins on (table, signature) unioned before dedup - the
+# same shuffle-partitionable bucket-join shape as MinHash LSH, linear in
+# corpus size. Hyperplane coefficients are md5-derived literals, so the
+# whole scheme is deterministic across engines, retries, and SFs.
+# ---------------------------------------------------------------------------
+
+def _hyperplane_coeff(table: int, bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1]^dim."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"hp|{table}|{bit}|{j}".encode())
+                .hexdigest()[:8], 16)
+        out.append((h / 0x7FFFFFFF) - 1.0)
+    return out
+
+
+def multitable_signatures(emb: DataFrame, k_bits: int = 4,
+                          n_tables: int = 8, dim: int = 64) -> DataFrame:
+    """Add sig_0..sig_{L-1} bigint signature columns (one per table):
+    bit k of sig_t = sign of the dot product with hyperplane (t, k)."""
+    sig_cols = []
+    for t in range(n_tables):
+        acc = F.lit(0).cast("bigint")
+        for k in range(k_bits):
+            coeffs = F.array(*[F.lit(v) for v in
+                               _hyperplane_coeff(t, k, dim)])
+            acc = acc + F.when(_dot(F.col("embedding"), coeffs) >= 0,
+                               F.lit(1 << k).cast("bigint")).otherwise(
+                                   F.lit(0).cast("bigint"))
+        sig_cols.append(acc.alias(f"sig_{t}"))
+    return emb.select("vec_id", "label", "embedding", *sig_cols)
+
+
+def ann_multitable_topk(emb: DataFrame, n_queries: int = N_QUERIES,
+                        top_k: int = 5, k_bits: int = 4,
+                        n_tables: int = 8) -> DataFrame:
+    """ANN top-k via multi-table LSH: candidates = vectors matching the
+    query in ANY table (L unioned equi-joins, deduped), scored with the
+    exact cosine, per-query window top-k. Same output shape as
+    sim_ivf_probe_topk; recall/scan tradeoff measured in
+    tests/test_sim_quality.py."""
+    sigs = multitable_signatures(emb, k_bits, n_tables)
+    q = F.broadcast(
+        sigs.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+                *[F.col(f"sig_{t}").alias(f"qsig_{t}")
+                  for t in range(n_tables)]))
+    cands = None
+    for t in range(n_tables):
+        ct = (q.join(sigs, (F.col(f"qsig_{t}") == F.col(f"sig_{t}"))
+                     & (F.col("query_id") != F.col("vec_id")))
+              .select("query_id", "qv", "vec_id", "label", "embedding"))
+        cands = ct if cands is None else cands.union(ct)
+    cands = cands.dropDuplicates(["query_id", "vec_id"])
+    scored = cands.select(
+        "query_id", "vec_id", "label",
+        (_dot(F.col("qv"), F.col("embedding"))
+         / (F.sqrt(_norm2(F.col("qv")))
+            * F.sqrt(_norm2(F.col("embedding"))))).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .orderBy("query_id", "rank"))
+
+
 @register(
     "sim_ivf_probe_topk",
     oracle=f"""
