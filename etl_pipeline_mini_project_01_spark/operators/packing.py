@@ -1,0 +1,61 @@
+"""Token-budget shard packing (sequence packing's corpus-level cousin):
+assign documents, in a deterministic key order, to consecutive training
+shards of ~budget tokens each.
+
+The naive formulation is a GLOBAL running sum - `Window.orderBy(key)`
+with no partition key - which Spark executes on a SINGLE partition: the
+classic scale killer (SURVEY §4.4). This operator computes the same
+prefix sum the distributed way:
+
+  1. range-partition by the key (P partitions, each sorted);
+  2. per-partition running sums via a window PARTITIONED by
+     spark_partition_id() - parallel, no global exchange;
+  3. per-partition totals (P rows - control-plane small) become
+     per-partition offsets via a cumulative sum over the tiny totals
+     relation, broadcast back;
+  4. global_prefix = partition_offset + local_running_sum.
+
+Shard semantics: shard id = floor(prefix_before_doc / budget) - a doc
+that crosses a shard boundary lands in the earlier shard, so shards can
+exceed the budget by at most one document (the standard best-effort
+packing contract; exact bin packing is inherently sequential). The
+assignment is deterministic in (key order, token counts) and INDEPENDENT
+of the partition count - asserted in tests/test_packing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_into_shards(df: DataFrame, budget: int, key_col: str = "doc_id",
+                     token_col: str = "n_tokens",
+                     num_partitions: int = 8) -> DataFrame:
+    """Returns df's (key_col, token_col) plus `shard` (dense from 0) and
+    `prefix_tokens` (tokens before this doc in key order)."""
+    base = (df.select(key_col, token_col)
+            .repartitionByRange(num_partitions, F.col(key_col)))
+    with_pid = base.withColumn("_pid", F.spark_partition_id())
+    w_local = (Window.partitionBy("_pid").orderBy(key_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = with_pid.withColumn("_local_sum",
+                                F.sum(token_col).over(w_local))
+    # P-row totals relation: cumulative offsets over partition ids.
+    totals = (local.groupBy("_pid")
+              .agg(F.max("_local_sum").alias("_ptotal")))
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_ptotal").over(w_off), F.lit(0)))
+    # The single-partition window above runs over P rows (the number of
+    # partitions), never over the data - that is the whole trick.
+    packed = (local.join(F.broadcast(offsets.select("_pid", "_offset")),
+                         "_pid")
+              .withColumn("prefix_tokens",
+                          (F.col("_offset") + F.col("_local_sum")
+                           - F.col(token_col)).cast("bigint"))
+              .withColumn("shard",
+                          F.floor(F.col("prefix_tokens") / budget)
+                          .cast("bigint")))
+    return packed.select(key_col, token_col, "prefix_tokens", "shard")
