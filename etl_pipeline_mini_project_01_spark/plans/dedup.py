@@ -170,11 +170,6 @@ def lsh_buckets(docs: DataFrame, k: int = MINHASH_K,
             )).alias("shingle"))
         .distinct()
     )
-    coeffs = F.array(*[
-        F.struct(F.lit(i).alias("seed"),
-                 F.lit(a).cast("bigint").alias("a"),
-                 F.lit(b).cast("bigint").alias("b"))
-        for i, (a, b) in enumerate(minhash_coeffs(k))])
     if hash_fn == "xxhash64":
         base = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
     elif hash_fn == "md5_32":
@@ -183,20 +178,29 @@ def lsh_buckets(docs: DataFrame, k: int = MINHASH_K,
         raise ValueError(f"unknown hash_fn: {hash_fn}")
     hashed = shingles.select(
         "doc_id", base.cast("bigint").alias("h"))
-    sigs = (
-        hashed
-        .select("doc_id", "h", F.explode(coeffs).alias("hf"))
-        .groupBy("doc_id", F.col("hf.seed").alias("seed"))
-        .agg(F.min((F.col("hf.a") * F.col("h") + F.col("hf.b")) % MERSENNE_P)
-             .alias("sig"))
-    )
-    return (
-        sigs.withColumn("band", F.expr(f"seed div {rows_per_band}"))
-        .groupBy("doc_id", "band")
-        .agg(F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("seed", "sig"))),
-                        lambda x: x["sig"].cast("string")), "|").alias("bucket"))
-    )
+    # K independent MIN aggregates in ONE groupBy(doc_id): the shuffle
+    # carries only the shingle rows (with map-side partial mins), not the
+    # K-times-exploded (doc, seed) relation a coeff-explode would push
+    # through the exchange - same signatures, 1/K the shuffled rows.
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"_s{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(k))]
+    sigs = hashed.groupBy("doc_id").agg(*mins)
+    # Bands assemble from the K signature columns row-locally (no second
+    # aggregation); seeds stay in ascending order inside each bucket string,
+    # and a ragged final band (k % rows_per_band != 0) keeps its short tail.
+    n_bands = -(-k // rows_per_band)
+    bands = F.array(*[
+        F.struct(
+            F.lit(bd).cast("int").alias("band"),
+            F.concat_ws("|", *[
+                F.col(f"_s{i}").cast("string")
+                for i in range(bd * rows_per_band,
+                               min(k, (bd + 1) * rows_per_band))]).alias("bucket"))
+        for bd in range(n_bands)])
+    return (sigs.select("doc_id", F.explode(bands).alias("bb"))
+            .select("doc_id", F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
 
 
 def lsh_candidates(buckets: DataFrame) -> DataFrame:

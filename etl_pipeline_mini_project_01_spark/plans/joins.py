@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .parity import dsum, sql_dsum
+from .parity import DEC, sql_dsum
 from .registry import register
 
 #: J3 fixture: score-band dimension (reference dim_sentiment's
@@ -62,28 +62,43 @@ ORDER BY region_name, nation_name
 )
 def j7_star_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: 5-way star join (fact -> orders -> customer -> nation -> region,
-    the gold-view join shape). customer/nation/region broadcast; the only
-    shuffle is lineitem-orders plus the final aggregation."""
+    the gold-view join shape). customer/nation/region broadcast.
+
+    Two-level aggregation: lineitem first collapses to ORDER granularity
+    (groupBy l_orderkey with map-side partial combine - the same orderkey
+    shuffle the join would need anyway, but ~4x fewer rows come out of the
+    exchange), then the dims join at order grain. That also turns
+    COUNT(DISTINCT o_orderkey) into a plain COUNT(*) (each row IS one
+    order), so the final agg carries ONE distinct (c_custkey) instead of
+    two - Expand replicates x2 over ~N/4 rows instead of x3 over N.
+    Decimal partial sums keep revenue/qty order-insensitive and exactly
+    equal to the single-pass formulation."""
     li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                        "o_custkey")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer")
+                       .select("c_custkey", "c_nationkey"))
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     revenue = (F.col("l_extendedprice").cast("decimal(18,2)")
                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("_lines"),
+                      F.sum(revenue).alias("_rev"),
+                      F.sum(F.col("l_quantity").cast(DEC)).alias("_qty")))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"),
                  F.col("n_name").alias("nation_name"))
         .agg(
-            F.count(F.lit(1)).alias("line_count"),
-            F.countDistinct("o_orderkey").alias("order_count"),
+            F.sum("_lines").alias("line_count"),
+            F.count(F.lit(1)).alias("order_count"),
             F.countDistinct("c_custkey").alias("customer_count"),
-            F.sum(revenue).cast("double").alias("revenue"),
-            dsum("l_quantity", "total_qty"),
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.sum("_qty").cast("double").alias("total_qty"),
         )
         .orderBy("region_name", "nation_name")
     )
