@@ -278,20 +278,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = toks.select(
         "doc_id",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h"))
-    bits = hashed.select(
-        "doc_id", "h",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"))
-    bit_sums = (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum(F.when(F.expr("(h >> bit) & 1 = 1"), 1).otherwise(-1))
-             .alias("s")))
-    return (
-        bit_sums.groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("s") > 0,
-                          F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-                   .otherwise(F.lit(0))).alias("simhash"))
-        .orderBy("doc_id")
-    )
+    # 32 per-bit +/-1 vote SUMs in ONE groupBy(doc_id): the shuffle moves
+    # the (doc, token-hash) rows with map-side partial sums, not the
+    # 32-times-exploded (doc, bit) relation; the sign->bit assembly is
+    # then row-local arithmetic. Same fingerprints, 1/32 the shuffled rows.
+    votes = [
+        F.sum(F.when(F.expr(f"(h >> {bit}) & 1 = 1"), 1).otherwise(-1))
+        .alias(f"_v{bit}") for bit in range(32)]
+    bit_sums = hashed.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for bit in range(32):
+        term = F.when(F.col(f"_v{bit}") > 0,
+                      F.lit(1 << bit).cast("bigint")).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return (bit_sums.select("doc_id", fingerprint.alias("simhash"))
+            .orderBy("doc_id"))
 
 
 _JACCARD_ORACLE = f"""
