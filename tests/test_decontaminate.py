@@ -1,0 +1,105 @@
+"""Decontamination contract: planted benchmark overlap is detected
+exactly (the flagged set IS the planted set), clean docs survive with
+all columns, short docs are vacuously clean, and the report covers
+every input row."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from etl_pipeline_mini_project_01_spark.catalog import load_table
+from etl_pipeline_mini_project_01_spark.operators.decontaminate import (
+    contamination_scores,
+    decontaminate,
+)
+
+N = 5  # small n so the sf0.001 fixture docs carry plenty of n-grams
+
+
+def _fixture(spark):
+    """(docs, benchmark, planted): benchmark built from verbatim windows
+    of every 7th fixture doc - those docs are contaminated by
+    construction, everything else should come back clean."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.filter(F.split(F.lower("text"), r"\s+"),
+                           lambda t: t != "").alias("w"))
+    planted_rows = (toks.filter((F.crc32(F.col("doc_id").cast("string")) % 7
+                                 == 0) & (F.size("w") >= N))
+                    .select("doc_id",
+                            F.array_join(F.slice("w", 1, N + 2), " ")
+                            .alias("text")))
+    planted = {r.doc_id for r in planted_rows.select("doc_id").collect()}
+    benchmark = planted_rows.select("text")
+    return docs, benchmark, planted
+
+
+def _py_ngrams(text: str, n: int) -> set[str]:
+    w = [t for t in text.lower().split() if t]
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_planted_contamination_matches_python_ground_truth(spark):
+    """Exact oracle: recompute per-doc overlap counts in pure Python.
+    The corpus carries planted near-duplicates, so benchmark windows
+    legitimately hit sibling docs too - ground truth, not the planted
+    id set, is the comparison."""
+    docs, benchmark, planted = _fixture(spark)
+    assert len(planted) >= 3, "fixture should plant several docs"
+    bench_grams = set()
+    for r in benchmark.collect():
+        bench_grams |= _py_ngrams(r.text, N)
+    truth = {}
+    for r in docs.collect():
+        grams = _py_ngrams(r.text, N)
+        truth[r.doc_id] = (len(grams), len(grams & bench_grams))
+    scores = contamination_scores(docs, benchmark, n=N).collect()
+    got = {r.doc_id: (r.doc_ngrams, r.hit_ngrams) for r in scores}
+    assert got == truth
+    flagged = {d for d, (_, h) in got.items() if h > 0}
+    assert planted <= flagged
+    for r in scores:
+        if r.hit_ngrams:
+            assert 0 < r.contamination <= 1.0
+
+
+def test_report_covers_every_doc(spark):
+    docs, benchmark, _ = _fixture(spark)
+    assert contamination_scores(docs, benchmark, n=N).count() == docs.count()
+
+
+def test_decontaminate_removes_flagged_keeps_rest(spark):
+    docs, benchmark, planted = _fixture(spark)
+    flagged = {r.doc_id
+               for r in contamination_scores(docs, benchmark, n=N).collect()
+               if r.hit_ngrams > 0}
+    assert planted <= flagged
+    kept = decontaminate(docs, benchmark, n=N)
+    assert kept.columns == docs.columns
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept_ids == all_ids - flagged
+
+
+def test_short_docs_vacuously_clean(spark):
+    docs = spark.createDataFrame(
+        [("s1", "too short"), ("s2", "")],
+        "doc_id string, text string")
+    benchmark = spark.createDataFrame([("too short indeed it is",)],
+                                      ["text"])
+    rows = {r.doc_id: r
+            for r in contamination_scores(docs, benchmark, n=N).collect()}
+    assert rows["s1"].doc_ngrams == 0 and rows["s1"].hit_ngrams == 0
+    assert rows["s1"].contamination == 0.0
+    assert rows["s2"].hit_ngrams == 0
+    assert decontaminate(docs, benchmark, n=N).count() == 2
+
+
+def test_no_forced_broadcast_and_no_cartesian(spark):
+    docs, benchmark, _ = _fixture(spark)
+    plan = (contamination_scores(docs, benchmark, n=N)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
