@@ -166,3 +166,42 @@ def test_pii_redaction_is_codegen_scan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_minhash_signatures_single_aggregate_no_seed_explode(spark):
+    """Round-3 rework: the K minhash variants must be K parallel MIN
+    expressions in ONE groupBy(doc_id) - a (doc, seed) explode would push
+    K times the shingle rows through the exchange. Detectable in the
+    plan: exactly one aggregate keyed on doc_id alone, none keyed on
+    (doc_id, seed), and no generator stage after the shingle explode."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "seed" not in plan
+    # both the partial and final HashAggregate key on doc_id only
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert agg_lines
+    assert all("band" not in ln for ln in agg_lines)
+
+
+def test_simhash_single_aggregate_no_bit_explode(spark):
+    """SimHash's 32 bit votes are 32 SUM expressions in one groupBy -
+    no (doc, bit) explode (x32 shuffle) and no second aggregation."""
+    plan = _plan(spark, "dedup_simhash")
+    assert "posexplode" not in plan
+    generates = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    # exactly one explode: the tokenizer; no bit-sequence explode
+    assert len(generates) == 1, generates
+
+
+def test_j7_preaggregates_fact_to_order_grain(spark):
+    """Round-3 rework: lineitem collapses to order grain BEFORE the dim
+    joins (map-side combine on the same orderkey shuffle the join
+    needs), and only ONE distinct (c_custkey) survives to the final
+    aggregate - so Expand replicates x2, never x3."""
+    plan = _plan(spark, "j7_star_join_region_revenue")
+    # with a single distinct, Catalyst plans two-phase distinct
+    # aggregation with NO Expand at all (two distincts forced a x3
+    # Expand over the full join output)
+    assert "Expand" not in plan
+    # pre-aggregation keyed on l_orderkey exists
+    assert any("HashAggregate" in ln and "l_orderkey" in ln
+               for ln in plan.splitlines())
