@@ -303,6 +303,41 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_safe_split(docs: DataFrame, labels: DataFrame,
+                       train_pct: int = 80, val_pct: int = 10,
+                       salt: str = "csplit|") -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split hash keys on the
+    near-dup CLUSTER id, not the doc id, so every member of a duplicate
+    cluster lands in the SAME split. Hashing doc ids (as the plain
+    split_train_val_test does) lets near-identical documents straddle
+    train and test - the classic eval-contamination path that survives
+    keeper-only dedup whenever keeper selection and splitting disagree.
+
+    `labels` is any (doc_id, cluster_id) relation - typically
+    :func:`connected_components` output or the dedup_clusters query;
+    unlabeled docs (left-join miss) fall back to their own id, matching
+    dedup_clusters' singleton semantics. Same md5-threshold determinism
+    contract as split_train_val_test (stable across runs, engines,
+    partitionings); the only data movement is the doc_id equi-join
+    against the labels relation.
+    """
+    if not 0 < train_pct + val_pct < 100:
+        raise ValueError("need 0 < train_pct + val_pct < 100")
+    joined = (docs.select("doc_id")
+              .join(labels.select("doc_id", "cluster_id"), "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("cluster_id", F.col("doc_id"))
+                      .alias("cluster_id")))
+    bucket = F.pmod(
+        md5_32(F.concat(F.lit(salt), F.col("cluster_id").cast("string"))),
+        F.lit(100))
+    return joined.select(
+        "doc_id", "cluster_id", bucket.alias("bucket"),
+        F.when(bucket < train_pct, "train")
+         .when(bucket < train_pct + val_pct, "val")
+         .otherwise("test").alias("split"))
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF salient terms
 # ---------------------------------------------------------------------------
