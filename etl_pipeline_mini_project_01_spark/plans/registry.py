@@ -59,10 +59,12 @@ _PLAN_MODULES = (
 #: then (b) the oldest round-1-green carries, rotated back in so no
 #: query's driver row goes stale beyond 2 rounds
 #: (tests/test_entry.py::test_no_query_staler_than_two_rounds enforces
-#: this against the CORRECTNESS_r*.json history). The 13 round-1 carries
+#: this against the CORRECTNESS_r*.json history). The 14 round-1 carries
 #: that do not fit (f2/f4 json twins, a1/a2/a3 scalar aggs, o1/o2 sorts,
-#: p2/p_clean_documents, f9/f11 date ops, f12 ratio, a8 profile) plus
-#: the unchanged round-2 greens rotate in next round.
+#: p2/p_clean_documents, f9/f11 date ops, f12 ratio, a8 profile,
+#: f1_html_clean - evicted late in round 3 for the code-changed
+#: dedup_simhash, whose r2 row stopped vouching after the wide-agg
+#: rework) plus the unchanged round-2 greens rotate in next round.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- fixed / changed this round (need fresh green) -------------------
     "mm_decode_features",             # r2's only err row: scalar bins + oracle
@@ -70,9 +72,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "stream_stateful_running_totals",  # new oracle, decimal-scaled state
     "a11_approx_distinct",            # new within-2pct verdict surface
     "f1_html_entities",               # astral decimal-entity guard
-    "dedup_minhash_lsh",              # short-doc shingle guard
+    "dedup_minhash_lsh",              # short-doc shingle guard + wide-agg rework
     "dedup_ngram_jaccard",            # shingle guard + broadcast hint dropped
     "dedup_editdistance_pairs",       # shingle guard + broadcast hint dropped
+    "dedup_simhash",                  # wide-agg rework (32 vote sums, no explode)
     "dedup_clusters",                 # large-star/small-star components
     "stream_file_sink_counts",        # per-run scratch isolation
     # -- never driver-checked / new this round ---------------------------
@@ -99,7 +102,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "a6_dedup_latest_version", "a7_dedup_keep_first",
     "a12_daily_modal_event_type", "a14_table_stats",
     "p_clean_events",
-    "p6_normalized_documents", "f1_html_clean", "f5_json_roundtrip",
+    "p6_normalized_documents", "f5_json_roundtrip",
     "x1_token_frequencies", "q1_pricing_summary",
     "dedup_exact", "sim_cosine_topk",
 )
