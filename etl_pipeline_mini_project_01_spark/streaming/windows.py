@@ -155,3 +155,45 @@ def sliding_value_avg(spark: SparkSession, sf_dir: str,
         F.col("win.start").alias("window_start"),
         F.col("win.end").alias("window_end"),
         "n", "avg_value")
+
+
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str,
+                                left_type: str = "view",
+                                right_type: str = "purchase",
+                                within: str = "30 minutes",
+                                watermark: str = "1 hour") -> DataFrame:
+    """Stream-STREAM inner join: attribute each `right_type` event to the
+    same user's `left_type` events in the preceding `within` interval
+    (the view->purchase attribution shape). Both sides are independent
+    readStream sources over the same bounded input.
+
+    The state contract that makes this 100 TB-safe: both sides carry a
+    watermark AND the join condition bounds event time in both
+    directions, so the state store retains only `within`+`watermark` of
+    each side per user - without the time bounds, stream-stream join
+    state grows forever. State is partitioned by the equi-key (user_id);
+    inner-join matches emit as they are found, so availableNow over
+    bounded input yields exactly the batch interval-join result (the
+    pytest twin in tests/test_streaming.py::test_stream_stream_join).
+    """
+    left = (read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == left_type)
+            .select(F.col("event_id").alias("left_id"),
+                    F.col("user_id").alias("left_user"),
+                    F.col("ts").alias("left_ts"),
+                    F.col("value").alias("left_value"))
+            .withWatermark("left_ts", watermark))
+    right = (read_events_stream(spark, sf_dir)
+             .filter(F.col("event_type") == right_type)
+             .select(F.col("event_id").alias("right_id"),
+                     F.col("user_id").alias("right_user"),
+                     F.col("ts").alias("right_ts"),
+                     F.col("value").alias("right_value"))
+             .withWatermark("right_ts", watermark))
+    return left.join(
+        right,
+        (F.col("left_user") == F.col("right_user"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(
+            f"INTERVAL {within}")),
+        "inner")

@@ -22,3 +22,35 @@ def test_stateful_running_totals_match_batch(spark):
                        .agg(F.count(F.lit(1)).alias("n"),
                             F.sum("value").alias("tv"))).collect()}
     assert streamed == batch
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark):
+    """Stream-stream inner join with two-sided time bounds: on bounded
+    availableNow input, the emitted matches must equal the batch
+    interval join exactly (same keys, same bounds)."""
+    from etl_pipeline_mini_project_01_spark.streaming.windows import (
+        run_to_completion,
+        stream_stream_interval_join,
+    )
+
+    joined = stream_stream_interval_join(spark, SF_DIR)
+    got = {(r.left_id, r.right_id)
+           for r in run_to_completion(joined, output_mode="append").collect()}
+
+    ev = load_table(spark, SF_DIR, "events")
+    left = (ev.filter(F.col("event_type") == "view")
+            .select(F.col("event_id").alias("left_id"),
+                    F.col("user_id").alias("left_user"),
+                    F.col("ts").alias("left_ts")))
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("right_id"),
+                     F.col("user_id").alias("right_user"),
+                     F.col("ts").alias("right_ts")))
+    want = {(r.left_id, r.right_id) for r in left.join(
+        right,
+        (F.col("left_user") == F.col("right_user"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts")
+           + F.expr("INTERVAL 30 minutes"))).collect()}
+    assert got, "fixture should produce view->purchase attributions"
+    assert got == want
