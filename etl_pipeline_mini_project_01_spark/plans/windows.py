@@ -35,19 +35,28 @@ _VERSIONS_SQL = """
 
 
 def _versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE scan of the fact, not a self-union (which plans two FileScans
+    # - 2x the read at 100 TB): each row emits its run_1 version plus,
+    # for every third event, the revised run_2 version, via a row-local
+    # array explode. Same rows as the UNION ALL oracle twin.
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value")
-    v1 = events.withColumns({
-        "ingestion_ts": F.col("ts"),
-        "pipeline_run_id": F.lit("run_1"),
-    })
-    v2 = (events.filter(F.col("event_id") % 3 == 0)
-          .withColumns({
-              "value": F.col("value") * 1.1,
-              "ingestion_ts": F.col("ts") + F.expr("INTERVAL 1 HOUR"),
-              "pipeline_run_id": F.lit("run_2"),
-          }))
-    return v1.unionByName(v2)
+    v1 = F.struct(F.col("value").alias("value"),
+                  F.col("ts").alias("ingestion_ts"),
+                  F.lit("run_1").alias("pipeline_run_id"))
+    v2 = F.struct((F.col("value") * 1.1).alias("value"),
+                  (F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+                  .alias("ingestion_ts"),
+                  F.lit("run_2").alias("pipeline_run_id"))
+    versions = F.when(F.col("event_id") % 3 == 0, F.array(v1, v2)) \
+                .otherwise(F.array(v1))
+    return (events
+            .select("event_id", "ts", "user_id", "event_type",
+                    F.explode(versions).alias("_v"))
+            .select("event_id", "ts", "user_id", "event_type",
+                    F.col("_v.value").alias("value"),
+                    F.col("_v.ingestion_ts").alias("ingestion_ts"),
+                    F.col("_v.pipeline_run_id").alias("pipeline_run_id")))
 
 
 @register(
