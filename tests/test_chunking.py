@@ -87,3 +87,33 @@ def test_plan_is_shuffle_free(spark):
     plan = (chunk_documents(docs, CHUNK, OVERLAP)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_boundary_lengths_match_python_model(spark):
+    """Every boundary length around the stride/chunk arithmetic, checked
+    against a direct Python model of the contract in one Spark job."""
+    chunk, overlap = 10, 3
+    stride = chunk - overlap
+    lengths = sorted({0, 1, 2, overlap, overlap + 1, stride, stride + 1,
+                      chunk - 1, chunk, chunk + 1, chunk + stride,
+                      chunk + stride + 1, 2 * chunk, 5 * chunk + 1})
+    docs = [(f"len{n}", " ".join(f"t{i}" for i in range(n)))
+            for n in lengths]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got: dict[str, list] = {}
+    for r in chunk_documents(df, chunk, overlap).collect():
+        got.setdefault(r.doc_id, []).append(r)
+
+    for doc_id, text in docs:
+        toks = text.split() if text else []
+        # python model: starts advance by stride while new tokens remain
+        starts, s = [], 0
+        while s == 0 or s < len(toks) - overlap:
+            if s == 0 and not toks:
+                break
+            starts.append(s)
+            s += stride
+        want = [toks[s:s + chunk] for s in starts]
+        chunks = sorted(got.get(doc_id, []), key=lambda r: r.chunk_id)
+        assert [c.chunk_text.split(" ") if c.chunk_text else []
+                for c in chunks] == want, f"mismatch at {doc_id}"
