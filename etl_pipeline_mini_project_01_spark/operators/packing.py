@@ -31,10 +31,13 @@ from pyspark.sql import functions as F
 
 def pack_into_shards(df: DataFrame, budget: int, key_col: str = "doc_id",
                      token_col: str = "n_tokens",
-                     num_partitions: int = 8) -> DataFrame:
-    """Returns df's (key_col, token_col) plus `shard` (dense from 0) and
-    `prefix_tokens` (tokens before this doc in key order)."""
-    base = (df.select(key_col, token_col)
+                     num_partitions: int = 8,
+                     carry_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Returns df's (key_col, token_col[, *carry_cols]) plus `shard`
+    (dense from 0) and `prefix_tokens` (tokens before this doc in key
+    order). `carry_cols` ride along untouched (they play no part in the
+    ordering or the sums)."""
+    base = (df.select(key_col, token_col, *carry_cols)
             .repartitionByRange(num_partitions, F.col(key_col)))
     with_pid = base.withColumn("_pid", F.spark_partition_id())
     w_local = (Window.partitionBy("_pid").orderBy(key_col)
@@ -58,4 +61,5 @@ def pack_into_shards(df: DataFrame, budget: int, key_col: str = "doc_id",
               .withColumn("shard",
                           F.floor(F.col("prefix_tokens") / budget)
                           .cast("bigint")))
-    return packed.select(key_col, token_col, "prefix_tokens", "shard")
+    return packed.select(key_col, token_col, *carry_cols,
+                         "prefix_tokens", "shard")
