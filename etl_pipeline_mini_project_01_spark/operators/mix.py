@@ -95,3 +95,51 @@ def assemble_training_shards(docs: DataFrame,
         packed = packed.unionByName(p)
     return packed.select("doc_id", "cluster_id", "split", "n_tokens",
                          "order_key", "prefix_tokens", "shard")
+
+
+def temperature_mix_rates(docs: DataFrame, scale: int = 10_000,
+                          domain_col: str = "source") -> DataFrame:
+    """(domain, n_docs, keep_per_scale): per-domain acceptance thresholds
+    realizing sqrt-temperature (alpha = 0.5) mixing by DOWNSAMPLING only -
+    the Pile/LLaMA-style rebalance where target mass per domain goes as
+    n^alpha, flattening the head without upsampling the tail.
+
+    keep rate r_s = sqrt(min_n / n_s): proportional to n^(alpha-1),
+    normalized so the rarest domain keeps 100%. alpha is pinned at 0.5
+    on purpose - sqrt and division are correctly-rounded IEEE ops in
+    every engine, so the emitted integer thresholds are reproducible
+    cross-engine (general pow() is libm-dependent and is not).
+
+    Scale shape: one tiny per-domain count aggregate; the min is a 1-row
+    broadcast (scalar-subquery idiom, same as tfidf's n_docs) - nothing
+    driver-side, nothing proportional to the corpus.
+    """
+    counts = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    min_n = counts.agg(F.min("n_docs").alias("min_n"))
+    return (counts.crossJoin(F.broadcast(min_n))
+            .select(
+                "domain", "n_docs",
+                F.floor(F.lit(float(scale))
+                        * F.sqrt(F.col("min_n") / F.col("n_docs")))
+                .cast("bigint").alias("keep_per_scale")))
+
+
+def temperature_sample(docs: DataFrame, scale: int = 10_000,
+                       domain_col: str = "source",
+                       salt: str = "tmix|") -> DataFrame:
+    """Documents surviving the sqrt-temperature mix: doc kept iff its
+    salted md5 bucket (0..scale-1) falls under its domain's threshold.
+    Deterministic across runs/engines/partitionings (hash-keyed, no RNG
+    state - same contract as split/sample in plans/curation.py); the
+    rates relation is domain-cardinality-sized, so the join broadcasts."""
+    from ..plans.curation import md5_32
+
+    rates = temperature_mix_rates(docs, scale, domain_col)
+    bucket = F.pmod(
+        md5_32(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+        F.lit(scale))
+    return (docs.join(F.broadcast(rates),
+                      docs[domain_col] == rates.domain)
+            .where(bucket < F.col("keep_per_scale"))
+            .select(*docs.columns))

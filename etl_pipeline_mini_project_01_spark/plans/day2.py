@@ -10,7 +10,10 @@ states the same invariants from the input alone:
   * an unchanged-input re-run appends ZERO (watermark bookkeeping);
   * compaction to 1 file per partition leaves one file per distinct day
     and loses no rows;
-  * a sort-within-partitions clustered rewrite loses no rows.
+  * a sort-within-partitions clustered rewrite loses no rows;
+  * orphan vacuum removes exactly the planted crashed-writer scratch
+    (one `_incoming_*` staging dir + one interrupted-swap `.__old__`)
+    and the table's rows survive untouched.
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (plan-module idiom)
 
 from ..pipeline import incremental_bronze_append
-from ..sources.io import compact_table, write_table_clustered
+from ..sources.io import compact_table, vacuum_orphans, write_table_clustered
 from .registry import register
 
 _DAY2_ORACLE = """
@@ -38,7 +41,9 @@ FROM n, d, LATERAL (VALUES
     ('3_table_rows', n.c),
     ('4_files_after_compact', d.days),
     ('5_rows_after_compact', n.c),
-    ('6_rows_after_clustered', n.c)) s(step, value)
+    ('6_rows_after_clustered', n.c),
+    ('7_orphans_removed', CAST(2 AS BIGINT)),
+    ('8_rows_after_vacuum', n.c)) s(step, value)
 ORDER BY s.step
 """
 
@@ -68,6 +73,14 @@ def day2_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_clustered = spark.read.parquet(
         os.path.join(out, "bronze", "events_clustered")).count()
 
+    # Plant the two crashed-writer shapes vacuum_orphans exists for: an
+    # abandoned incremental staging dir and an interrupted-swap backup.
+    parent = os.path.dirname(table)
+    for orphan in ("_incoming_deadbeef", "events.__old__"):
+        os.makedirs(os.path.join(parent, orphan), exist_ok=True)
+    removed = vacuum_orphans(table)
+    rows_after_vacuum = spark.read.parquet(table).count()
+
     steps = [
         ("1_initial_append_rows", int(r1["appended_rows"])),
         ("2_rerun_append_rows", int(r2["appended_rows"])),
@@ -75,6 +88,8 @@ def day2_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("4_files_after_compact", int(n_files)),
         ("5_rows_after_compact", int(rows_after_compact)),
         ("6_rows_after_clustered", int(rows_clustered)),
+        ("7_orphans_removed", len(removed)),
+        ("8_rows_after_vacuum", int(rows_after_vacuum)),
     ]
     return (spark.createDataFrame(steps, "step string, value bigint")
             .orderBy("step"))
@@ -131,3 +146,55 @@ def day2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (spark.createDataFrame(steps, "step string, value bigint")
             .orderBy("step"))
+
+
+#: The oracle literals ARE the DDL contract: one row per table declared
+#: under models/<layer>/*.sql with its column count (partition columns
+#: included). A models/ edit that forgets to update this oracle fails
+#: the driver row loudly - which is the point.
+_S9_ORACLE = """
+SELECT s.layer, s.table_name, s.n_columns
+FROM (VALUES
+    ('bronze', 'events', CAST(10 AS BIGINT)),
+    ('gold', 'g1_daily_engagement_summary', CAST(15 AS BIGINT)),
+    ('gold', 'g2_top_performing_content', CAST(8 AS BIGINT)),
+    ('gold', 'g3_account_influence', CAST(11 AS BIGINT)),
+    ('gold', 'g4_hashtag_performance', CAST(5 AS BIGINT)),
+    ('gold', 'g5_hourly_posting_patterns', CAST(7 AS BIGINT)),
+    ('gold', 'g6_daily_event_trends', CAST(8 AS BIGINT)),
+    ('gold', 'g7_viral_content', CAST(8 AS BIGINT)),
+    ('silver', 'dim_account', CAST(9 AS BIGINT)),
+    ('silver', 'dim_date', CAST(11 AS BIGINT)),
+    ('silver', 'fact', CAST(7 AS BIGINT))) s(layer, table_name, n_columns)
+ORDER BY s.layer, s.table_name
+"""
+
+
+@register("s9_ddl_catalog", oracle=_S9_ORACLE)
+def s9_ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 as a driver row: execute the literal DDL scripts
+    (sources/ddl.py - lexical order, ${VAR} substitution, drop-recreate,
+    mirroring /root/reference/src/loader/model_executor.py:32-110), then
+    read the resulting catalog back and emit (layer, table_name,
+    n_columns) per created table. Catalog metadata only - no data moves;
+    the external LOCATIONs point at per-run scratch."""
+    from ..sources.ddl import LAYERS, execute_ddl_scripts
+
+    if not hasattr(s9_ddl_catalog, "_run_tag"):
+        s9_ddl_catalog._run_tag = uuid.uuid4().hex[:8]
+    out = f"/tmp/spark_graft_s9_{s9_ddl_catalog._run_tag}"
+    execute_ddl_scripts(spark, {"OUT_DIR": out}, recreate=True)
+
+    rows = []
+    for layer in LAYERS:
+        for tbl in spark.catalog.listTables(layer):
+            # listTables(db) also returns session TEMP views (e.g. the
+            # streaming memory sinks when the driver runs the full query
+            # set in one session) - only the layer's own tables count.
+            if tbl.isTemporary:
+                continue
+            n_cols = len(spark.table(f"{layer}.{tbl.name}").columns)
+            rows.append((layer, tbl.name, n_cols))
+    return (spark.createDataFrame(
+        rows, "layer string, table_name string, n_columns bigint")
+        .orderBy("layer", "table_name"))

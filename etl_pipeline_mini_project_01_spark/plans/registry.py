@@ -74,11 +74,12 @@ WINDOW_ROUND = 3
 #: f1_html_clean - evicted late in round 3 for the code-changed
 #: dedup_simhash, whose r2 row stopped vouching after the wide-agg
 #: rework) plus the unchanged round-2 greens rotate in next round. The
-#: five mix/interval-join registrations (new code - they need FIRST
-#: driver rows) evict five more r1-green carries (f5_json_roundtrip,
-#: x1_token_frequencies, q1_pricing_summary, dedup_exact,
-#: sim_cosine_topk); their r1 rows keep them inside the staleness
-#: budget until the round-4 rotation.
+#: five mix/interval-join registrations plus s9_ddl_catalog (new code -
+#: they need FIRST driver rows) evict six more r1-green carries
+#: (f5_json_roundtrip, x1_token_frequencies, q1_pricing_summary,
+#: dedup_exact, sim_cosine_topk, a7_dedup_keep_first - a6's window
+#: twin vouches for the shared keep-first machinery); their r1 rows
+#: keep them inside the staleness budget until the round-4 rotation.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- fixed / changed this round (need fresh green) -------------------
     "mm_decode_features",             # r2's only err row: scalar bins + oracle
@@ -107,6 +108,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "pack_token_shards",              # distributed-prefix-sum shard packing
     "training_mix_shards",            # end-to-end curation chain
     "stream_interval_join",           # stream-stream interval join
+    "s9_ddl_catalog",                 # S9 executor catalog inventory
     # -- oldest round-1 greens, rotated back in (31 of 44) ---------------
     "g6_daily_event_trends", "g3_account_influence",
     "g4_hashtag_performance", "g5_hourly_posting_patterns",
@@ -118,7 +120,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "silver_fact_build",
     "w1_user_engagement_rank", "w2_user_daily_value_change",
     "a5_latest_user_snapshot",
-    "a6_dedup_latest_version", "a7_dedup_keep_first",
+    "a6_dedup_latest_version",
     "a12_daily_modal_event_type", "a14_table_stats",
     "p_clean_events",
     "p6_normalized_documents",

@@ -98,3 +98,69 @@ def test_mix_without_benchmark_keeps_all_keepers(spark):
     keepers = {r.doc_id for r in dedup_clusters(spark, SF_DIR).collect()
                if r.is_keeper}
     assert {r.doc_id for r in out.collect()} == keepers
+
+
+def test_temperature_mix_rates_match_python_model(spark):
+    """sqrt-temperature thresholds: floor(scale * sqrt(min_n / n_s)) per
+    domain, rarest domain kept at exactly `scale` (100%)."""
+    import math
+
+    from etl_pipeline_mini_project_01_spark.operators.mix import (
+        temperature_mix_rates,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    counts = {r.source: r.n for r in
+              docs.groupBy(F.col("source")).agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    min_n = min(counts.values())
+    want = {d: math.floor(10_000 * math.sqrt(min_n / n))
+            for d, n in counts.items()}
+    got = {r.domain: r.keep_per_scale
+           for r in temperature_mix_rates(docs).collect()}
+    assert got == want
+    assert got[min(counts, key=counts.get)] == 10_000
+
+
+def test_temperature_sample_deterministic_and_rebalancing(spark):
+    """The sample equals the per-doc hash-threshold model exactly, is
+    partition-layout independent, and flattens the head: every domain's
+    realized share moves toward the rarest domain's."""
+    import hashlib
+
+    from etl_pipeline_mini_project_01_spark.operators.mix import (
+        temperature_mix_rates,
+        temperature_sample,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rates = {r.domain: r.keep_per_scale
+             for r in temperature_mix_rates(docs).collect()}
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"tmix|{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) % 10_000
+
+    rows = docs.select("doc_id", "source").collect()
+    want = {r.doc_id for r in rows if bucket(r.doc_id) < rates[r.source]}
+    got = {r.doc_id for r in temperature_sample(docs).collect()}
+    assert got == want
+    again = {r.doc_id
+             for r in temperature_sample(docs.repartition(13)).collect()}
+    assert again == want
+
+    # Rebalance direction, asserted on the THRESHOLDS (deterministic -
+    # realized keep counts on a 500-doc fixture can hit 100% by hash
+    # luck) and on the SKEWED domain column: `source` is uniform in the
+    # fixture (25 docs each - mixing is correctly a no-op there, every
+    # rate 10_000), `lang` is en-heavy, so en must be down-weighted and
+    # the rarest lang kept at exactly 100%.
+    assert set(rates.values()) == {10_000}
+    lang_rates = {r.domain: r.keep_per_scale
+                  for r in temperature_mix_rates(
+                      docs, domain_col="lang").collect()}
+    lang_n = {}
+    for r in docs.select("lang").collect():
+        lang_n[r.lang] = lang_n.get(r.lang, 0) + 1
+    assert lang_rates[max(lang_n, key=lang_n.get)] < 10_000
+    assert lang_rates[min(lang_n, key=lang_n.get)] == 10_000
