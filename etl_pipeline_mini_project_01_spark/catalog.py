@@ -5,9 +5,10 @@ The reference declares every schema explicitly at each boundary
 extractor schema; /root/reference/models/bronze/02_create_bronze_tables.sql:8-87
 - 50-col bronze DDL). We keep that stance: the engine never relies on
 inference for semantics; loaders normalize types to the canonical schema
-below (notably `events.ts`, stored as INT64 nanos in parquet, which is
-converted to microsecond TIMESTAMP_NTZ - same truncation DuckDB applies
-when casting TIMESTAMP_NS to TIMESTAMP, keeping the oracle exact).
+below (notably `events.ts`, which testdata generations have shipped both
+as INT64 nanos and as native timestamp[us]; the nanos form is converted
+to microsecond timestamp - same truncation DuckDB applies when casting
+TIMESTAMP_NS to TIMESTAMP, keeping the oracle exact).
 """
 
 from __future__ import annotations

@@ -18,25 +18,38 @@ from pyspark.sql import functions as F
 
 from ..session import harden
 
-#: Streaming-source schema for events: ts arrives as int64 nanos (the
-#: harness parquet) and is converted in-stream.
-EVENTS_STREAM_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+#: Streaming-source schema for events, parameterized on how `ts` is
+#: physically stored. The harness parquet has shipped it both as INT64
+#: nanos and as native timestamp[us] across testdata generations, so the
+#: reader adapts instead of assuming (mirrors the conditional in
+#: catalog.load_table, which is what keeps the batch path stable).
+_EVENTS_STREAM_SCHEMA_TMPL = (
+    "event_id bigint, ts {ts_type}, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     harden(spark)
+    # Streaming sources need an explicit schema; probe the parquet footer
+    # (metadata-only batch read) for the stored `ts` type first.
+    stored = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    ts_is_int64 = stored == "bigint"
+    # LTZ (session tz = UTC), not NTZ: event-time watermarks require
+    # TIMESTAMP type; values are identical under the pinned UTC session.
+    schema = _EVENTS_STREAM_SCHEMA_TMPL.format(
+        ts_type="bigint" if ts_is_int64 else "timestamp")
     # The file-stream source requires a directory; point it at the
     # scale-factor dir and glob-filter to the events file(s).
     raw = (spark.readStream
-           .schema(EVENTS_STREAM_SCHEMA)
+           .schema(schema)
            .option("pathGlobFilter", "events*.parquet")
            .parquet(sf_dir))
-    # LTZ (session tz = UTC), not NTZ: event-time watermarks require
-    # TIMESTAMP type; values are identical under the pinned UTC session.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_int64:
+        # int64 nanos -> micros (integer div: truncation, matches DuckDB
+        # TIMESTAMP_NS -> TIMESTAMP) -> LTZ timestamp.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def run_to_completion(result: DataFrame, query_name: str | None = None,
