@@ -18,8 +18,9 @@ end-to-end in tests/test_training_mix.py.
 Scale notes: the chain's shuffles are (1) the LSH candidate equi-join +
 CC rounds from the cluster stage, (2) one doc_id join per annotation
 (split, decontamination verdict), (3) the range partition inside the
-packer. Nothing materializes on the driver; the orchestration is a
-single lazy plan per split.
+packer. Nothing materializes on the driver; the orchestration is ONE
+lazy plan - the packer groups on split, so the chain never re-runs
+per split.
 """
 
 from __future__ import annotations
@@ -83,16 +84,13 @@ def assemble_training_shards(docs: DataFrame,
                          F.lit(order_salt),
                          F.col("doc_id").cast("string")))), 8, "0"),
                      F.col("doc_id").cast("string"))))
-    parts = []
-    for s in ("train", "val", "test"):
-        parts.append(pack_into_shards(
-            annotated.filter(F.col("split") == s), budget,
-            key_col="order_key", token_col="n_tokens",
-            num_partitions=num_partitions,
-            carry_cols=("doc_id", "cluster_id", "split")))
-    packed = parts[0]
-    for p in parts[1:]:
-        packed = packed.unionByName(p)
+    # One grouped pass: prefix sums and shard numbering restart per split
+    # inside a single plan, so the upstream chain (CC rounds, joins) runs
+    # once - not once per split as a filter-per-split union would.
+    packed = pack_into_shards(
+        annotated, budget, key_col="order_key", token_col="n_tokens",
+        num_partitions=num_partitions,
+        carry_cols=("doc_id", "cluster_id"), group_col="split")
     return packed.select("doc_id", "cluster_id", "split", "n_tokens",
                          "order_key", "prefix_tokens", "shard")
 

@@ -32,34 +32,46 @@ from pyspark.sql import functions as F
 def pack_into_shards(df: DataFrame, budget: int, key_col: str = "doc_id",
                      token_col: str = "n_tokens",
                      num_partitions: int = 8,
-                     carry_cols: tuple[str, ...] = ()) -> DataFrame:
+                     carry_cols: tuple[str, ...] = (),
+                     group_col: str | None = None) -> DataFrame:
     """Returns df's (key_col, token_col[, *carry_cols]) plus `shard`
     (dense from 0) and `prefix_tokens` (tokens before this doc in key
     order). `carry_cols` ride along untouched (they play no part in the
-    ordering or the sums)."""
-    base = (df.select(key_col, token_col, *carry_cols)
-            .repartitionByRange(num_partitions, F.col(key_col)))
+    ordering or the sums).
+
+    With `group_col`, the prefix sum and shard numbering restart per
+    group (e.g. per train/val/test split) but everything still runs in
+    ONE pass over the data: range-partition on (group, key), per-
+    (group, partition) local sums, and a (groups x P)-row offsets
+    relation - so a multi-split corpus is packed without re-reading
+    it once per split."""
+    groups = (group_col,) if group_col else ()
+    base = (df.select(*groups, key_col, token_col, *carry_cols)
+            .repartitionByRange(num_partitions,
+                                *[F.col(c) for c in (*groups, key_col)]))
     with_pid = base.withColumn("_pid", F.spark_partition_id())
-    w_local = (Window.partitionBy("_pid").orderBy(key_col)
+    w_local = (Window.partitionBy(*groups, "_pid").orderBy(key_col)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = with_pid.withColumn("_local_sum",
                                 F.sum(token_col).over(w_local))
-    # P-row totals relation: cumulative offsets over partition ids.
-    totals = (local.groupBy("_pid")
+    # (groups x P)-row totals relation: cumulative offsets over partition
+    # ids within each group.
+    totals = (local.groupBy(*groups, "_pid")
               .agg(F.max("_local_sum").alias("_ptotal")))
-    w_off = (Window.orderBy("_pid")
+    w_off = (Window.partitionBy(*groups).orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.withColumn(
         "_offset", F.coalesce(F.sum("_ptotal").over(w_off), F.lit(0)))
-    # The single-partition window above runs over P rows (the number of
-    # partitions), never over the data - that is the whole trick.
-    packed = (local.join(F.broadcast(offsets.select("_pid", "_offset")),
-                         "_pid")
+    # The narrow-partition window above runs over (groups x P) rows (the
+    # number of partitions), never over the data - that is the whole trick.
+    packed = (local.join(F.broadcast(offsets.select(*groups, "_pid",
+                                                    "_offset")),
+                         [*groups, "_pid"])
               .withColumn("prefix_tokens",
                           (F.col("_offset") + F.col("_local_sum")
                            - F.col(token_col)).cast("bigint"))
               .withColumn("shard",
                           F.floor(F.col("prefix_tokens") / budget)
                           .cast("bigint")))
-    return packed.select(key_col, token_col, *carry_cols,
+    return packed.select(*groups, key_col, token_col, *carry_cols,
                          "prefix_tokens", "shard")

@@ -83,3 +83,42 @@ def test_packing_plan_has_no_data_sized_global_window(spark):
     assert "Window [sum" in plan
     # the offsets join must be a broadcast of the tiny totals relation
     assert "BroadcastHashJoin" in plan
+
+
+def test_grouped_packing_equals_per_group_packing(spark):
+    """group_col packing (one pass) must equal packing each group
+    independently (what the per-split filter-union used to do), with
+    prefix sums and shard numbering restarting per group."""
+    docs = (_docs(spark)
+            .withColumn("grp", (F.col("doc_id") % 3).cast("string")))
+    grouped = pack_into_shards(
+        docs, BUDGET, key_col="doc_id", token_col="n_tokens",
+        num_partitions=4, group_col="grp").orderBy("doc_id").collect()
+    independent = []
+    for g in ("0", "1", "2"):
+        rows = pack_into_shards(
+            docs.filter(F.col("grp") == g), BUDGET, key_col="doc_id",
+            token_col="n_tokens", num_partitions=4).collect()
+        independent.extend((r.doc_id, r.prefix_tokens, r.shard)
+                           for r in rows)
+    assert sorted((r.doc_id, r.prefix_tokens, r.shard) for r in grouped) \
+        == sorted(independent)
+    # Every group restarts at prefix 0 / shard 0.
+    firsts = {}
+    for r in grouped:
+        firsts.setdefault(r.grp, r)
+    for r in firsts.values():
+        assert r.prefix_tokens == 0 and r.shard == 0
+
+
+def test_grouped_packing_partition_count_independent(spark):
+    docs = (_docs(spark)
+            .withColumn("grp", (F.col("doc_id") % 2).cast("string")))
+    outs = [
+        sorted((r.doc_id, r.prefix_tokens, r.shard)
+               for r in pack_into_shards(
+                   docs, BUDGET, key_col="doc_id", token_col="n_tokens",
+                   num_partitions=p, group_col="grp").collect())
+        for p in (1, 3, 16)
+    ]
+    assert outs[0] == outs[1] == outs[2]
