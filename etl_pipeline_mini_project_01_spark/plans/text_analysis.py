@@ -283,13 +283,19 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    w_arr = word_array("text")
+    # Materialize the token array BEFORE indexing into it: w_arr[i] inside
+    # the transform lambda re-evaluates the whole regex split per element
+    # (no common-subexpression elimination across higher-order-function
+    # lambdas), turning the bigram build O(tokens^2) per doc - 13x slower
+    # at sf0.1.
+    toks = docs.select("doc_id", word_array("text").alias("w"))
+    w_arr = F.col("w")
     bigrams = F.when(
         F.size(w_arr) >= 2,
         F.transform(F.sequence(F.lit(0), F.size(w_arr) - 2),
                     lambda i: F.concat_ws(" ", w_arr[i], w_arr[i + 1])),
     ).otherwise(F.array().cast("array<string>"))
-    bg = docs.select("doc_id", F.explode(bigrams).alias("g"))
+    bg = toks.select("doc_id", F.explode(bigrams).alias("g"))
     cnt = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     w_sum = Window.partitionBy("doc_id")
     w_rank = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
