@@ -80,6 +80,8 @@ WINDOW_ROUND = 3
 #: dedup_exact, sim_cosine_topk, a7_dedup_keep_first - a6's window
 #: twin vouches for the shared keep-first machinery); their r1 rows
 #: keep them inside the staleness budget until the round-4 rotation.
+#: kmeans_embedding_clusters (new this round) evicts one more carry
+#: (p6_normalized_documents - r1-green, unchanged code, re-checks r4).
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- fixed / changed this round (need fresh green) -------------------
     "mm_decode_features",             # r2's only err row: scalar bins + oracle
@@ -109,7 +111,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "training_mix_shards",            # end-to-end curation chain
     "stream_interval_join",           # stream-stream interval join
     "s9_ddl_catalog",                 # S9 executor catalog inventory
-    # -- oldest round-1 greens, rotated back in (31 of 44) ---------------
+    "kmeans_embedding_clusters",      # integer-exact distributed Lloyd's
+    # -- oldest round-1 greens, rotated back in (30 of 44) ---------------
     "g6_daily_event_trends", "g3_account_influence",
     "g4_hashtag_performance", "g5_hourly_posting_patterns",
     "g7_viral_content",
@@ -123,7 +126,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "a6_dedup_latest_version",
     "a12_daily_modal_event_type", "a14_table_stats",
     "p_clean_events",
-    "p6_normalized_documents",
 )
 
 

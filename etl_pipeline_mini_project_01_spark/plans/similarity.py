@@ -326,3 +326,109 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 5)
             .orderBy("query_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# k-means embedding clustering (operators/kmeans.py)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_DIM = 64
+_KM_SCALE = 1 << 20
+
+#: One assignment pass as SQL: squared euclidean to each centroid in
+#: relation {cents}, folded over dims in index order from a 0.0
+#: accumulator (list_reduce(list_prepend(...)) - the same operation
+#: sequence as the engine's F.aggregate fold), argmin tie-broken on the
+#: lowest centroid id.
+_KM_ASSIGN = """
+SELECT vec_id, cid AS cluster
+FROM (
+    SELECT x.vec_id, c.cid,
+           row_number() OVER (
+               PARTITION BY x.vec_id ORDER BY
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, {dim1}),
+                       i -> (x.xd[i] - c.c[i]) * (x.xd[i] - c.c[i]))),
+                   (a, b) -> a + b),
+               c.cid) AS rn
+    FROM xd x, {cents} c)
+WHERE rn = 1
+"""
+
+_KM_ITERS = 2
+
+
+def _km_oracle(iters: int) -> str:
+    """The full k-means replay as SQL: init from the first-k rows, then
+    `iters` (assign -> exact integer-sum update -> COALESCE empty
+    clusters) blocks, then the final assignment - mirroring
+    kmeans_assign's loop structure one CTE per phase."""
+    dim1, k, scale = _KM_DIM + 1, _KM_K, _KM_SCALE
+    parts = [f"""
+WITH x AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE)
+                               * CAST({scale} AS DOUBLE)) AS BIGINT))
+               AS xi
+    FROM embeddings
+),
+xd AS (
+    SELECT vec_id, xi,
+           list_transform(xi, v -> CAST(v AS DOUBLE)
+                                   / CAST({scale} AS DOUBLE)) AS xd
+    FROM x
+),
+dims AS (SELECT unnest(range(1, {dim1})) AS i),
+c0 AS (SELECT vec_id AS cid, xd AS c FROM xd WHERE vec_id < {k})"""]
+    cents = "c0"
+    for t in range(1, iters + 1):
+        assign = _KM_ASSIGN.format(dim1=dim1, cents=cents)
+        parts.append(f""",
+a{t} AS ({assign}),
+s{t} AS (
+    SELECT a.cluster AS cid, d.i,
+           SUM(x.xi[d.i]) AS s, COUNT(*) AS n
+    FROM a{t} a JOIN xd x USING (vec_id) CROSS JOIN dims d
+    GROUP BY 1, 2
+),
+m{t} AS (
+    SELECT cid,
+           list(CAST(s AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST({scale} AS DOUBLE))
+                ORDER BY i) AS c
+    FROM s{t} GROUP BY cid
+),
+c{t} AS (
+    SELECT p.cid, COALESCE(m{t}.c, p.c) AS c
+    FROM {cents} p LEFT JOIN m{t} USING (cid)
+)""")
+        cents = f"c{t}"
+    final = _KM_ASSIGN.format(dim1=dim1, cents=cents)
+    parts.append(f""",
+afinal AS ({final})
+SELECT vec_id, cluster,
+       CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+FROM afinal
+ORDER BY vec_id
+""")
+    return "".join(parts)
+
+
+_KM_ORACLE = _km_oracle(_KM_ITERS)
+
+
+@register("kmeans_embedding_clusters", oracle=_KM_ORACLE)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table
+    (operators/kmeans.py): k={k} clusters, 2 fixed centroid updates,
+    first-k-rows init. The SemDeDup/domain-discovery primitive; the
+    oracle replays both iterations in SQL - possible only because every
+    arithmetic step is integer-exact or a single correctly-rounded IEEE
+    op (see the operator docstring)."""
+    from ..operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (kmeans_assign(emb, k=_KM_K, iters=_KM_ITERS)
+            .orderBy("vec_id"))
