@@ -60,13 +60,25 @@ def _dist(cent: list[float], dim: int):
                        * (F.element_at("xd", i) - F.element_at(arr, i)))
 
 
-def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
-                  id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """(id_col, cluster, cluster_size): Lloyd's k-means assignment after
-    `iters` centroid updates. Deterministic: init centroids are the rows
-    with id_col 0..k-1 (they must exist), iteration count is fixed (no
-    data-dependent convergence branch), and every arithmetic step is
+def _assign(df: DataFrame, cents: list[list[float]], dim: int) -> DataFrame:
+    """Adds `cluster` (argmin centroid, ties -> lowest id) and
+    `centroid_dist` (the winning squared distance) to a _scaled frame."""
+    dists = F.array(*[_dist(c, dim) for c in cents])
+    return (df.withColumn("_d", dists)
+            .withColumn("cluster",
+                        (F.array_position("_d", F.array_min("_d")) - 1)
+                        .cast("bigint"))
+            .withColumn("centroid_dist", F.array_min("_d"))
+            .drop("_d"))
+
+
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> tuple[list[list[float]], int]:
+    """Run `iters` Lloyd's updates and return (centroids, dim) - the
+    driver-resident model. Deterministic: init centroids are the rows
+    with id_col 0..k-1 (they must exist), the iteration count is fixed
+    (no data-dependent convergence branch), and every arithmetic step is
     engine-exact per the module docstring. Empty clusters keep their
     previous centroid."""
     x = _scaled(emb.select(id_col, vec_col), vec_col)
@@ -78,15 +90,8 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
         raise ValueError(f"init needs {id_col} 0..{k - 1} present")
     cents = [list(r["xd"]) for r in init]
 
-    def assign(df: DataFrame) -> DataFrame:
-        dists = F.array(*[_dist(c, dim) for c in cents])
-        return df.withColumn(
-            "cluster",
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("bigint"))
-
     for _ in range(iters):
-        sums = (assign(x).groupBy("cluster").agg(
+        sums = (_assign(x, cents, dim).groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
             *[F.sum(F.element_at("xi", i + 1)).alias(f"s{i}")
               for i in range(dim)]))
@@ -96,9 +101,28 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
             if (r := by_cluster.get(j)) is not None else cents[j]
             for j in range(k)
         ]
+    return cents, dim
 
+
+def kmeans_transform(emb: DataFrame, cents: list[list[float]], dim: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(id_col, cluster, centroid_dist) for a fitted model: one map-side
+    pass, no shuffle. Because `cents` are plain literals, every call
+    builds an INDEPENDENT plan - so two transforms of the same input can
+    be self-joined without tripping Spark's lambda-variable rebinding on
+    deduplicated higher-order-function subplans."""
+    x = _scaled(emb.select(id_col, vec_col), vec_col)
+    return _assign(x, cents, dim).select(id_col, "cluster", "centroid_dist")
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(id_col, cluster, cluster_size): fit + final assignment."""
+    cents, dim = kmeans_fit(emb, k, iters, id_col, vec_col)
     w = Window.partitionBy("cluster")
-    return (assign(x)
+    return (kmeans_transform(emb, cents, dim, id_col, vec_col)
             .select(id_col, "cluster",
                     F.count(F.lit(1)).over(w).alias("cluster_size"))
             )

@@ -80,8 +80,9 @@ WINDOW_ROUND = 3
 #: dedup_exact, sim_cosine_topk, a7_dedup_keep_first - a6's window
 #: twin vouches for the shared keep-first machinery); their r1 rows
 #: keep them inside the staleness budget until the round-4 rotation.
-#: kmeans_embedding_clusters (new this round) evicts one more carry
-#: (p6_normalized_documents - r1-green, unchanged code, re-checks r4).
+#: kmeans_embedding_clusters and semdedup_prune (new this round) evict
+#: two more carries (p6_normalized_documents, a14_table_stats - both
+#: r1-green, unchanged code, re-check r4).
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- fixed / changed this round (need fresh green) -------------------
     "mm_decode_features",             # r2's only err row: scalar bins + oracle
@@ -112,7 +113,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "stream_interval_join",           # stream-stream interval join
     "s9_ddl_catalog",                 # S9 executor catalog inventory
     "kmeans_embedding_clusters",      # integer-exact distributed Lloyd's
-    # -- oldest round-1 greens, rotated back in (30 of 44) ---------------
+    "semdedup_prune",                 # SemDeDup over the k-means clusters
+    # -- oldest round-1 greens, rotated back in (29 of 44) ---------------
     "g6_daily_event_trends", "g3_account_influence",
     "g4_hashtag_performance", "g5_hourly_posting_patterns",
     "g7_viral_content",
@@ -124,7 +126,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "w1_user_engagement_rank", "w2_user_daily_value_change",
     "a5_latest_user_snapshot",
     "a6_dedup_latest_version",
-    "a12_daily_modal_event_type", "a14_table_stats",
+    "a12_daily_modal_event_type",
     "p_clean_events",
 )
 

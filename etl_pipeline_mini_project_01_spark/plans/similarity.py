@@ -342,17 +342,18 @@ _KM_SCALE = 1 << 20
 #: sequence as the engine's F.aggregate fold), argmin tie-broken on the
 #: lowest centroid id.
 _KM_ASSIGN = """
-SELECT vec_id, cid AS cluster
+SELECT vec_id, cid AS cluster, dist AS centroid_dist
 FROM (
-    SELECT x.vec_id, c.cid,
+    SELECT vec_id, cid, dist,
            row_number() OVER (
-               PARTITION BY x.vec_id ORDER BY
+               PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+        SELECT x.vec_id, c.cid,
                list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(range(1, {dim1}),
                        i -> (x.xd[i] - c.c[i]) * (x.xd[i] - c.c[i]))),
-                   (a, b) -> a + b),
-               c.cid) AS rn
-    FROM xd x, {cents} c)
+                   (a, b) -> a + b) AS dist
+        FROM xd x, {cents} c))
 WHERE rn = 1
 """
 
@@ -431,4 +432,52 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return (kmeans_assign(emb, k=_KM_K, iters=_KM_ITERS)
+            .orderBy("vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup over the k-means clusters (operators/semdedup.py)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35
+
+_SD_COS = (_SQL_DOT.format(a='x.embedding', b='y.embedding')
+           + " / (sqrt(" + _SQL_NORM2.format(a='x.embedding') + ")"
+           + " * sqrt(" + _SQL_NORM2.format(a='y.embedding') + "))")
+
+_SEMDEDUP_ORACLE = (
+    _km_oracle(_KM_ITERS).rsplit("SELECT vec_id, cluster,", 1)[0]
+    + f""",
+sc AS (
+    SELECT a.vec_id, a.cluster, a.centroid_dist, e.embedding
+    FROM afinal a JOIN embeddings e USING (vec_id)
+),
+dropped AS (
+    SELECT DISTINCT x.vec_id
+    FROM sc x JOIN sc y
+      ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+     AND (y.centroid_dist > x.centroid_dist
+          OR (y.centroid_dist = x.centroid_dist AND y.vec_id < x.vec_id))
+     AND {_SD_COS} >= {_SEMDEDUP_TAU}
+)
+SELECT s.vec_id, s.cluster, d.vec_id IS NULL AS kept
+FROM sc s LEFT JOIN dropped d USING (vec_id)
+ORDER BY s.vec_id
+""")
+
+
+@register("semdedup_prune", oracle=_SEMDEDUP_ORACLE)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as a driver row: k-means-bounded
+    within-cluster cosine dedup keeping each neighborhood's most
+    peripheral member (operators/semdedup.py). The oracle replays the
+    whole pipeline - both Lloyd's iterations, the final assignment WITH
+    its centroid distance, and the dominance prune - in SQL, which the
+    integer-exact kmeans arithmetic and fixed-order cosine folds make
+    bit-identical."""
+    from ..operators.semdedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (semdedup(emb, k=_KM_K, iters=_KM_ITERS,
+                     threshold=_SEMDEDUP_TAU)
             .orderBy("vec_id"))

@@ -1,0 +1,76 @@
+"""SemDeDup (operators/semdedup.py): the kept-verdicts must equal a
+pure-Python replay of the rule (cluster -> within-cluster cosine >= tau
+-> dominated-by-(farther-from-centroid, then lower-id) pruning), be
+partition-count independent, and actually drop something on the fixture
+(which carries planted near-dups)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from etl_pipeline_mini_project_01_spark.catalog import load_table
+from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+    kmeans_fit,
+    kmeans_transform,
+)
+from etl_pipeline_mini_project_01_spark.operators.semdedup import semdedup
+
+K, ITERS, TAU = 4, 1, 0.3
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def _python_model(spark, emb):
+    """Replay the rule in plain Python from the fitted assignment."""
+    cents, dim = kmeans_fit(emb, k=K, iters=ITERS)
+    rows = (kmeans_transform(emb, cents, dim)
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .collect())
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster].append(
+            (r.vec_id, r.centroid_dist, [float(v) for v in r.embedding]))
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb)
+
+    kept = {}
+    for members in by_cluster.values():
+        for vid, dist, vec in members:
+            dominated = any(
+                cos(vec, ovec) >= TAU
+                and (odist > dist or (odist == dist and ovid < vid))
+                for ovid, odist, ovec in members if ovid != vid)
+            kept[vid] = not dominated
+    return kept
+
+
+def test_matches_python_model(spark, emb):
+    got = {r.vec_id: r.kept
+           for r in semdedup(emb, k=K, iters=ITERS, threshold=TAU).collect()}
+    want = _python_model(spark, emb)
+    assert got == want
+    assert not all(got.values()), "fixture's planted near-dups must prune"
+    assert any(got.values())
+
+
+def test_partition_count_invariant(spark, emb):
+    outs = [
+        sorted((r.vec_id, r.cluster, r.kept)
+               for r in semdedup(emb.repartition(p), k=K, iters=ITERS,
+                                 threshold=TAU).collect())
+        for p in (1, 6)
+    ]
+    assert outs[0] == outs[1]
