@@ -44,6 +44,10 @@ HEADLINE = [
     "text_quality_scores",
     "sessionization_gaps",
     "stream_tumbling_counts",
+    # round-3 library flagships
+    "training_mix_shards",
+    "kmeans_embedding_clusters",
+    "semdedup_prune",
 ]
 
 

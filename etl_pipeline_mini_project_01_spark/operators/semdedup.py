@@ -9,36 +9,51 @@ examples carry more signal than the cluster-mode ones).
 Scale shape: the quadratic pairwise stage is BOUNDED BY THE CLUSTER -
 that is the entire point of the k-means stage (choose k so clusters are
 ~1e5 rows and the within-cluster join is tractable at 100 TB); the join
-is an equi-join on cluster id, shuffle-partitioned by cluster, with the
-centroids a driver-resident literal model (operators/kmeans.py). Both
-join sides are INDEPENDENT kmeans_transform plans from the same fitted
-centroids - deliberately not a self-joined single plan, which trips
-Spark's lambda-variable rebinding on deduplicated higher-order-function
-subplans (see kmeans_transform's docstring).
+is an equi-join on cluster id with scalar-only conditions, and the
+centroids are a driver-resident literal model (operators/kmeans.py).
+
+Two materialization decisions matter for the join cost (measured 3x+ at
+sf0.1):
+  * the (id, cluster, centroid_dist) assignment is localCheckpoint-ed
+    before self-joining - otherwise the join re-evaluates the k x dim
+    argmin expression per PROBE row (at 100 TB this relation is three
+    scalar columns you would persist to storage anyway, since both join
+    sides and the final verdict read it);
+  * vectors are L2-NORMALIZED once per row up front, so the per-pair
+    cosine is a single dot-product fold instead of dot + two norms
+    (higher-order-function folds are interpreted, not codegen'd - per-
+    pair cost is the bottleneck), and they are attached to the pair
+    relation by id equi-joins AFTER the cheap dominance join prunes it.
 
 Determinism: the kept-set depends only on (cluster assignment, pairwise
-cosines, centroid distances, ids) - all bit-identical cross-engine (the
-kmeans module's integer-exact arithmetic; cosine as a fixed-order fold
-of correctly-rounded IEEE ops). Dominance is the strict total order
+normalized dots, centroid distances, ids) - all bit-identical
+cross-engine: the kmeans module's integer-exact arithmetic; one
+correctly-rounded IEEE division per normalized component; fixed-order
+fold for the dot. Dominance is the strict total order
 (centroid_dist DESC, id ASC), so ties cannot flap.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .kmeans import kmeans_fit, kmeans_transform
 
 
-def _cosine(a: Column, b: Column) -> Column:
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
-    n2 = lambda v: F.aggregate(  # noqa: E731
-        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return dot / (F.sqrt(n2(a)) * F.sqrt(n2(b)))
+def normalized_vectors(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """(id_col, nv): L2-normalized float64 vectors. The squared norm is
+    projected into a column FIRST so the per-element division does not
+    re-run the fold per element (the HOF-lambda CSE pitfall)."""
+    return (emb
+            .withColumn("_n2", F.aggregate(
+                vec_col, F.lit(0.0),
+                lambda a, v: a + v.cast("double") * v.cast("double")))
+            .select(id_col,
+                    F.transform(vec_col,
+                                lambda x: x.cast("double") / F.sqrt("_n2"))
+                    .alias("nv")))
 
 
 def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
@@ -50,29 +65,33 @@ def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
     `WHERE kept` downstream; emitting the verdict per row keeps the
     relation auditable."""
     cents, dim = kmeans_fit(emb, k, iters, id_col, vec_col)
+    # Three scalar columns; both join sides + the verdict read it.
+    assigned = kmeans_transform(emb, cents, dim, id_col, vec_col) \
+        .localCheckpoint()
+    nv = normalized_vectors(emb, id_col, vec_col).localCheckpoint()
 
-    def side(name: str) -> DataFrame:
-        return (kmeans_transform(emb, cents, dim, id_col, vec_col)
-                .join(emb.select(id_col, vec_col), id_col)
-                .alias(name))
-
-    a, b = side("a"), side("b")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dominance = (
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        & ((F.col("b.centroid_dist") > F.col("a.centroid_dist"))
+           | ((F.col("b.centroid_dist") == F.col("a.centroid_dist"))
+              & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")))))
+    nva = nv.select(F.col(id_col).alias("_ida"), F.col("nv").alias("nva"))
+    nvb = nv.select(F.col(id_col).alias("_idb"), F.col("nv").alias("nvb"))
+    dot = F.aggregate(F.zip_with("nva", "nvb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
     dominated = (
-        a.join(
-            b,
-            (F.col(f"a.cluster") == F.col(f"b.cluster"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-            & ((F.col("b.centroid_dist") > F.col("a.centroid_dist"))
-               | ((F.col("b.centroid_dist") == F.col("a.centroid_dist"))
-                  & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))))
-            & (_cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-               >= threshold))
-        .select(F.col(f"a.{id_col}").alias(id_col))
+        a.join(b, dominance)
+        .join(nva, F.col(f"a.{id_col}") == F.col("_ida"))
+        .join(nvb, F.col(f"b.{id_col}") == F.col("_idb"))
+        .repartition(F.col(f"a.{id_col}"))
+        .filter(dot >= threshold)
+        .select(F.col(f"a.{id_col}").alias("_dropped_id"))
         .distinct())
 
-    out = side("o")
-    return (out.join(dominated.withColumnRenamed(id_col, "_dropped_id"),
-                     F.col(f"o.{id_col}") == F.col("_dropped_id"), "left")
-            .select(F.col(f"o.{id_col}").alias(id_col),
-                    "cluster",
+    return (assigned
+            .join(dominated,
+                  F.col(id_col) == F.col("_dropped_id"), "left")
+            .select(id_col, "cluster",
                     F.col("_dropped_id").isNull().alias("kept")))

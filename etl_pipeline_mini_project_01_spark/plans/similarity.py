@@ -441,16 +441,24 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_TAU = 0.35
 
-_SD_COS = (_SQL_DOT.format(a='x.embedding', b='y.embedding')
-           + " / (sqrt(" + _SQL_NORM2.format(a='x.embedding') + ")"
-           + " * sqrt(" + _SQL_NORM2.format(a='y.embedding') + "))")
-
+#: Cosine via L2-normalized vectors (dot of nv) - the engine
+#: pre-normalizes once per row so the per-pair fold is a single dot;
+#: the oracle mirrors the SAME arithmetic (one correctly-rounded IEEE
+#: division per component, then the fixed-order dot fold) so verdicts at
+#: the threshold cannot diverge at the ulp level.
 _SEMDEDUP_ORACLE = (
     _km_oracle(_KM_ITERS).rsplit("SELECT vec_id, cluster,", 1)[0]
     + f""",
+nrm AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(x AS DOUBLE)
+                    / sqrt({_SQL_NORM2.format(a='embedding')})) AS nv
+    FROM embeddings
+),
 sc AS (
-    SELECT a.vec_id, a.cluster, a.centroid_dist, e.embedding
-    FROM afinal a JOIN embeddings e USING (vec_id)
+    SELECT a.vec_id, a.cluster, a.centroid_dist, n.nv
+    FROM afinal a JOIN nrm n USING (vec_id)
 ),
 dropped AS (
     SELECT DISTINCT x.vec_id
@@ -458,7 +466,7 @@ dropped AS (
       ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
      AND (y.centroid_dist > x.centroid_dist
           OR (y.centroid_dist = x.centroid_dist AND y.vec_id < x.vec_id))
-     AND {_SD_COS} >= {_SEMDEDUP_TAU}
+     AND {_SQL_DOT.format(a='x.nv', b='y.nv')} >= {_SEMDEDUP_TAU}
 )
 SELECT s.vec_id, s.cluster, d.vec_id IS NULL AS kept
 FROM sc s LEFT JOIN dropped d USING (vec_id)

@@ -41,10 +41,11 @@ def _python_model(spark, emb):
             (r.vec_id, r.centroid_dist, [float(v) for v in r.embedding]))
 
     def cos(a, b):
-        dot = sum(x * y for x, y in zip(a, b))
+        # Same arithmetic as the operator: per-component normalization
+        # (one IEEE division each), then a sequential dot fold.
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(y * y for y in b))
-        return dot / (na * nb)
+        return sum((x / na) * (y / nb) for x, y in zip(a, b))
 
     kept = {}
     for members in by_cluster.values():
