@@ -80,8 +80,9 @@ WINDOW_ROUND = 3
 #: dedup_exact, sim_cosine_topk, a7_dedup_keep_first - a6's window
 #: twin vouches for the shared keep-first machinery); their r1 rows
 #: keep them inside the staleness budget until the round-4 rotation.
-#: kmeans_embedding_clusters and semdedup_prune (new this round) evict
-#: two more carries (p6_normalized_documents, a14_table_stats - both
+#: kmeans_embedding_clusters, semdedup_prune, and
+#: sample_cluster_balanced (new this round) evict three more carries
+#: (p6_normalized_documents, a14_table_stats, p_clean_events - all
 #: r1-green, unchanged code, re-check r4).
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- fixed / changed this round (need fresh green) -------------------
@@ -114,7 +115,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "s9_ddl_catalog",                 # S9 executor catalog inventory
     "kmeans_embedding_clusters",      # integer-exact distributed Lloyd's
     "semdedup_prune",                 # SemDeDup over the k-means clusters
-    # -- oldest round-1 greens, rotated back in (29 of 44) ---------------
+    "sample_cluster_balanced",        # per-cluster diversity quota
+    # -- oldest round-1 greens, rotated back in (28 of 44) ---------------
     "g6_daily_event_trends", "g3_account_influence",
     "g4_hashtag_performance", "g5_hourly_posting_patterns",
     "g7_viral_content",
@@ -127,7 +129,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "a5_latest_user_snapshot",
     "a6_dedup_latest_version",
     "a12_daily_modal_event_type",
-    "p_clean_events",
 )
 
 

@@ -489,3 +489,56 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (semdedup(emb, k=_KM_K, iters=_KM_ITERS,
                      threshold=_SEMDEDUP_TAU)
             .orderBy("vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced diversity sampling over the k-means clusters
+# ---------------------------------------------------------------------------
+
+_DIV_QUOTA = 30
+
+
+def _div_oracle() -> str:
+    from .curation import md5_32_sql
+    h = md5_32_sql("'div|' || CAST(vec_id AS VARCHAR)")
+    return (
+        _km_oracle(_KM_ITERS).rsplit("SELECT vec_id, cluster,", 1)[0]
+        + f""",
+ranked AS (
+    SELECT vec_id, cluster,
+           row_number() OVER (
+               PARTITION BY cluster ORDER BY {h}, vec_id) AS pick_rank
+    FROM afinal
+)
+SELECT vec_id, cluster,
+       CAST(pick_rank AS BIGINT) AS pick_rank,
+       pick_rank <= {_DIV_QUOTA} AS kept
+FROM ranked
+ORDER BY vec_id
+""")
+
+
+@register("sample_cluster_balanced", oracle=_div_oracle())
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling: an equal quota per k-means cluster, members
+    picked by salted-md5 order (deterministic across engines/retries/
+    partitionings - no RNG state; same contract as the curation splits).
+    Head clusters are capped at the quota while tail clusters keep
+    everything - the cluster-balanced counterpart to sqrt-temperature
+    domain mixing. Per-cluster rank is a window over the cluster
+    partition: at 100 TB k is chosen so clusters are ~1e5 rows, so the
+    sort is per-cluster-local and parallel across clusters."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.kmeans import kmeans_fit, kmeans_transform
+    from .curation import md5_32
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, dim = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    h = md5_32(F.concat(F.lit("div|"), F.col("vec_id").cast("string")))
+    w = W.partitionBy("cluster").orderBy(h.asc(), F.col("vec_id").asc())
+    return (kmeans_transform(emb, cents, dim)
+            .select("vec_id", "cluster")
+            .withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
+            .withColumn("kept", F.col("pick_rank") <= _DIV_QUOTA)
+            .orderBy("vec_id"))

@@ -75,3 +75,23 @@ def test_partition_count_invariant(spark, emb):
         for p in (1, 6)
     ]
     assert outs[0] == outs[1]
+
+
+def test_cluster_balanced_sample_quota(spark, emb):
+    """sample_cluster_balanced: exactly min(quota, cluster_size) kept
+    per cluster, ranks dense from 1, verdicts deterministic."""
+    from etl_pipeline_mini_project_01_spark.plans.registry import (
+        QUERIES,
+        load_all_plans,
+    )
+
+    load_all_plans()
+    rows = QUERIES["sample_cluster_balanced"](spark, SF_DIR).collect()
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster].append(r)
+    for members in by_cluster.values():
+        kept = [r for r in members if r.kept]
+        assert len(kept) == min(30, len(members))
+        ranks = sorted(r.pick_rank for r in members)
+        assert ranks == list(range(1, len(members) + 1))
