@@ -205,3 +205,55 @@ def test_j7_preaggregates_fact_to_order_grain(spark):
     # pre-aggregation keyed on l_orderkey exists
     assert any("HashAggregate" in ln and "l_orderkey" in ln
                for ln in plan.splitlines())
+
+
+def test_semdedup_pair_join_is_equi_not_cartesian(spark):
+    """SemDeDup's within-cluster pairwise stage must stay an equi-join
+    on cluster id (hash or broadcast) - a cartesian over the corpus is
+    the failure mode the k-means stage exists to prevent."""
+    from etl_pipeline_mini_project_01_spark.catalog import load_table
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import semdedup
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = semdedup(emb, k=4, iters=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan.split("isnull(_dropped_id")[0]
+
+
+def test_kmeans_update_agg_is_partial_final(spark):
+    """The k x dim centroid-sum aggregate must map-side combine: only
+    k x dim partial rows cross the wire per iteration."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_mini_project_01_spark.catalog import load_table
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        _assign,
+        _scaled,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents, dim = kmeans_fit(emb, k=4, iters=0)
+    x = _scaled(emb.select("vec_id", "embedding"), "embedding")
+    sums = (_assign(x, cents, dim).groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("xi", i + 1)).alias(f"s{i}")
+          for i in range(dim)]))
+    plan = sums._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_chunking_operator_is_shuffle_free(spark):
+    """chunk_documents is row-local (tokenize -> starts -> slice ->
+    posexplode): its plan must contain no Exchange at all."""
+    from etl_pipeline_mini_project_01_spark.catalog import load_table
+    from etl_pipeline_mini_project_01_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
