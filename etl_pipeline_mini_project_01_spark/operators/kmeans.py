@@ -82,13 +82,13 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     engine-exact per the module docstring. Empty clusters keep their
     previous centroid."""
     x = _scaled(emb.select(id_col, vec_col), vec_col)
-    dim = x.select(F.size("xd")).first()[0]
 
     init = (x.filter(F.col(id_col) < k)
             .select(id_col, "xd").orderBy(id_col).collect())
     if len(init) != k:
         raise ValueError(f"init needs {id_col} 0..{k - 1} present")
     cents = [list(r["xd"]) for r in init]
+    dim = len(cents[0])
 
     for _ in range(iters):
         sums = (_assign(x, cents, dim).groupBy("cluster").agg(
