@@ -131,6 +131,19 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "a12_daily_modal_event_type",
 )
 
+#: Round-4 rotation debt, precomputed: after the r3 driver run, these 23
+#: queries' newest green row is from ROUND 1 (not in r2's results, not
+#: in the r3 window above) - at WINDOW_ROUND=4 the staleness guard
+#: requires every one of them in the r4 window (leaving 27 slots for
+#: r4's new/changed code). The r4 builder starts here:
+#:   a1/a2/a3 scalar aggs, a7_dedup_keep_first, a8_null_profile,
+#:   a14_table_stats, dedup_exact, f1_html_clean, f2_json_array_ops,
+#:   f4_json_field_extraction, f5_json_roundtrip, f9_date_dimension,
+#:   f11_user_activity_age, f12_engagement_ratio, o1_global_sort,
+#:   o2_top_events, p2_time_window_cutoff, p6_normalized_documents,
+#:   p_clean_documents, p_clean_events, q1_pricing_summary,
+#:   sim_cosine_topk, x1_token_frequencies.
+
 
 def ordered_queries() -> dict[str, QueryFn]:
     """QUERIES reordered: CHECK_PRIORITY first, then registration order."""
