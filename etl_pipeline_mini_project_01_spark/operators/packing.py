@@ -54,6 +54,16 @@ def pack_into_shards(df: DataFrame, budget: int, key_col: str = "doc_id",
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = with_pid.withColumn("_local_sum",
                                 F.sum(token_col).over(w_local))
+    # PIN one materialization of the ranged relation. `local` feeds both
+    # the data side and the `totals` aggregate below; without this they
+    # are two separate executions of the same lineage, and the range
+    # exchange's SAMPLED boundaries need not agree between them when the
+    # upstream partitioning is AQE-shaped (observed at sf0.1 under the
+    # full mix chain: _pid disagreed between the join sides, corrupting
+    # the offsets). Any real prefix-sum implementation materializes the
+    # partitioned pass; at cluster scale swap localCheckpoint for a
+    # DISK_ONLY persist or a staged write.
+    local = local.localCheckpoint()
     # (groups x P)-row totals relation: cumulative offsets over partition
     # ids within each group.
     totals = (local.groupBy(*groups, "_pid")
