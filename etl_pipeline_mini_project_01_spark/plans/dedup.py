@@ -397,3 +397,88 @@ def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta-vs-corpus) near-dup - the daily-ingest shape
+# ---------------------------------------------------------------------------
+
+#: Every 5th document plays the "incoming batch"; the rest are the
+#: standing corpus. Deterministic, self-contained fixture split.
+_INCR_PRED = "doc_id % 5 = 0"
+
+_INCR_ORACLE = f"""
+WITH {{buckets}},
+{{cands}},
+toksets AS (
+    SELECT doc_id,
+           list_distinct(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                     x -> x <> '')) AS ts
+    FROM documents
+),
+cross_pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cands c
+    JOIN toksets a ON c.doc_a = a.doc_id
+    JOIN toksets b ON c.doc_b = b.doc_id
+    WHERE (c.doc_a % 5 = 0) <> (c.doc_b % 5 = 0)
+      AND len(list_intersect(a.ts, b.ts)) >=
+          0.5 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+),
+hits AS (
+    SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM cross_pairs GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(h.n_matches, 0) > 0 AS is_duplicate,
+       COALESCE(h.n_matches, CAST(0 AS BIGINT)) AS n_matches
+FROM (SELECT doc_id FROM documents WHERE {_INCR_PRED}) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "dedup_incremental",
+    oracle=_INCR_ORACLE.format(buckets=lsh_buckets_sql(),
+                               cands=_CANDIDATES_SQL),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus near-dup: flag each INCOMING document (fixture:
+    doc_id % 5 == 0) that token-Jaccard-duplicates a STANDING-corpus
+    document - the day-2 ingestion shape. Candidates come from the same
+    banded LSH equi-join, restricted to cross-set pairs, so the work is
+    |delta| x bucket-collision sized, never corpus x corpus. In
+    production the corpus side's (doc_id, band, bucket) relation is
+    PERSISTED (bucketed by (band, bucket)) and only the delta is
+    shingled+minhashed per batch - the join reads the delta's buckets
+    against the stored table; nothing else recomputes."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming_pred = F.col("doc_id") % 5 == 0
+    cands = lsh_candidates(lsh_buckets(docs))
+    cross = cands.where(
+        (F.col("doc_a") % 5 == 0) != (F.col("doc_b") % 5 == 0))
+    toksets = docs.select(
+        "doc_id", F.array_distinct(word_array("text")).alias("ts"))
+    ts_a = toksets.select(F.col("doc_id").alias("doc_a"),
+                          F.col("ts").alias("ts_a"))
+    ts_b = toksets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union_sz = F.size("ts_a") + F.size("ts_b") - inter
+    passing = (cross.join(ts_a, "doc_a").join(ts_b, "doc_b")
+               .where(inter >= 0.5 * union_sz))
+    hits = (passing
+            .select(F.when(F.col("doc_a") % 5 == 0, F.col("doc_a"))
+                    .otherwise(F.col("doc_b")).alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_matches")))
+    return (docs.where(incoming_pred).select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    (F.coalesce("n_matches", F.lit(0)) > 0)
+                    .alias("is_duplicate"),
+                    F.coalesce("n_matches", F.lit(0)).cast("bigint")
+                    .alias("n_matches"))
+            .orderBy("doc_id"))
