@@ -137,7 +137,9 @@ def temperature_sample(docs: DataFrame, scale: int = 10_000,
     bucket = F.pmod(
         md5_32(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
         F.lit(scale))
+    # Dataframe-qualified selects: with domain_col == "domain" the bare
+    # column name would be ambiguous against the rates relation's key.
     return (docs.join(F.broadcast(rates),
-                      docs[domain_col] == rates.domain)
-            .where(bucket < F.col("keep_per_scale"))
-            .select(*docs.columns))
+                      docs[domain_col] == rates["domain"])
+            .where(bucket < rates["keep_per_scale"])
+            .select(*[docs[c] for c in docs.columns]))

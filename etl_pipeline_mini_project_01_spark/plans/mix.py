@@ -283,3 +283,72 @@ def training_mix_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  num_partitions=8)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-mix rebalance as a driver row (operators/mix.py E31)
+# ---------------------------------------------------------------------------
+
+_TMIX_SCALE = 10_000
+#: The fixture's `source` domains are uniform (the mix would be a no-op),
+#: so the query derives a deterministic 4:2:1-skewed domain from doc_id -
+#: head gets downsampled to ~1/2, mid to ~1/sqrt(2), tail kept whole.
+_TMIX_DOMAIN_SQL = ("CASE WHEN doc_id % 7 < 4 THEN 'head' "
+                    "WHEN doc_id % 7 < 6 THEN 'mid' ELSE 'tail' END")
+_tmix_hash = md5_32_sql("'tmix|' || CAST(doc_id AS VARCHAR)")
+
+_TMIX_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, {_TMIX_DOMAIN_SQL} AS domain FROM documents
+),
+counts AS (
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY 1
+),
+rates AS (
+    SELECT domain, n_docs,
+           CAST(floor(CAST({_TMIX_SCALE} AS DOUBLE)
+                      * sqrt(CAST((SELECT MIN(n_docs) FROM counts) AS DOUBLE)
+                             / CAST(n_docs AS DOUBLE))) AS BIGINT)
+               AS keep_per_scale
+    FROM counts
+),
+sampled AS (
+    SELECT d.domain, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM d JOIN rates r USING (domain)
+    WHERE {_tmix_hash} % {_TMIX_SCALE} < r.keep_per_scale
+    GROUP BY 1
+)
+SELECT r.domain, r.n_docs, r.keep_per_scale,
+       COALESCE(s.n_sampled, CAST(0 AS BIGINT)) AS n_sampled
+FROM rates r LEFT JOIN sampled s USING (domain)
+ORDER BY r.domain
+"""
+
+
+@register("temperature_mix_counts", oracle=_TMIX_ORACLE)
+def temperature_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-temperature (alpha=0.5) domain rebalance as one auditable
+    relation (operators/mix.py temperature_mix_rates + temperature_sample):
+    per-domain corpus count, the integer keep-threshold
+    floor(scale*sqrt(min_n/n)), and how many documents the deterministic
+    hash sampling actually kept. alpha is pinned at 0.5 so every float op
+    (one division, one sqrt, one multiply, floor) is correctly-rounded
+    IEEE - engine-exact, hence the hash-checked oracle."""
+    from ..operators.mix import temperature_mix_rates, temperature_sample
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .withColumn("domain",
+                        F.when(F.col("doc_id") % 7 < 4, "head")
+                        .when(F.col("doc_id") % 7 < 6, "mid")
+                        .otherwise("tail")))
+    rates = temperature_mix_rates(docs, scale=_TMIX_SCALE,
+                                  domain_col="domain")
+    n_sampled = (temperature_sample(docs, scale=_TMIX_SCALE,
+                                    domain_col="domain", salt="tmix|")
+                 .groupBy("domain")
+                 .agg(F.count(F.lit(1)).alias("n_sampled")))
+    return (rates.join(n_sampled, "domain", "left")
+            .select("domain", "n_docs", "keep_per_scale",
+                    F.coalesce("n_sampled", F.lit(0)).cast("bigint")
+                    .alias("n_sampled"))
+            .orderBy("domain"))

@@ -81,10 +81,10 @@ WINDOW_ROUND = 3
 #: twin vouches for the shared keep-first machinery); their r1 rows
 #: keep them inside the staleness budget until the round-4 rotation.
 #: kmeans_embedding_clusters, semdedup_prune, sample_cluster_balanced,
-#: and dedup_incremental (new this round) evict four more carries
-#: (p6_normalized_documents, a14_table_stats, p_clean_events,
-#: a12_daily_modal_event_type - all r1-green, unchanged code, re-check
-#: r4).
+#: dedup_incremental, and temperature_mix_counts (new this round) evict
+#: five more carries (p6_normalized_documents, a14_table_stats,
+#: p_clean_events, a12_daily_modal_event_type, a5_latest_user_snapshot -
+#: all r1-green, unchanged code, re-check r4).
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- fixed / changed this round (need fresh green) -------------------
     "mm_decode_features",             # r2's only err row: scalar bins + oracle
@@ -118,7 +118,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "semdedup_prune",                 # SemDeDup over the k-means clusters
     "sample_cluster_balanced",        # per-cluster diversity quota
     "dedup_incremental",              # delta-vs-corpus near-dup
-    # -- oldest round-1 greens, rotated back in (27 of 44) ---------------
+    "temperature_mix_counts",         # sqrt-temperature rebalance audit
+    # -- oldest round-1 greens, rotated back in (26 of 44) ---------------
     "g6_daily_event_trends", "g3_account_influence",
     "g4_hashtag_performance", "g5_hourly_posting_patterns",
     "g7_viral_content",
@@ -128,16 +129,16 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "m2_idempotent_dim_insert", "m4_surrogate_keys", "m5_orphan_cleanup",
     "silver_fact_build",
     "w1_user_engagement_rank", "w2_user_daily_value_change",
-    "a5_latest_user_snapshot",
     "a6_dedup_latest_version",
 )
 
-#: Round-4 rotation debt, precomputed: after the r3 driver run, these 24
+#: Round-4 rotation debt, precomputed: after the r3 driver run, these 25
 #: queries' newest green row is from ROUND 1 (not in r2's results, not
 #: in the r3 window above) - at WINDOW_ROUND=4 the staleness guard
-#: requires every one of them in the r4 window (leaving 26 slots for
+#: requires every one of them in the r4 window (leaving 25 slots for
 #: r4's new/changed code). The r4 builder starts here:
-#:   a1/a2/a3 scalar aggs, a7_dedup_keep_first, a8_null_profile,
+#:   a1/a2/a3 scalar aggs, a5_latest_user_snapshot,
+#:   a7_dedup_keep_first, a8_null_profile,
 #:   a12_daily_modal_event_type,
 #:   a14_table_stats, dedup_exact, f1_html_clean, f2_json_array_ops,
 #:   f4_json_field_extraction, f5_json_roundtrip, f9_date_dimension,
