@@ -6,9 +6,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 The set runs $SPARK_GRAFT_BENCH_RUNS times (default 2) so cold-JVM and
 steady-state cost separate cleanly: "value"/"queries" report the LAST
 (warm) iteration - the number that reflects plan cost, not codegen
-warm-up - while "runs" carries every iteration's per-query timings and
-"cold_total" the first pass, so round-over-round deltas attribute to
-plan changes rather than JVM state.
+warm-up - while "cold_total" carries the first pass, so round-over-round
+deltas attribute to plan changes rather than JVM state.
+
+Output hygiene (VERDICT r3 #8 - the driver's tail-scrape kept recording
+"parsed": null): the stdout line is COMPACT (no per-run breakdown) and
+printed last with console progress bars disabled, so it survives a
+bounded log tail; the full detail (every run's per-query timings)
+lands in $SPARK_GRAFT_BENCH_OUT (default bench_out.json next to this
+file) for tooling that wants more than the driver records.
 """
 
 from __future__ import annotations
@@ -59,7 +65,8 @@ def _consume(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     registry.load_all_plans()
@@ -81,17 +88,32 @@ def main() -> None:
         runs.append(timings)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    compact = {
         "metric": "headline_query_set_wall_sec",
         "value": round(sum(runs[-1].values()), 3),
         "unit": "sec",
         "queries": runs[-1],
-        "runs": [{"run": i + 1, "total": round(sum(t.values()), 3),
-                  "queries": t} for i, t in enumerate(runs)],
         "cold_total": round(sum(runs[0].values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    detail = {**compact,
+              "runs": [{"run": i + 1, "total": round(sum(t.values()), 3),
+                        "queries": t} for i, t in enumerate(runs)]}
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_out.json"))
+    try:
+        with open(out_path, "w", encoding="utf-8") as fh:
+            json.dump(detail, fh)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line below is still complete
     spark.stop()
+    # Printed AFTER spark.stop() so no executor/log line can interleave
+    # with or follow it - the driver parses the last stdout line.
+    sys.stdout.flush()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -21,21 +21,51 @@ partial sums):
     float);
   * centroid components mu = s / (n * 2^20) are ONE correctly-rounded
     IEEE division of exactly-representable integers - bit-identical in
-    Python, Spark, and DuckDB;
-  * distances fold over dims in fixed index order from a 0.0 accumulator
-    (F.aggregate here, list_reduce(list_prepend(0.0, ...)) in the
-    oracle): same operation sequence, same roundings, bit-identical
-    doubles; argmin ties break on the lowest centroid id.
+    Python, Spark, and DuckDB while |s| < 2^53 (see SCALE note on the
+    module constant below);
+  * distances accumulate over dims in fixed index order from a 0.0
+    accumulator; argmin ties break on the lowest centroid id. Two
+    kernels implement the identical operation sequence:
+      - 'vectorized' (default): an Arrow-batched pandas_udf doing
+        per-dim numpy column ops - vectorized ACROSS rows, sequential
+        ACROSS dims, so every row's float64 rounding sequence is
+        exactly the fold's (IEEE ops are deterministic; only order
+        matters, and the order is pinned);
+      - 'fold': the pure-SQL F.aggregate higher-order fold, mirrored
+        1:1 by the oracle's list_reduce(list_prepend(0.0, ...)).
+    tests/test_kmeans.py asserts the two kernels agree bit-for-bit;
+    the fold is the auditable spec, the pandas_udf is the 100 TB path
+    (interpreted HOF lambdas never reach whole-stage codegen - per-row
+    cost is k x dim expression-tree walks, ~100x the Arrow batch).
+
+Deterministic seeding: the k initial centroids are the rows with the k
+smallest md5('seed|' || id) digests (ties -> lowest id), numbered
+0..k-1 in that hash order. Hash-keyed (not positional), so seeding
+works on any id distribution - sparse, negative, non-contiguous - and
+is reproducible across engines, retries, and partitionings; the oracle
+replays the same TOP-k-by-md5 selection in SQL.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-#: 2^20: multiplying a double by it only shifts the exponent (exact), and
-#: component sums stay far inside BIGINT for corpora up to ~2^43 rows.
+#: 2^20: multiplying a double by it only shifts the exponent (exact).
+#: BIGINT component sums are exact up to ~2^43 rows per cluster; the
+#: stricter ORACLE-parity bound is |sum| < 2^53 (~2^33 rows at unit-scale
+#: components), because the DuckDB twin casts the BIGINT sum to DOUBLE
+#: before dividing - exact only below 2^53 - while kmeans_fit divides the
+#: Python ints exactly. Inside 2^53 both are the same single correctly-
+#: rounded division; beyond it the engine is still exact but the oracle
+#: would drift, so driver-checked fixtures must stay under that bound.
 SCALE = 1 << 20
+
+#: Default assignment kernel; tests flip this to cross-check bit-equality.
+DEFAULT_KERNEL = "vectorized"
 
 
 def _scaled(emb: DataFrame, vec_col: str) -> DataFrame:
@@ -49,6 +79,12 @@ def _scaled(emb: DataFrame, vec_col: str) -> DataFrame:
                 "xi", lambda v: v.cast("double") / SCALE)))
 
 
+def _seed_key(id_col: str):
+    """md5-derived seed-selection key (hex strings order identically in
+    Spark, Python, and DuckDB - plain ASCII lexicographic)."""
+    return F.md5(F.concat(F.lit("seed|"), F.col(id_col).cast("string")))
+
+
 def _dist(cent: list[float], dim: int):
     """Squared euclidean distance of xd to a literal centroid, folded in
     dim order from 0.0. xd is a materialized COLUMN (not a rebuilt
@@ -60,9 +96,10 @@ def _dist(cent: list[float], dim: int):
                        * (F.element_at("xd", i) - F.element_at(arr, i)))
 
 
-def _assign(df: DataFrame, cents: list[list[float]], dim: int) -> DataFrame:
-    """Adds `cluster` (argmin centroid, ties -> lowest id) and
-    `centroid_dist` (the winning squared distance) to a _scaled frame."""
+def _assign_fold(df: DataFrame, cents: list[list[float]],
+                 dim: int) -> DataFrame:
+    """Fold-kernel assignment: argmin centroid (ties -> lowest id) +
+    winning squared distance, as interpreted HOF expressions."""
     dists = F.array(*[_dist(c, dim) for c in cents])
     return (df.withColumn("_d", dists)
             .withColumn("cluster",
@@ -72,26 +109,78 @@ def _assign(df: DataFrame, cents: list[list[float]], dim: int) -> DataFrame:
             .drop("_d"))
 
 
+def _assign_vectorized(df: DataFrame, cents: list[list[float]],
+                       dim: int) -> DataFrame:
+    """Arrow-batched assignment kernel: one pandas_udf call per batch,
+    k x dim numpy COLUMN operations instead of per-row interpreted
+    expression trees (~100x per row; the SCALE.md hot-kernel fix).
+
+    Bit-exact with _assign_fold by construction: for each centroid the
+    accumulator starts at 0.0 and adds (xd[i]-c[i])^2 in dim index
+    order - numpy elementwise float64 ops are the same correctly-rounded
+    IEEE ops the fold performs, just batched across rows - and
+    np.argmin's first-minimum matches array_position(array_min)'s
+    lowest-index tie-break.
+    """
+    cmat = np.array([[float(v) for v in c] for c in cents],
+                    dtype=np.float64)
+
+    @pandas_udf("cluster bigint, centroid_dist double")
+    def assign(xd: pd.Series) -> pd.DataFrame:
+        mat = np.stack(xd.to_numpy())            # n x dim float64
+        n = mat.shape[0]
+        dmat = np.empty((n, cmat.shape[0]), dtype=np.float64)
+        for j in range(cmat.shape[0]):
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(dim):                 # fold order: dims ascending
+                d = mat[:, i] - cmat[j, i]
+                acc = acc + d * d
+            dmat[:, j] = acc
+        cluster = np.argmin(dmat, axis=1)        # first min == lowest cid
+        return pd.DataFrame({
+            "cluster": cluster.astype(np.int64),
+            "centroid_dist": dmat[np.arange(n), cluster]})
+
+    return (df.withColumn("_a", assign("xd"))
+            .withColumn("cluster", F.col("_a.cluster"))
+            .withColumn("centroid_dist", F.col("_a.centroid_dist"))
+            .drop("_a"))
+
+
+def _assign(df: DataFrame, cents: list[list[float]], dim: int,
+            kernel: str | None = None) -> DataFrame:
+    """Adds `cluster` (argmin centroid, ties -> lowest id) and
+    `centroid_dist` (the winning squared distance) to a _scaled frame,
+    via the chosen kernel (module DEFAULT_KERNEL when None)."""
+    kernel = kernel or DEFAULT_KERNEL
+    if kernel == "vectorized":
+        return _assign_vectorized(df, cents, dim)
+    if kernel == "fold":
+        return _assign_fold(df, cents, dim)
+    raise ValueError(f"unknown kernel: {kernel}")
+
+
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
-               id_col: str = "vec_id",
-               vec_col: str = "embedding") -> tuple[list[list[float]], int]:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               kernel: str | None = None) -> tuple[list[list[float]], int]:
     """Run `iters` Lloyd's updates and return (centroids, dim) - the
-    driver-resident model. Deterministic: init centroids are the rows
-    with id_col 0..k-1 (they must exist), the iteration count is fixed
-    (no data-dependent convergence branch), and every arithmetic step is
-    engine-exact per the module docstring. Empty clusters keep their
-    previous centroid."""
+    driver-resident model. Deterministic: init centroids are the k rows
+    with the smallest md5('seed|' || id) digests (ties -> lowest id,
+    numbered 0..k-1 in hash order - no assumption about the id space),
+    the iteration count is fixed (no data-dependent convergence branch),
+    and every arithmetic step is engine-exact per the module docstring.
+    Empty clusters keep their previous centroid."""
     x = _scaled(emb.select(id_col, vec_col), vec_col)
 
-    init = (x.filter(F.col(id_col) < k)
-            .select(id_col, "xd").orderBy(id_col).collect())
+    init = (x.select(id_col, "xd", _seed_key(id_col).alias("_sk"))
+            .orderBy("_sk", id_col).limit(k).collect())
     if len(init) != k:
-        raise ValueError(f"init needs {id_col} 0..{k - 1} present")
+        raise ValueError(f"k={k} seeds need >= k rows, got {len(init)}")
     cents = [list(r["xd"]) for r in init]
     dim = len(cents[0])
 
     for _ in range(iters):
-        sums = (_assign(x, cents, dim).groupBy("cluster").agg(
+        sums = (_assign(x, cents, dim, kernel).groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
             *[F.sum(F.element_at("xi", i + 1)).alias(f"s{i}")
               for i in range(dim)]))
@@ -105,24 +194,25 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
 
 
 def kmeans_transform(emb: DataFrame, cents: list[list[float]], dim: int,
-                     id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     kernel: str | None = None) -> DataFrame:
     """(id_col, cluster, centroid_dist) for a fitted model: one map-side
     pass, no shuffle. Because `cents` are plain literals, every call
     builds an INDEPENDENT plan - so two transforms of the same input can
     be self-joined without tripping Spark's lambda-variable rebinding on
     deduplicated higher-order-function subplans."""
     x = _scaled(emb.select(id_col, vec_col), vec_col)
-    return _assign(x, cents, dim).select(id_col, "cluster", "centroid_dist")
+    return (_assign(x, cents, dim, kernel)
+            .select(id_col, "cluster", "centroid_dist"))
 
 
 def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
-                  id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  kernel: str | None = None) -> DataFrame:
     """(id_col, cluster, cluster_size): fit + final assignment."""
-    cents, dim = kmeans_fit(emb, k, iters, id_col, vec_col)
+    cents, dim = kmeans_fit(emb, k, iters, id_col, vec_col, kernel)
     w = Window.partitionBy("cluster")
-    return (kmeans_transform(emb, cents, dim, id_col, vec_col)
+    return (kmeans_transform(emb, cents, dim, id_col, vec_col, kernel)
             .select(id_col, "cluster",
                     F.count(F.lit(1)).over(w).alias("cluster_size"))
             )

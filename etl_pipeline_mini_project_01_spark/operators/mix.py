@@ -18,9 +18,12 @@ end-to-end in tests/test_training_mix.py.
 Scale notes: the chain's shuffles are (1) the LSH candidate equi-join +
 CC rounds from the cluster stage, (2) one doc_id join per annotation
 (split, decontamination verdict), (3) the range partition inside the
-packer. Nothing materializes on the driver; the orchestration is ONE
-lazy plan - the packer groups on split, so the chain never re-runs
-per split.
+packer. Nothing materializes on the driver; the orchestration is one
+plan with two deliberate materialization pins - the CC rounds'
+per-round localCheckpoints and the packer's eager range-partition
+checkpoint (operators/packing.py explains why the latter must be
+eager: a lazy pin re-opens the range-boundary resampling race) - and
+the packer groups on split, so the chain never re-runs per split.
 """
 
 from __future__ import annotations

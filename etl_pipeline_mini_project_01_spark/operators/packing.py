@@ -62,7 +62,12 @@ def pack_into_shards(df: DataFrame, budget: int, key_col: str = "doc_id",
     # full mix chain: _pid disagreed between the join sides, corrupting
     # the offsets). Any real prefix-sum implementation materializes the
     # partitioned pass; at cluster scale swap localCheckpoint for a
-    # DISK_ONLY persist or a staged write.
+    # DISK_ONLY persist or a staged write. Deliberately EAGER (the
+    # default): plan construction runs one Spark job up front, but a
+    # lazy checkpoint would let two downstream stages race to compute
+    # the uncheckpointed lineage - re-opening the exact boundary-
+    # resampling nondeterminism this pin exists to close. Callers'
+    # "one lazy plan" claims are qualified accordingly (operators/mix.py).
     local = local.localCheckpoint()
     # (groups x P)-row totals relation: cumulative offsets over partition
     # ids within each group.

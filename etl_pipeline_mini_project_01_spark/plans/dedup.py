@@ -131,10 +131,33 @@ buckets AS (
 )"""
 
 
-_CANDIDATES_SQL = """cands AS (
+#: Skew guard: a (band, bucket) group larger than this is salt-split
+#: into ceil(n / cap) sub-buckets before pairing. Far above any fixture
+#: bucket (max observed: 8 at sf0.1), so it only ever fires on
+#: degenerate content (boilerplate shingles) - the case that would
+#: otherwise make one join group quadratic at 100 TB.
+LSH_BUCKET_CAP = 64
+
+#: Salted twin of :func:`lsh_candidates`'s guard. nsplits = 1+(n-1)//cap
+#: (pure integer arithmetic in both engines); the salt is the md5-derived
+#: 32-bit doc hash mod nsplits, so sub-bucket membership is deterministic
+#: in doc_id alone and identical cross-engine.
+_CANDIDATES_SQL = f"""bsalted AS (
+    SELECT doc_id, band, bucket,
+           list_reduce(list_transform(
+               string_split(substr(md5('bsalt|' || CAST(doc_id AS VARCHAR)),
+                                   1, 8), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (x, y) -> x * 16 + y)
+           % (1 + (COUNT(*) OVER (PARTITION BY band, bucket) - 1)
+              // {LSH_BUCKET_CAP}) AS salt
+    FROM buckets
+),
+cands AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM buckets a
-    JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+    FROM bsalted a
+    JOIN bsalted b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.salt = b.salt
                   AND a.doc_id < b.doc_id
 )"""
 
@@ -203,14 +226,41 @@ def lsh_buckets(docs: DataFrame, k: int = MINHASH_K,
                     F.col("bb.bucket").alias("bucket")))
 
 
-def lsh_candidates(buckets: DataFrame) -> DataFrame:
+def lsh_candidates(buckets: DataFrame,
+                   bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """Distinct (doc_a, doc_b) candidate pairs: equi-join on (band,
     bucket) - pairs only form inside identical LSH buckets, the property
-    that keeps near-dup sub-quadratic at 100 TB."""
-    a, b = buckets.alias("a"), buckets.alias("b")
+    that keeps near-dup sub-quadratic at 100 TB.
+
+    Skew guard (the classic LSH blow-up: one boilerplate-shingle bucket
+    holding a huge fraction of the corpus makes that join group
+    quadratic): any (band, bucket) group larger than `bucket_cap` is
+    salt-split into ceil(n / cap) sub-buckets keyed on a salted md5 of
+    the doc_id, bounding every join group's pair count at ~n * cap
+    instead of n^2. The split is computed with a window count over the
+    SAME (band, bucket) partitioning the self-join shuffles on, so the
+    guard adds no extra exchange of the buckets relation. Recall
+    tradeoff: pairs landing in different salt shards of an oversized
+    bucket are lost in THAT band only - other bands (and for true
+    near-dups, most bands) still catch them; fixture buckets never
+    exceed the cap, so driver-checked outputs are unchanged
+    (tests/test_dedup_quality.py pins the degenerate-corpus bound)."""
+    from pyspark.sql import Window
+
+    n = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    nsplits = F.expr(f"1 + ((_n - 1) div {bucket_cap})")
+    salt_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bsalt|"), F.col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("bigint")
+    salted = (buckets.withColumn("_n", n)
+              .withColumn("salt", F.pmod(salt_hash, nsplits))
+              .drop("_n"))
+    a, b = salted.alias("a"), salted.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.salt") == F.col("b.salt"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))

@@ -382,7 +382,14 @@ xd AS (
     FROM x
 ),
 dims AS (SELECT unnest(range(1, {dim1})) AS i),
-c0 AS (SELECT vec_id AS cid, xd AS c FROM xd WHERE vec_id < {k})"""]
+c0 AS (
+    SELECT cid, c FROM (
+        SELECT row_number() OVER (
+                   ORDER BY md5('seed|' || CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cid,
+               xd AS c
+        FROM xd)
+    WHERE cid < {k})"""]
     cents = "c0"
     for t in range(1, iters + 1):
         assign = _KM_ASSIGN.format(dim1=dim1, cents=cents)
@@ -424,8 +431,9 @@ _KM_ORACLE = _km_oracle(_KM_ITERS)
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings table
     (operators/kmeans.py): k={k} clusters, 2 fixed centroid updates,
-    first-k-rows init. The SemDeDup/domain-discovery primitive; the
-    oracle replays both iterations in SQL - possible only because every
+    k-smallest-md5(id) init (works on any id space, no contiguity
+    assumption). The SemDeDup/domain-discovery primitive; the oracle
+    replays both iterations in SQL - possible only because every
     arithmetic step is integer-exact or a single correctly-rounded IEEE
     op (see the operator docstring)."""
     from ..operators.kmeans import kmeans_assign

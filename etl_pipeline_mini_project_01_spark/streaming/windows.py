@@ -32,8 +32,11 @@ _EVENTS_STREAM_SCHEMA_TMPL = (
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     harden(spark)
     # Streaming sources need an explicit schema; probe the parquet footer
-    # (metadata-only batch read) for the stored `ts` type first.
-    stored = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    # (metadata-only batch read) for the stored `ts` type first - via the
+    # SAME glob the stream uses, so probe and stream always see the same
+    # files even if a future generation shards to events-*.parquet.
+    stored = dict(spark.read.option("pathGlobFilter", "events*.parquet")
+                  .parquet(sf_dir).dtypes)["ts"]
     ts_is_int64 = stored == "bigint"
     # LTZ (session tz = UTC), not NTZ: event-time watermarks require
     # TIMESTAMP type; values are identical under the pinned UTC session.

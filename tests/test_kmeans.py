@@ -63,6 +63,51 @@ def test_iterations_do_not_increase_inertia(spark, emb):
     assert inertia(2) <= inertia(0) + 1e-9
 
 
+def test_kernels_bit_identical(spark, emb):
+    """The Arrow-batched numpy kernel must agree with the interpreted
+    fold EXACTLY - same centroids (the fit consumes assignments) and
+    bit-equal centroid distances - because both accumulate squared
+    diffs in dim order from 0.0 with the same IEEE float64 ops."""
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_transform,
+    )
+
+    sub = emb.limit(120)
+    cents_v, dim_v = kmeans_fit(sub, k=3, iters=2, kernel="vectorized")
+    cents_f, dim_f = kmeans_fit(sub, k=3, iters=2, kernel="fold")
+    assert (dim_v, cents_v) == (dim_f, cents_f)
+
+    tv = sorted((r.vec_id, r.cluster, r.centroid_dist) for r in
+                kmeans_transform(sub, cents_v, dim_v,
+                                 kernel="vectorized").collect())
+    tf = sorted((r.vec_id, r.cluster, r.centroid_dist) for r in
+                kmeans_transform(sub, cents_f, dim_f,
+                                 kernel="fold").collect())
+    assert tv == tf  # exact float equality, not approx
+
+
+def test_seeding_handles_sparse_noncontiguous_ids(spark, emb):
+    """md5-keyed seeding must not assume ids 0..k-1 exist (VERDICT r3
+    weak #3): shifting/spreading the id space still fits and assigns
+    every row."""
+    sparse = emb.withColumn("vec_id", F.col("vec_id") * 7 + 1_000_003)
+    out = kmeans_assign(sparse, k=4, iters=1)
+    n = sparse.count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+
+
+def test_seeding_is_id_distribution_keyed_not_positional(spark, emb):
+    """Same rows under different partitionings -> identical seeds ->
+    identical model (collect order must not leak into the model)."""
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import kmeans_fit
+
+    a, _ = kmeans_fit(emb.repartition(1), k=4, iters=1)
+    b, _ = kmeans_fit(emb.repartition(9), k=4, iters=1)
+    assert a == b
+
+
 def test_cluster_label_purity_beats_random(spark, emb):
     """The fixture embeddings carry a ground-truth `label`; k-means with
     k = n_labels must produce clusters whose majority-label purity beats

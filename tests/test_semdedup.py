@@ -77,6 +77,21 @@ def test_partition_count_invariant(spark, emb):
     assert outs[0] == outs[1]
 
 
+def test_pair_dot_kernels_bit_identical(spark, emb):
+    """Vectorized (numpy) and fold (HOF) SemDeDup runs must emit the
+    SAME verdict relation - the pair dot accumulates in the same order,
+    so even threshold-adjacent pairs cannot flip between kernels."""
+    base = sorted(
+        (r.vec_id, r.cluster, r.kept)
+        for r in semdedup(emb, k=K, iters=ITERS, threshold=TAU,
+                          kernel="vectorized").collect())
+    fold = sorted(
+        (r.vec_id, r.cluster, r.kept)
+        for r in semdedup(emb, k=K, iters=ITERS, threshold=TAU,
+                          kernel="fold").collect())
+    assert base == fold
+
+
 def test_cluster_balanced_sample_quota(spark, emb):
     """sample_cluster_balanced: exactly min(quota, cluster_size) kept
     per cluster, ranks dense from 1, verdicts deterministic."""
