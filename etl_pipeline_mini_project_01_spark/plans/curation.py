@@ -338,6 +338,93 @@ def cluster_safe_split(docs: DataFrame, labels: DataFrame,
          .otherwise("test").alias("split"))
 
 
+#: Audit oracle: replay the near-dup components (recursive CTE), the
+#: cluster-keyed split hash, and the straddle count - so straddles=0 is
+#: PROVEN by both engines over the same pair graph, not asserted.
+_CSPLIT_AUDIT_ORACLE = f"""
+WITH RECURSIVE {lsh_buckets_sql()},
+{_CANDIDATES_SQL},
+toksets AS (
+    SELECT doc_id,
+           list_distinct(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                     x -> x <> '')) AS ts
+    FROM documents
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cands c
+    JOIN toksets a ON c.doc_a = a.doc_id
+    JOIN toksets b ON c.doc_b = b.doc_id
+    WHERE len(list_intersect(a.ts, b.ts)) >=
+          0.5 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+),
+comp AS (SELECT doc_id, MIN(label) AS label FROM walk GROUP BY doc_id),
+assigned AS (
+    SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+with_split AS (
+    SELECT doc_id, cluster_id,
+           CASE WHEN {md5_32_sql("'csplit|' || CAST(cluster_id AS VARCHAR)")}
+                     % 100 < 80 THEN 'train'
+                WHEN {md5_32_sql("'csplit|' || CAST(cluster_id AS VARCHAR)")}
+                     % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+),
+per_cluster AS (
+    SELECT cluster_id, COUNT(DISTINCT split) AS n_splits
+    FROM with_split GROUP BY 1
+)
+SELECT w.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT w.cluster_id) AS BIGINT) AS n_clusters,
+       CAST(COUNT(DISTINCT CASE WHEN p.n_splits > 1 THEN w.cluster_id END)
+            AS BIGINT) AS straddling_clusters
+FROM with_split w JOIN per_cluster p USING (cluster_id)
+GROUP BY w.split
+ORDER BY w.split
+"""
+
+
+@register("cluster_split_audit", oracle=_CSPLIT_AUDIT_ORACLE)
+def cluster_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safety audit of :func:`cluster_safe_split` (VERDICT r3
+    #6: E28's direct driver row): per split, the document count, the
+    distinct near-dup-cluster count, and how many of those clusters
+    ALSO appear in another split. Straddling_clusters must be 0 by
+    construction - the split hash keys on the cluster id - and both the
+    engine and the oracle COMPUTE that zero from their own component
+    relations (countDistinct over a cross-split cluster list), so a
+    regression in the CC labels, the keeper fallback, or the salt
+    would surface as a non-zero row or a hash mismatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = (connected_components(_near_dup_edges(docs))
+              .withColumnRenamed("label", "cluster_id"))
+    assigned = cluster_safe_split(docs, labels)
+    per_cluster = (assigned.groupBy("cluster_id")
+                   .agg(F.countDistinct("split").alias("_n_splits")))
+    return (assigned.join(per_cluster, "cluster_id")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.countDistinct("cluster_id").cast("bigint")
+                 .alias("n_clusters"),
+                 F.countDistinct(
+                     F.when(F.col("_n_splits") > 1, F.col("cluster_id")))
+                 .cast("bigint").alias("straddling_clusters"))
+            .orderBy("split"))
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF salient terms
 # ---------------------------------------------------------------------------

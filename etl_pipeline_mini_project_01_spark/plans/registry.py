@@ -59,93 +59,75 @@ _PLAN_MODULES = (
 #: exist - so the test's verdict is stable across the moment the current
 #: round's results land, and flips red exactly when a new round starts
 #: without the window being rebuilt.
-WINDOW_ROUND = 3
+WINDOW_ROUND = 4
 
 
 #: Driver-check priority: the grading driver verifies only the FIRST 50
-#: registered queries each round. Round-3 window = (a) every query that
-#: is new, never-checked, or whose implementing code changed this round,
-#: then (b) the oldest round-1-green carries, rotated back in so no
-#: query's driver row goes stale beyond 2 rounds
-#: (tests/test_entry.py::test_no_query_staler_than_two_rounds enforces
-#: this against the CORRECTNESS_r*.json history). The 14 round-1 carries
-#: that do not fit (f2/f4 json twins, a1/a2/a3 scalar aggs, o1/o2 sorts,
-#: p2/p_clean_documents, f9/f11 date ops, f12 ratio, a8 profile,
-#: f1_html_clean - evicted late in round 3 for the code-changed
-#: dedup_simhash, whose r2 row stopped vouching after the wide-agg
-#: rework) plus the unchanged round-2 greens rotate in next round. The
-#: five mix/interval-join registrations plus s9_ddl_catalog (new code -
-#: they need FIRST driver rows) evict six more r1-green carries
-#: (f5_json_roundtrip, x1_token_frequencies, q1_pricing_summary,
-#: dedup_exact, sim_cosine_topk, a7_dedup_keep_first - a6's window
-#: twin vouches for the shared keep-first machinery); their r1 rows
-#: keep them inside the staleness budget until the round-4 rotation.
-#: kmeans_embedding_clusters, semdedup_prune, sample_cluster_balanced,
-#: dedup_incremental, and temperature_mix_counts (new this round) evict
-#: five more carries (p6_normalized_documents, a14_table_stats,
-#: p_clean_events, a12_daily_modal_event_type, a5_latest_user_snapshot -
-#: all r1-green, unchanged code, re-check r4).
+#: registered queries each round. Round-4 window = (a) the two NEW
+#: registrations (first driver rows), (b) every query whose implementing
+#: code changed this round - the k-means family (md5 seeding + the
+#: vectorized assignment kernel changed both the engine output and the
+#: oracles) and the whole LSH-candidate-consuming family (the bucket-skew
+#: salt guard rewrote lsh_candidates and its oracle twin _CANDIDATES_SQL)
+#: - then (c) all 25 queries whose only green row is from round 1 (the
+#: precomputed r4 rotation debt; the staleness guard
+#: tests/test_entry.py::test_no_query_staler_than_two_rounds fails at
+#: WINDOW_ROUND=4 without them), and (d) 12 of the 39 round-2-only
+#: greens, oldest-evidence families first (gold/SCD flagships, the
+#: streaming + sessionization bench headliners, the similarity family
+#: adjacent to this round's ANN work, and the curation split siblings).
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- fixed / changed this round (need fresh green) -------------------
-    "mm_decode_features",             # r2's only err row: scalar bins + oracle
-    "u2_sentiment_inference",         # new per-row oracle, exact-rational score
-    "stream_stateful_running_totals",  # new oracle, decimal-scaled state
-    "a11_approx_distinct",            # new within-2pct verdict surface
-    "f1_html_entities",               # astral decimal-entity guard
-    "dedup_minhash_lsh",              # short-doc shingle guard + wide-agg rework
-    "dedup_ngram_jaccard",            # shingle guard + broadcast hint dropped
-    "dedup_editdistance_pairs",       # shingle guard + broadcast hint dropped
-    "dedup_simhash",                  # wide-agg rework (32 vote sums, no explode)
-    "dedup_clusters",                 # large-star/small-star components
-    "stream_file_sink_counts",        # per-run scratch isolation
-    # -- never driver-checked / new this round ---------------------------
-    "sample_stratified",
-    "topk_per_group_docs",
-    "curation_docs_ledger",
-    "curation_funnel",
-    "day2_incremental_counts",        # incremental/compact/cluster invariants
-    "day2_schema_evolution",          # mergeSchema union-schema invariants
-    "text_gopher_quality",            # integer-scaled Gopher rules
-    "text_repetition",                # top-bigram repetition gate
-    "mm_image_resize",                # 8x8 resize plumbing, hex-exact oracle
-    "chunk_context_windows",          # context-window chunking (plans/mix.py)
-    "decontamination_scores",         # benchmark n-gram decontamination
-    "pack_token_shards",              # distributed-prefix-sum shard packing
-    "training_mix_shards",            # end-to-end curation chain
-    "stream_interval_join",           # stream-stream interval join
-    "s9_ddl_catalog",                 # S9 executor catalog inventory
-    "kmeans_embedding_clusters",      # integer-exact distributed Lloyd's
-    "semdedup_prune",                 # SemDeDup over the k-means clusters
-    "sample_cluster_balanced",        # per-cluster diversity quota
-    "dedup_incremental",              # delta-vs-corpus near-dup
-    "temperature_mix_counts",         # sqrt-temperature rebalance audit
-    # -- oldest round-1 greens, rotated back in (26 of 44) ---------------
-    "g6_daily_event_trends", "g3_account_influence",
-    "g4_hashtag_performance", "g5_hourly_posting_patterns",
-    "g7_viral_content",
-    "j1_change_detection", "j2_dimension_lookup", "j3_band_join",
-    "j4_anti_join_missing_fk", "j5_semi_join_cleanup",
-    "j7_star_join_region_revenue", "skew_salted_aggregate",
-    "m2_idempotent_dim_insert", "m4_surrogate_keys", "m5_orphan_cleanup",
-    "silver_fact_build",
-    "w1_user_engagement_rank", "w2_user_daily_value_change",
-    "a6_dedup_latest_version",
+    # -- new this round (need FIRST driver rows) -------------------------
+    "ann_multitable_recall",          # E24: recall@5 with full SQL ANN replay
+    "cluster_split_audit",            # E28: per-split leakage audit, 0 straddles
+    # -- code changed this round (old rows stopped vouching) -------------
+    "kmeans_embedding_clusters",      # md5 seeding + vectorized kernel
+    "semdedup_prune",                 # md5 seeding + vectorized pair-dot
+    "sample_cluster_balanced",        # rides the reseeded k-means model
+    "dedup_minhash_lsh",              # lsh_candidates bucket-skew salt guard
+    "dedup_ngram_jaccard",            # consumes guarded candidates
+    "dedup_editdistance_pairs",       # consumes guarded candidates
+    "dedup_incremental",              # consumes guarded candidates
+    "dedup_clusters",                 # CC over guarded candidate edges
+    "curation_docs_ledger",           # ledger composes the guarded CC
+    "curation_funnel",                # funnel over the same ledger
+    "training_mix_shards",            # end-to-end chain over guarded CC
+    # -- round-1-only greens: the precomputed r4 rotation debt (25) ------
+    "a1_language_distribution", "a2_event_type_distribution",
+    "a3_engagement_stats", "a5_latest_user_snapshot",
+    "a7_dedup_keep_first", "a8_null_profile",
+    "a12_daily_modal_event_type", "a14_table_stats",
+    "dedup_exact", "f1_html_clean", "f2_json_array_ops",
+    "f4_json_field_extraction", "f5_json_roundtrip", "f9_date_dimension",
+    "f11_user_activity_age", "f12_engagement_ratio",
+    "o1_global_sort", "o2_top_events",
+    "p2_time_window_cutoff", "p6_normalized_documents",
+    "p_clean_documents", "p_clean_events",
+    "q1_pricing_summary", "sim_cosine_topk", "x1_token_frequencies",
+    # -- oldest round-2-only greens, rotated back in (12 of 39) ----------
+    "g1_daily_engagement_summary", "g2_top_performing_content",
+    "m1_scd2_account_dim",
+    "sessionization_gaps", "stream_tumbling_counts",
+    "sim_lsh_buckets", "sim_ivf_probe_topk", "sim_embedding_near_dups",
+    "split_train_val_test", "tfidf_top_terms", "pii_redaction",
+    "text_quality_scores",
 )
 
-#: Round-4 rotation debt, precomputed: after the r3 driver run, these 25
-#: queries' newest green row is from ROUND 1 (not in r2's results, not
-#: in the r3 window above) - at WINDOW_ROUND=4 the staleness guard
-#: requires every one of them in the r4 window (leaving 25 slots for
-#: r4's new/changed code). The r4 builder starts here:
-#:   a1/a2/a3 scalar aggs, a5_latest_user_snapshot,
-#:   a7_dedup_keep_first, a8_null_profile,
-#:   a12_daily_modal_event_type,
-#:   a14_table_stats, dedup_exact, f1_html_clean, f2_json_array_ops,
-#:   f4_json_field_extraction, f5_json_roundtrip, f9_date_dimension,
-#:   f11_user_activity_age, f12_engagement_ratio, o1_global_sort,
-#:   o2_top_events, p2_time_window_cutoff, p6_normalized_documents,
-#:   p_clean_documents, p_clean_events, q1_pricing_summary,
-#:   sim_cosine_topk, x1_token_frequencies.
+#: Round-5 rotation debt, precomputed: after the r4 driver run, the 27
+#: round-2-only greens NOT in the window above will be two rounds old -
+#: at WINDOW_ROUND=5 the staleness guard requires all of them in the r5
+#: window (leaving 23 slots for r5's new/changed code):
+#:   asof_join_latest_order, digest_run_summary, dq_violation_summary,
+#:   mm_binary_metadata, mm_frame_sample, olap_cube_type_weekend,
+#:   olap_grouping_sets, olap_pivot_status_qty,
+#:   olap_rollup_returnflag_status, p7_top_positive_docs,
+#:   rangejoin_value_bands, rolling_7day_user_value,
+#:   session_window_native, setops_user_segments,
+#:   sql_surface_daily_trends, sql_surface_star_revenue, stats_moments,
+#:   stats_value_quantiles, stream_dedup_events, stream_sliding_value_avg,
+#:   stream_static_join_segments, text_fingerprint, text_language_id,
+#:   text_token_counts, u2_sentiment_distribution, u3_udtf_tokenize,
+#:   w_rank_family.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

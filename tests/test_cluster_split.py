@@ -83,3 +83,23 @@ def test_bad_fractions_raise(spark):
     docs, labels = _fixture(spark)
     with pytest.raises(ValueError):
         cluster_safe_split(docs, labels, train_pct=90, val_pct=10)
+
+
+def test_cluster_split_audit_reports_zero_straddles(spark):
+    """The registered audit row (cluster_split_audit) must cover all
+    documents, name every split, and prove zero straddling clusters."""
+    from conftest import SF_DIR
+
+    from etl_pipeline_mini_project_01_spark.catalog import load_table
+    from etl_pipeline_mini_project_01_spark.plans.registry import (
+        QUERIES,
+        load_all_plans,
+    )
+
+    load_all_plans()
+    rows = QUERIES["cluster_split_audit"](spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.straddling_clusters == 0 for r in rows)
+    assert all(r.n_clusters <= r.n_docs for r in rows)

@@ -1,0 +1,143 @@
+"""Scale-curve harness (VERDICT r3 #7): measure the three heavyweight
+flagships - distributed k-means, SemDeDup, and the end-to-end training-
+mix chain - at 1x (sf0.1) and Nx (synthesized), so the sub-quadratic
+design claims are MEASURED, not asserted.
+
+Blow-up construction (deterministic, duplication-rate preserving):
+  * documents: each source doc becomes N replicas with distinct doc_ids
+    (doc_id * N + r). Replica 0 keeps the original text; replicas r>0
+    suffix every odd-position token with `_r`, so every 3-gram shingle
+    of a replica contains at least one salted token - replicas of the
+    SAME doc share no shingles across r, while the fixture's planted
+    near-dup PAIRS stay near-dups within every replica (both members
+    get the same transformation). Near-dup pair count therefore scales
+    LINEARLY with N (the honest corpus-growth model); naive text
+    duplication would instead make every replica family an N-clique and
+    grow the pair graph quadratically in N - measuring that would test
+    the fixture, not the operator.
+  * embeddings: vec_id * N + r, each component nudged by a replica- and
+    dim-dependent epsilon (r * 1e-3 * ((dim % 7) - 3)) - distinct
+    vectors, same overall geometry.
+
+Operating points follow each operator's documented 100 TB rule:
+  * k-means: k fixed (8), iters fixed (2) - cost model is O(n * k * d)
+    per iteration, so the expectation at Nx is ~Nx wall;
+  * SemDeDup: k scales WITH the corpus (8 -> 8N) to hold cluster size
+    constant - the module docstring's "choose k so clusters stay
+    tractable" contract; expectation ~Nx wall;
+  * training mix: LSH + CC + packing, candidate counts linear in the
+    (linear) duplication rate; expectation ~Nx wall.
+
+Usage: python tools/scale_curve.py [N]   (default 10)
+Writes the synthesized tables under .scratch/scale{N}x/ (gitignored)
+and prints one JSON line with per-flagship walls at both scales plus
+the wall ratio per flagship (ratio / N <= ~1 means at-or-better-than-
+linear scaling at this size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_mini_project_01_spark.catalog import load_table
+from etl_pipeline_mini_project_01_spark.operators.kmeans import kmeans_assign
+from etl_pipeline_mini_project_01_spark.operators.mix import (
+    assemble_training_shards,
+)
+from etl_pipeline_mini_project_01_spark.operators.semdedup import semdedup
+from etl_pipeline_mini_project_01_spark.session import get_spark
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def synthesize(spark, n: int) -> str:
+    out = os.path.join(REPO, ".scratch", f"scale{n}x")
+    docs = load_table(spark, BASE_SF, "documents")
+    r = F.col("r")
+    salted = F.concat_ws(" ", F.transform(
+        F.split(F.col("text"), r"\s+"),
+        lambda w, i: F.when(i % 2 == 1,
+                            F.concat(w, F.lit("_"), r.cast("string")))
+        .otherwise(w)))
+    (docs.crossJoin(spark.range(n).withColumnRenamed("id", "r"))
+     .select((F.col("doc_id") * n + r).alias("doc_id"),
+             F.when(r == 0, F.col("text")).otherwise(salted).alias("text"),
+             *[c for c in docs.columns if c not in ("doc_id", "text")])
+     .write.mode("overwrite").parquet(os.path.join(out, "documents.parquet")))
+
+    emb = load_table(spark, BASE_SF, "embeddings")
+    nudged = F.transform(
+        "embedding",
+        lambda v, i: (v.cast("double")
+                      + r.cast("double") * 0.001
+                      * ((i % 7).cast("double") - 3.0)).cast("float"))
+    (emb.crossJoin(spark.range(n).withColumnRenamed("id", "r"))
+     .select((F.col("vec_id") * n + r).alias("vec_id"),
+             nudged.alias("embedding"),
+             *[c for c in emb.columns if c not in ("vec_id", "embedding")])
+     .write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet")))
+    return out
+
+
+def run_flagships(spark, sf_dir: str, k_clusters: int) -> dict[str, float]:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    walls: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    kmeans_assign(emb, k=8, iters=2).count()
+    walls["kmeans_k8_i2"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    semdedup(emb, k=k_clusters, iters=2, threshold=0.35).count()
+    walls[f"semdedup_k{k_clusters}"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    assemble_training_shards(docs, benchmark=None, budget=2048,
+                             num_partitions=8).count()
+    walls["training_mix"] = round(time.perf_counter() - t0, 3)
+    return walls
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale-curve",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    big_dir = synthesize(spark, n)
+    # Warm the JVM/codegen path once so 1x doesn't absorb cold cost.
+    kmeans_assign(load_table(spark, BASE_SF, "embeddings"),
+                  k=2, iters=1).count()
+
+    base = run_flagships(spark, BASE_SF, k_clusters=8)
+    big = run_flagships(spark, big_dir, k_clusters=8 * n)
+
+    def _pair(key_base, key_big):
+        ratio = round(big[key_big] / base[key_base], 2)
+        return {"base_sec": base[key_base], "big_sec": big[key_big],
+                "wall_ratio": ratio, "per_unit": round(ratio / n, 2)}
+
+    result = {
+        "scale_factor": n,
+        "base_dir": BASE_SF,
+        "big_dir": big_dir,
+        "kmeans": _pair("kmeans_k8_i2", "kmeans_k8_i2"),
+        "semdedup": _pair("semdedup_k8", f"semdedup_k{8 * n}"),
+        "training_mix": _pair("training_mix", "training_mix"),
+    }
+    spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
