@@ -54,6 +54,8 @@ HEADLINE = [
     "training_mix_shards",
     "kmeans_embedding_clusters",
     "semdedup_prune",
+    # round-4: multi-table LSH ANN + brute-force truth + recall join
+    "ann_multitable_recall",
 ]
 
 

@@ -450,6 +450,144 @@ def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better", arXiv:2107.06499): the remaining dedup
+# axis beside whole-doc exact, MinHash near-dup, SimHash, and semantic -
+# memorization risk comes from long VERBATIM SPANS shared across
+# otherwise-distinct documents (licenses, boilerplate, quotes), which
+# none of the document-level signals isolate.
+# ---------------------------------------------------------------------------
+
+#: Sliding-window width in tokens. The paper dedups 50-token substrings
+#: via a suffix array; the distributed equivalent is fixed-width token
+#: windows hashed and grouped - W=8 matches the fixture's ~dozens-of-
+#: tokens docs (at 100 TB: W=50, stride>1 for the first pass, xxhash64
+#: instead of md5, and only (hash, doc, pos) - never window text -
+#: crosses the shuffle).
+SUBSTR_W = 8
+
+_SUBSTR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(LOWER(text), '\\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+),
+wins AS (
+    SELECT doc_id, CAST(s AS INT) AS s,
+           md5(array_to_string(list_slice(w, s, s + {SUBSTR_W - 1}), ' '))
+               AS h
+    FROM toks, UNNEST(range(1, len(w) - {SUBSTR_W} + 2)) AS t(s)
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+dwin AS (SELECT w.doc_id, w.s FROM wins w JOIN dup USING (h)),
+marked AS (
+    SELECT doc_id, s,
+           MAX(s + {SUBSTR_W - 1}) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM dwin
+),
+agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_window_count,
+           CAST(SUM(CASE WHEN prev_end IS NULL OR s > prev_end
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dup_span_count,
+           CAST(SUM(GREATEST(0, s + {SUBSTR_W - 1}
+                    - GREATEST(s - 1, COALESCE(prev_end, 0)))) AS BIGINT)
+               AS dup_tokens_covered
+    FROM marked GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       COALESCE(a.dup_window_count, CAST(0 AS BIGINT)) AS dup_window_count,
+       COALESCE(a.dup_span_count, CAST(0 AS BIGINT)) AS dup_span_count,
+       COALESCE(a.dup_tokens_covered, CAST(0 AS BIGINT))
+           AS dup_tokens_covered,
+       CASE WHEN len(t.w) > 0
+            THEN CAST(COALESCE(a.dup_tokens_covered, 0) AS DOUBLE)
+                 / len(t.w)
+            ELSE CAST(0.0 AS DOUBLE) END AS dup_fraction
+FROM toks t
+LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def substring_spans(docs: DataFrame,
+                    window: int = SUBSTR_W) -> DataFrame:
+    """Cross-document verbatim-span detection: every `window`-token
+    sliding window is hashed; a window is DUPLICATED if its hash occurs
+    in >= 2 distinct documents; overlapping duplicated windows merge
+    into maximal spans per document (interval-union via a running-max
+    window over start positions - integer arithmetic throughout). Per
+    doc: window/span counts, tokens covered by the span union, and the
+    covered fraction. `docs` needs (doc_id, text).
+
+    Scale shape: the window explode is row-local (~len rows per doc);
+    the duplicate test is ONE hash groupBy (map-side combined - the
+    same shuffle shape as exact dedup, on ~len x corpus rows); the join
+    back is an equi-join on the hash; the span merge is a per-doc
+    window (partition-local sort, parallel across docs). No pairwise
+    stage at all - unlike near-dup, substring dedup never materializes
+    document PAIRS, which is what makes the paper's approach viable at
+    corpus scale."""
+    from pyspark.sql import Window as W_
+
+    w_width = window
+    toks = _tokens(docs)
+    starts = F.when(
+        F.size("w") >= w_width,
+        F.sequence(F.lit(1), F.size("w") - w_width + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (toks.select("doc_id", "w", F.explode(starts).alias("s"))
+            .select("doc_id", "s",
+                    F.md5(F.concat_ws(
+                        " ", F.slice(F.col("w"), F.col("s"), w_width)))
+                    .alias("h")))
+    dup = (wins.groupBy("h")
+           .agg(F.countDistinct("doc_id").alias("_nd"))
+           .where(F.col("_nd") >= 2).select("h"))
+    dwin = wins.join(dup, "h").select("doc_id", "s")
+    prev = (W_.partitionBy("doc_id").orderBy("s")
+            .rowsBetween(W_.unboundedPreceding, -1))
+    end = F.col("s") + (w_width - 1)
+    marked = dwin.withColumn("prev_end", F.max(end).over(prev))
+    agg = (marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_window_count"),
+        F.sum(F.when(F.col("prev_end").isNull()
+                     | (F.col("s") > F.col("prev_end")), 1).otherwise(0))
+        .alias("dup_span_count"),
+        F.sum(F.greatest(
+            F.lit(0),
+            end - F.greatest(F.col("s") - 1,
+                             F.coalesce("prev_end", F.lit(0)))))
+        .alias("dup_tokens_covered")))
+    n_tokens = F.size("w").cast("bigint")
+    covered = F.coalesce("dup_tokens_covered", F.lit(0)).cast("bigint")
+    return (toks.select("doc_id", n_tokens.alias("n_tokens"))
+            .join(agg, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                F.coalesce("dup_window_count", F.lit(0)).cast("bigint")
+                .alias("dup_window_count"),
+                F.coalesce("dup_span_count", F.lit(0)).cast("bigint")
+                .alias("dup_span_count"),
+                covered.alias("dup_tokens_covered"),
+                F.when(F.col("n_tokens") > 0,
+                       covered.cast("double") / F.col("n_tokens"))
+                .otherwise(F.lit(0.0)).alias("dup_fraction"))
+            .orderBy("doc_id"))
+
+
+@register("dedup_substring_spans", oracle=_SUBSTR_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`substring_spans` over the documents table - the Lee et al.
+    2022 substring-dedup axis as a driver row."""
+    return substring_spans(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Incremental (delta-vs-corpus) near-dup - the daily-ingest shape
 # ---------------------------------------------------------------------------
 

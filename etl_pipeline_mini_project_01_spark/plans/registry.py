@@ -51,6 +51,7 @@ _PLAN_MODULES = (
     "curation",
     "day2",
     "mix",
+    "sources_surface",
 )
 
 #: The round whose driver run will check CHECK_PRIORITY[:50]. The
@@ -80,6 +81,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- new this round (need FIRST driver rows) -------------------------
     "ann_multitable_recall",          # E24: recall@5 with full SQL ANN replay
     "cluster_split_audit",            # E28: per-split leakage audit, 0 straddles
+    "s2_retry_backoff",               # S2: retry wrapper, contract oracle
+    "s4_csv_fallback_roundtrip",      # S4: CSV sink roundtrip vs parquet truth
+    "s10_dynamic_ddl",                # S10: schema->DDL text contract
+    "dedup_substring_spans",          # Lee-et-al substring dedup spans
     # -- code changed this round (old rows stopped vouching) -------------
     "kmeans_embedding_clusters",      # md5 seeding + vectorized kernel
     "semdedup_prune",                 # md5 seeding + vectorized pair-dot
@@ -104,30 +109,28 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "p2_time_window_cutoff", "p6_normalized_documents",
     "p_clean_documents", "p_clean_events",
     "q1_pricing_summary", "sim_cosine_topk", "x1_token_frequencies",
-    # -- oldest round-2-only greens, rotated back in (12 of 39) ----------
+    # -- oldest round-2-only greens, rotated back in (8 of 39) -----------
     "g1_daily_engagement_summary", "g2_top_performing_content",
     "m1_scd2_account_dim",
     "sessionization_gaps", "stream_tumbling_counts",
     "sim_lsh_buckets", "sim_ivf_probe_topk", "sim_embedding_near_dups",
-    "split_train_val_test", "tfidf_top_terms", "pii_redaction",
-    "text_quality_scores",
 )
 
-#: Round-5 rotation debt, precomputed: after the r4 driver run, the 27
+#: Round-5 rotation debt, precomputed: after the r4 driver run, the 31
 #: round-2-only greens NOT in the window above will be two rounds old -
 #: at WINDOW_ROUND=5 the staleness guard requires all of them in the r5
-#: window (leaving 23 slots for r5's new/changed code):
+#: window (leaving 19 slots for r5's new/changed code):
 #:   asof_join_latest_order, digest_run_summary, dq_violation_summary,
 #:   mm_binary_metadata, mm_frame_sample, olap_cube_type_weekend,
 #:   olap_grouping_sets, olap_pivot_status_qty,
-#:   olap_rollup_returnflag_status, p7_top_positive_docs,
+#:   olap_rollup_returnflag_status, p7_top_positive_docs, pii_redaction,
 #:   rangejoin_value_bands, rolling_7day_user_value,
-#:   session_window_native, setops_user_segments,
+#:   session_window_native, setops_user_segments, split_train_val_test,
 #:   sql_surface_daily_trends, sql_surface_star_revenue, stats_moments,
 #:   stats_value_quantiles, stream_dedup_events, stream_sliding_value_avg,
 #:   stream_static_join_segments, text_fingerprint, text_language_id,
-#:   text_token_counts, u2_sentiment_distribution, u3_udtf_tokenize,
-#:   w_rank_family.
+#:   text_quality_scores, text_token_counts, tfidf_top_terms,
+#:   u2_sentiment_distribution, u3_udtf_tokenize, w_rank_family.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -176,3 +176,31 @@ def test_approx_percentile_within_tolerance(spark):
         F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
     spread = row["hi"] - row["lo"]
     assert abs(row["approx"] - row["exact"]) <= 0.02 * spread, row
+
+
+def test_substring_spans_planted_verbatim_run(spark):
+    """A 10-token verbatim run shared by two docs must yield exactly the
+    3 fully-contained 8-token dup windows per doc, merged into ONE span
+    covering the 10 shared tokens; an all-unique doc reports zeros."""
+    from etl_pipeline_mini_project_01_spark.plans.dedup import (
+        substring_spans,
+    )
+
+    shared = ("alpha bravo charlie delta echo foxtrot golf hotel "
+              "india juliet")  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, f"intro words one two three {shared} tail xx yy zz"),
+         (2, f"completely different preamble {shared} other end words"),
+         (3, "no duplicated content in this document at all whatsoever "
+             "truly none")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in substring_spans(df, window=8).collect()}
+    for d in (1, 2):
+        assert out[d].dup_window_count == 3
+        assert out[d].dup_span_count == 1
+        assert out[d].dup_tokens_covered == 10
+    assert out[3].dup_window_count == 0
+    assert out[3].dup_span_count == 0
+    assert out[3].dup_tokens_covered == 0
+    assert out[3].dup_fraction == 0.0
+    assert abs(out[1].dup_fraction - 10 / out[1].n_tokens) < 1e-15

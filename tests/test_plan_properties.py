@@ -257,3 +257,32 @@ def test_chunking_operator_is_shuffle_free(spark):
     df = chunk_documents(docs, chunk_tokens=32, overlap=8)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ann_multitable_query_side_broadcasts(spark):
+    """ann_multitable_recall / ann_multitable_topk: every per-table
+    candidate equi-join must broadcast the tiny query side so the corpus
+    never shuffles; no cartesian anywhere."""
+    plan = _plan(spark, "ann_multitable_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # candidate generation: the signature equi-joins must not sort-merge
+    # the corpus (queries are 5 rows - they broadcast).
+    assert "SortMergeJoin LeftOuter" not in plan.split("row_number")[0]
+
+
+def test_vectorized_kernels_are_arrow_batched(spark):
+    """The default k-means/SemDeDup kernels must run as ArrowEvalPython
+    (pandas_udf batches), never row-at-a-time BatchEvalPython."""
+    from etl_pipeline_mini_project_01_spark.catalog import load_table
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_transform,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents, dim = kmeans_fit(emb, k=2, iters=0)
+    plan = (kmeans_transform(emb, cents, dim)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
