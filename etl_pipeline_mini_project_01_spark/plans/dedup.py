@@ -237,9 +237,12 @@ def lsh_candidates(buckets: DataFrame,
     quadratic): any (band, bucket) group larger than `bucket_cap` is
     salt-split into ceil(n / cap) sub-buckets keyed on a salted md5 of
     the doc_id, bounding every join group's pair count at ~n * cap
-    instead of n^2. The split is computed with a window count over the
-    SAME (band, bucket) partitioning the self-join shuffles on, so the
-    guard adds no extra exchange of the buckets relation. Recall
+    instead of n^2. The split is a window count over (band, bucket) -
+    one additional exchange of the (small: docs x bands rows) buckets
+    relation before the join's own (band, bucket, salt) exchange; the
+    salt must be part of the JOIN KEY, not a post-join filter, because
+    a filtered equi-join still probes the full n^2 of a degenerate
+    hash group even though it emits less. Recall
     tradeoff: pairs landing in different salt shards of an oversized
     bucket are lost in THAT band only - other bands (and for true
     near-dups, most bands) still catch them; fixture buckets never

@@ -21,8 +21,11 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..catalog import load_table
 from .registry import register
@@ -33,7 +36,11 @@ LSH_BITS = 8
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product (order-deterministic, float64)."""
+    """Sequential-fold dot product (order-deterministic, float64) - the
+    auditable spec the DuckDB oracles mirror 1:1 (list_reduce over the
+    zipped products). Hot paths use :func:`_cosine` / the signature
+    kernel instead; bit-equality between the two is pinned in
+    tests/test_sim_quality.py."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
@@ -42,6 +49,49 @@ def _dot(a: Column, b: Column) -> Column:
 def _norm2(a: Column) -> Column:
     return F.aggregate(a, F.lit(0.0),
                        lambda acc, v: acc + v.cast("double") * v.cast("double"))
+
+
+def _cosine_fold(a: Column, b: Column) -> Column:
+    return (_dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b))))
+
+
+def _cosine_vectorized(a: Column, b: Column) -> Column:
+    """Arrow-batched cosine: per-dim numpy column ops accumulated in dim
+    order from 0.0 - the identical float64 rounding sequence as the
+    fold (widen float32->float64 exactly, multiply, add in dim order;
+    then the same dot/(sqrt*sqrt) combination), batched across rows
+    instead of interpreted per row. ONE Arrow pass computes dot and
+    both norms, where the fold expression walked three interpreted
+    trees per row."""
+    @pandas_udf("double")
+    def cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        amat = np.stack(av.to_numpy()).astype(np.float64, copy=False)
+        bmat = np.stack(bv.to_numpy()).astype(np.float64, copy=False)
+        n = amat.shape[0]
+        dot = np.zeros(n, dtype=np.float64)
+        n2a = np.zeros(n, dtype=np.float64)
+        n2b = np.zeros(n, dtype=np.float64)
+        for i in range(amat.shape[1]):       # fold order: dims ascending
+            x, y = amat[:, i], bmat[:, i]
+            dot = dot + x * y
+            n2a = n2a + x * x
+            n2b = n2b + y * y
+        return pd.Series(dot / (np.sqrt(n2a) * np.sqrt(n2b)))
+
+    return cos(a, b)
+
+
+#: Default cosine kernel; tests flip this to cross-check bit-equality.
+COSINE_KERNEL = "vectorized"
+
+
+def _cosine(a: Column, b: Column, kernel: str | None = None) -> Column:
+    kernel = kernel or COSINE_KERNEL
+    if kernel == "vectorized":
+        return _cosine_vectorized(a, b)
+    if kernel == "fold":
+        return _cosine_fold(a, b)
+    raise ValueError(f"unknown kernel: {kernel}")
 
 
 _SQL_DOT = ("list_reduce(list_transform(list_zip({a}, {b}), "
@@ -86,9 +136,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.join(emb, F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id", "vec_id", "label",
-            (_dot(F.col("qv"), F.col("embedding"))
-             / (F.sqrt(_norm2(F.col("qv"))) * F.sqrt(_norm2(F.col("embedding")))))
-            .alias("cosine"))
+            _cosine(F.col("qv"), F.col("embedding")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -164,9 +212,7 @@ def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     similar same-label pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
     a, b = emb.alias("a"), emb.alias("b")
-    cosine = (_dot(F.col("a.embedding"), F.col("b.embedding"))
-              / (F.sqrt(_norm2(F.col("a.embedding")))
-                 * F.sqrt(_norm2(F.col("b.embedding")))))
+    cosine = _cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -219,20 +265,54 @@ def _hyperplane_coeff(table: int, bit: int, dim: int) -> list[float]:
 
 
 def multitable_signatures(emb: DataFrame, k_bits: int = 4,
-                          n_tables: int = 8, dim: int = 64) -> DataFrame:
+                          n_tables: int = 8, dim: int = 64,
+                          kernel: str | None = None) -> DataFrame:
     """Add sig_0..sig_{L-1} bigint signature columns (one per table):
-    bit k of sig_t = sign of the dot product with hyperplane (t, k)."""
-    sig_cols = []
-    for t in range(n_tables):
-        acc = F.lit(0).cast("bigint")
-        for k in range(k_bits):
-            coeffs = F.array(*[F.lit(v) for v in
-                               _hyperplane_coeff(t, k, dim)])
-            acc = acc + F.when(_dot(F.col("embedding"), coeffs) >= 0,
-                               F.lit(1 << k).cast("bigint")).otherwise(
-                                   F.lit(0).cast("bigint"))
-        sig_cols.append(acc.alias(f"sig_{t}"))
-    return emb.select("vec_id", "label", "embedding", *sig_cols)
+    bit k of sig_t = sign of the dot product with hyperplane (t, k).
+
+    Default kernel is the Arrow-batched pandas_udf: all L*K hyperplane
+    dots per row in one UDF call, coefficients a closure-held numpy
+    matrix (never shipped per row), per-dim accumulation in fold order
+    so the signatures are bit-identical to the 'fold' spec kernel (and
+    to the SQL replay in _ann_recall_oracle, which mirrors the fold)."""
+    kernel = kernel or COSINE_KERNEL
+    if kernel == "fold":
+        sig_cols = []
+        for t in range(n_tables):
+            acc = F.lit(0).cast("bigint")
+            for k in range(k_bits):
+                coeffs = F.array(*[F.lit(v) for v in
+                                   _hyperplane_coeff(t, k, dim)])
+                acc = acc + F.when(_dot(F.col("embedding"), coeffs) >= 0,
+                                   F.lit(1 << k).cast("bigint")).otherwise(
+                                       F.lit(0).cast("bigint"))
+            sig_cols.append(acc.alias(f"sig_{t}"))
+        return emb.select("vec_id", "label", "embedding", *sig_cols)
+    if kernel != "vectorized":
+        raise ValueError(f"unknown kernel: {kernel}")
+
+    cmat = np.array([[_hyperplane_coeff(t, k, dim) for k in range(k_bits)]
+                     for t in range(n_tables)], dtype=np.float64)
+
+    @pandas_udf("array<bigint>")
+    def sigs(ev: pd.Series) -> pd.Series:
+        emat = np.stack(ev.to_numpy()).astype(np.float64, copy=False)
+        n = emat.shape[0]
+        out = np.zeros((n, cmat.shape[0]), dtype=np.int64)
+        for t in range(cmat.shape[0]):
+            for k in range(cmat.shape[1]):
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(dim):         # fold order: dims ascending
+                    acc = acc + emat[:, i] * cmat[t, k, i]
+                # >= 0 matches the fold's F.when(dot >= 0, ...): -0.0
+                # compares >= 0 in numpy exactly as in Spark SQL.
+                out[:, t] += (acc >= 0).astype(np.int64) << k
+        return pd.Series(list(out))
+
+    return (emb.withColumn("_sigs", sigs("embedding"))
+            .select("vec_id", "label", "embedding",
+                    *[F.element_at("_sigs", t + 1).alias(f"sig_{t}")
+                      for t in range(n_tables)]))
 
 
 def ann_multitable_topk(emb: DataFrame, n_queries: int = N_QUERIES,
@@ -259,9 +339,7 @@ def ann_multitable_topk(emb: DataFrame, n_queries: int = N_QUERIES,
     cands = cands.dropDuplicates(["query_id", "vec_id"])
     scored = cands.select(
         "query_id", "vec_id", "label",
-        (_dot(F.col("qv"), F.col("embedding"))
-         / (F.sqrt(_norm2(F.col("qv")))
-            * F.sqrt(_norm2(F.col("embedding"))))).alias("cosine"))
+        _cosine(F.col("qv"), F.col("embedding")).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k)
@@ -438,9 +516,7 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.join(c, (F.col("qbucket") == F.col("bucket"))
                & (F.col("query_id") != F.col("vec_id")))
         .select("query_id", "vec_id", "label",
-                (_dot(F.col("qv"), F.col("embedding"))
-                 / (F.sqrt(_norm2(F.col("qv")))
-                    * F.sqrt(_norm2(F.col("embedding"))))).alias("cosine")))
+                _cosine(F.col("qv"), F.col("embedding")).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 5)

@@ -102,3 +102,41 @@ def test_exact_topk_is_self_consistent(spark):
         assert [r.rank for r in rs] == list(range(1, TOP_K + 1))
         assert all(rs[i].cosine >= rs[i + 1].cosine
                    for i in range(len(rs) - 1))
+
+
+def test_cosine_kernels_bit_identical(spark):
+    """The Arrow-batched cosine must agree bit-for-bit with the fold
+    spec (same widen/multiply/accumulate order), so oracle hashes are
+    kernel-independent."""
+    from etl_pipeline_mini_project_01_spark.plans.similarity import (
+        _cosine,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    pairs = q.join(emb.limit(200), F.col("qid") != F.col("vec_id"))
+    vec = sorted(
+        (r.qid, r.vec_id, r.c) for r in pairs.select(
+            "qid", "vec_id",
+            _cosine(F.col("qv"), F.col("embedding"),
+                    kernel="vectorized").alias("c")).collect())
+    fold = sorted(
+        (r.qid, r.vec_id, r.c) for r in pairs.select(
+            "qid", "vec_id",
+            _cosine(F.col("qv"), F.col("embedding"),
+                    kernel="fold").alias("c")).collect())
+    assert vec == fold  # exact float equality
+
+
+def test_signature_kernels_bit_identical(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").limit(150)
+    cols = ["vec_id"] + [f"sig_{t}" for t in range(4)]
+    vec = sorted(tuple(r[c] for c in cols) for r in
+                 multitable_signatures(emb, 3, 4,
+                                       kernel="vectorized").collect())
+    fold = sorted(tuple(r[c] for c in cols) for r in
+                  multitable_signatures(emb, 3, 4,
+                                        kernel="fold").collect())
+    assert vec == fold
