@@ -87,30 +87,59 @@ def synthesize(spark, n: int) -> str:
     return out
 
 
+def _consume(df) -> None:
+    """Force FULL computation of every output column. A bare count()
+    lets Catalyst prune: a left join on a unique key preserves
+    cardinality, so count(final join) can collapse to count(left) and
+    skip the entire analysis - the noop sink evaluates all columns of
+    every row without collecting them to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def run_flagships(spark, sf_dir: str, k_clusters: int) -> dict[str, float]:
+    from etl_pipeline_mini_project_01_spark.plans.dedup import (
+        substring_spans,
+    )
+    from etl_pipeline_mini_project_01_spark.plans.similarity import (
+        ann_multitable_topk,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     walls: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    kmeans_assign(emb, k=8, iters=2).count()
+    _consume(kmeans_assign(emb, k=8, iters=2))
     walls["kmeans_k8_i2"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    semdedup(emb, k=k_clusters, iters=2, threshold=0.35).count()
+    _consume(semdedup(emb, k=k_clusters, iters=2, threshold=0.35))
     walls[f"semdedup_k{k_clusters}"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    assemble_training_shards(docs, benchmark=None, budget=2048,
-                             num_partitions=8).count()
+    _consume(assemble_training_shards(docs, benchmark=None, budget=2048,
+                                      num_partitions=8))
     walls["training_mix"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _consume(substring_spans(docs))
+    walls["substring_spans"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _consume(ann_multitable_topk(emb))
+    walls["ann_topk"] = round(time.perf_counter() - t0, 3)
     return walls
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # Driver memory must be set BEFORE the local JVM launches (this
+    # script always starts a fresh process): the 30x SemDeDup pair
+    # stage shuffles ~7M (vec, vec) array pairs, beyond the 1g local
+    # default.
     spark = get_spark("scale-curve",
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+                      extra_conf={"spark.ui.showConsoleProgress": "false",
+                                  "spark.driver.memory": "24g"})
     spark.sparkContext.setLogLevel("ERROR")
 
     big_dir = synthesize(spark, n)
@@ -133,6 +162,8 @@ def main() -> None:
         "kmeans": _pair("kmeans_k8_i2", "kmeans_k8_i2"),
         "semdedup": _pair("semdedup_k8", f"semdedup_k{8 * n}"),
         "training_mix": _pair("training_mix", "training_mix"),
+        "substring_spans": _pair("substring_spans", "substring_spans"),
+        "ann_topk": _pair("ann_topk", "ann_topk"),
     }
     spark.stop()
     sys.stdout.flush()
