@@ -78,18 +78,52 @@ def test_partition_count_invariant(spark, emb):
 
 
 def test_pair_dot_kernels_bit_identical(spark, emb):
-    """Vectorized (numpy) and fold (HOF) SemDeDup runs must emit the
-    SAME verdict relation - the pair dot accumulates in the same order,
-    so even threshold-adjacent pairs cannot flip between kernels."""
+    """Vectorized (numpy) and fold (HOF) pair-dot kernels of the JOIN
+    strategy must emit the SAME verdict relation - the dot accumulates
+    in the same order, so even threshold-adjacent pairs cannot flip
+    between kernels."""
     base = sorted(
         (r.vec_id, r.cluster, r.kept)
         for r in semdedup(emb, k=K, iters=ITERS, threshold=TAU,
-                          kernel="vectorized").collect())
+                          kernel="vectorized", strategy="join").collect())
     fold = sorted(
         (r.vec_id, r.cluster, r.kept)
         for r in semdedup(emb, k=K, iters=ITERS, threshold=TAU,
-                          kernel="fold").collect())
+                          kernel="fold", strategy="join").collect())
     assert base == fold
+
+
+def test_strategies_bit_identical(spark, emb):
+    """The grouped (applyInPandas, pair-relation-free) and join
+    strategies must agree verdict-for-verdict: same normalization and
+    per-dim accumulation order, so cosines - and therefore threshold
+    and dominance outcomes - are bit-equal."""
+    grouped = sorted(
+        (r.vec_id, r.cluster, r.kept)
+        for r in semdedup(emb, k=K, iters=ITERS, threshold=TAU,
+                          strategy="grouped").collect())
+    join = sorted(
+        (r.vec_id, r.cluster, r.kept)
+        for r in semdedup(emb, k=K, iters=ITERS, threshold=TAU,
+                          strategy="join").collect())
+    assert grouped == join
+
+
+def test_grouped_strategy_blockwise_matches_single_block(spark, emb):
+    """The blockwise dot must not change verdicts at block boundaries."""
+    from etl_pipeline_mini_project_01_spark.operators import semdedup as sd
+
+    orig = sd.PAIR_BLOCK
+    try:
+        sd.PAIR_BLOCK = 7  # force many partial blocks
+        small = sorted((r.vec_id, r.kept) for r in
+                       semdedup(emb, k=K, iters=ITERS,
+                                threshold=TAU).collect())
+    finally:
+        sd.PAIR_BLOCK = orig
+    big = sorted((r.vec_id, r.kept) for r in
+                 semdedup(emb, k=K, iters=ITERS, threshold=TAU).collect())
+    assert small == big
 
 
 def test_cluster_balanced_sample_quota(spark, emb):
