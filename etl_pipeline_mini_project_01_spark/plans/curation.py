@@ -132,10 +132,17 @@ def _cc_star(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)"))
             .alias("h")).first()
 
-    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     e = (edges.select(F.greatest("src", "dst").alias("hi"),
                       F.least("src", "dst").alias("lo"))
          .where(F.col("hi") != F.col("lo")).distinct().localCheckpoint())
+    # Node set from the CHECKPOINTED canonical edges, not the raw
+    # `edges` lineage: the symmetric input's src-set equals {hi} u {lo},
+    # and deriving it post-checkpoint means the final labels join reads
+    # the materialized pairs instead of re-running the whole upstream
+    # LSH + Jaccard chain a second time (measured ~2x the CC stage cost
+    # at the 30x curve point before this).
+    nodes = (e.select(F.col("hi").alias("doc_id"))
+             .union(e.select(F.col("lo").alias("doc_id"))).distinct())
     prev_sig = _sig(e)
     for _ in range(max_rounds):
         # Large-star: per node u, attach every STRICTLY LARGER neighbor
