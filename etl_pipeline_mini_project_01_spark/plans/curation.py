@@ -97,6 +97,10 @@ def connected_components(edges: DataFrame, max_rounds: int = 20,
         return _cc_star(edges, max_rounds)
     if algorithm != "hash_to_min":
         raise ValueError(f"unknown algorithm: {algorithm}")
+    # Pin the (potentially expensive) edge lineage once: every round
+    # joins against `edges`, and the label relation reads it again for
+    # the seed - without this each round re-runs the upstream chain.
+    edges = edges.localCheckpoint()
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")))
     for _ in range(max_rounds):
