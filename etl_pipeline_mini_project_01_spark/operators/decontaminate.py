@@ -21,14 +21,23 @@ plans/dedup.py:156-162.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.text import word_array
 
 #: GPT-3 appendix C / Gopher use 13-gram collisions; 8-13 is the common
 #: range. Tunable per call.
 DEFAULT_N = 13
+
+#: Bloom prefilter sizing: m bits / k hashes. At the default 2^22 bits a
+#: 1e6-distinct-gram benchmark runs at ~24% fill -> FP ~ fill^k ~ 0.3%;
+#: the broadcast payload is m/8 = 512 KiB packed.
+BLOOM_BITS = 1 << 22
+BLOOM_K = 4
 
 
 def _ngram_hashes(df: DataFrame, n: int, id_col: str,
@@ -44,6 +53,117 @@ def _ngram_hashes(df: DataFrame, n: int, id_col: str,
             idx, lambda i: F.xxhash64(F.array_join(F.slice("_w", i, n), " "))
         )).alias("gram_hash"))
         .distinct())
+
+
+def _ngram_texts(df: DataFrame, n: int, id_col: str,
+                 text_col: str) -> DataFrame:
+    """(id_col, gram): distinct word n-gram STRINGS - the pre-hash form,
+    needed where k seeded hashes of the same gram must agree across
+    relations (the Bloom path)."""
+    toks = df.select(id_col, word_array(text_col).alias("_w"))
+    idx = F.when(F.size("_w") >= n,
+                 F.sequence(F.lit(1), F.size("_w") - (n - 1))
+                 ).otherwise(F.array().cast("array<int>"))
+    return (toks.select(
+        id_col,
+        F.explode(F.transform(
+            idx, lambda i: F.array_join(F.slice("_w", i, n), " ")
+        )).alias("gram"))
+        .distinct())
+
+
+def _bloom_positions(gram_col, bits: int, k: int) -> list:
+    """k bit positions for one gram column: pmod(xxhash64(i, gram), bits)
+    for i in 0..k-1 - seeded JVM hashes, so BOTH the benchmark (bitmap
+    build) and corpus (probe) sides evaluate the identical expressions;
+    no cross-language hash agreement is ever required."""
+    return [F.pmod(F.xxhash64(F.lit(i), gram_col), F.lit(bits))
+            for i in range(k)]
+
+
+def bloom_bitmap(benchmark: DataFrame, n: int = DEFAULT_N,
+                 text_col: str = "text", bits: int = BLOOM_BITS,
+                 k: int = BLOOM_K) -> np.ndarray:
+    """Packed (np.packbits) Bloom bitmap of the benchmark's n-grams,
+    built distributed and collected as DISTINCT bit positions (at most
+    min(bits, |grams| x k) longs - MB-scale for any benchmark-sized
+    input; the corpus side never collects anything)."""
+    bench = benchmark.select(
+        F.monotonically_increasing_id().alias("_bid"), F.col(text_col))
+    grams = _ngram_texts(bench, n, "_bid", text_col).select("gram").distinct()
+    pos = (grams.select(F.explode(F.array(
+        *_bloom_positions(F.col("gram"), bits, k))).alias("p"))
+        .distinct())
+    bm = np.zeros(bits, dtype=bool)
+    hit = np.fromiter((r[0] for r in pos.collect()), dtype=np.int64)
+    if hit.size:
+        bm[hit] = True
+    return np.packbits(bm)
+
+
+def bloom_contamination_scores(docs: DataFrame, benchmark: DataFrame,
+                               n: int = DEFAULT_N, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               bits: int = BLOOM_BITS,
+                               k: int = BLOOM_K) -> DataFrame:
+    """Two-phase decontamination, the 100 TB shape: phase 1 probes every
+    corpus n-gram against a BROADCAST Bloom bitmap of the benchmark -
+    pure scan work, zero shuffle, Arrow-batched numpy gathers - and
+    phase 2 runs the exact hash equi-join ONLY on the bloom-surviving
+    grams (benchmark-FP-rate of the corpus, not the corpus). Bloom
+    filters have zero false negatives by construction, so the exact
+    per-doc hit counts out of phase 2 equal the one-phase
+    :func:`contamination_scores` over the full corpus - which is exactly
+    what the driver oracle checks (`bloom_no_miss` carries the
+    per-doc superset verdict; the hash-matched hit counts themselves
+    are the no-loss proof).
+
+    Output: (id_col, doc_ngrams, hit_ngrams, contamination,
+    bloom_no_miss)."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(
+        bloom_bitmap(benchmark, n, text_col, bits, k))
+    memo: dict[int, np.ndarray] = {}
+
+    @pandas_udf("boolean")
+    def _bloom_all_set(*pos: pd.Series) -> pd.Series:
+        bm = memo.get(0)
+        if bm is None:
+            bm = memo[0] = np.unpackbits(bc.value).view(bool)
+        out = np.ones(len(pos[0]), dtype=bool)
+        for p in pos:
+            out &= bm[p.to_numpy(dtype=np.int64)]
+        return pd.Series(out)
+
+    grams = _ngram_texts(docs, n, id_col, text_col)
+    probed = grams.withColumn(
+        "_bloom", _bloom_all_set(*_bloom_positions(F.col("gram"), bits, k)))
+    per_doc = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("doc_ngrams"),
+        F.sum(F.col("_bloom").cast("long")).alias("_bloom_ngrams"))
+    bench = (_ngram_texts(
+        benchmark.select(F.monotonically_increasing_id().alias("_bid"),
+                         F.col(text_col)), n, "_bid", text_col)
+        .select(F.xxhash64("gram").alias("gram_hash")).distinct())
+    hits = (probed.filter(F.col("_bloom"))
+            .select(id_col, F.xxhash64("gram").alias("gram_hash"))
+            .join(bench, "gram_hash")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("hit_ngrams")))
+    return (docs.select(id_col)
+            .join(per_doc, id_col, "left")
+            .join(hits, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("doc_ngrams", F.lit(0)).alias("doc_ngrams"),
+                F.coalesce("hit_ngrams", F.lit(0)).alias("hit_ngrams"),
+                F.coalesce("_bloom_ngrams", F.lit(0)).alias("_bloom_ngrams"))
+            .select(
+                id_col, "doc_ngrams", "hit_ngrams",
+                F.when(F.col("doc_ngrams") > 0,
+                       F.col("hit_ngrams") / F.col("doc_ngrams"))
+                .otherwise(F.lit(0.0)).cast("double").alias("contamination"),
+                (F.col("_bloom_ngrams") >= F.col("hit_ngrams"))
+                .alias("bloom_no_miss")))
 
 
 def contamination_scores(docs: DataFrame, benchmark: DataFrame,

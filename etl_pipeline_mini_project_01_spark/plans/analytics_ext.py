@@ -50,6 +50,53 @@ def stats_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_quantile_sketch",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(value, 0.50) AS p50_exact,
+       quantile_cont(value, 0.95) AS p95_exact,
+       TRUE AS sketch_within_band
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stats_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of exact quantiles (the `stats_value_quantiles`
+    scale note made executable): `approx_percentile` builds a mergeable
+    Greenwald-Khanna sketch in ONE pass with map-side partial merge - no
+    per-group sort, bounded memory - where exact interpolated percentile
+    must buffer the group. Sketch VALUES are merge-order-specific by
+    nature, so (same contract as a11_approx_distinct) the checked surface
+    emits the exact p50/p95 plus a boolean verdict that each sketch
+    quantile lands inside the exact +/-1%-RANK band (exact percentiles at
+    p+/-0.01; GK accuracy 10000 guarantees rank error <= 0.0001, so the
+    band has 100x slack) - hash-checkable evidence of the accuracy
+    contract without hashing sketch noise (oracle = exact + literal TRUE)."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", F.lit(0.50)).alias("p50_exact"),
+        F.percentile("value", F.lit(0.95)).alias("p95_exact"),
+        F.percentile("value", F.lit(0.49)).alias("_p50_lo"),
+        F.percentile("value", F.lit(0.51)).alias("_p50_hi"),
+        F.percentile("value", F.lit(0.94)).alias("_p95_lo"),
+        F.percentile("value", F.lit(0.96)).alias("_p95_hi"),
+        F.approx_percentile("value", F.lit(0.50), F.lit(10000))
+        .alias("_p50_sk"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10000))
+        .alias("_p95_sk"),
+    )
+    in_band = (F.col("_p50_sk").between(F.col("_p50_lo"), F.col("_p50_hi"))
+               & F.col("_p95_sk").between(F.col("_p95_lo"),
+                                          F.col("_p95_hi")))
+    return (agg.select("event_type", "n", "p50_exact", "p95_exact",
+                       in_band.alias("sketch_within_band"))
+            .orderBy("event_type"))
+
+
+@register(
     "rolling_7day_user_value",
     oracle="""
 WITH daily AS (

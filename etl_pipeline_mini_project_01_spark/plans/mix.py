@@ -157,6 +157,30 @@ def decontamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("decontamination_bloom",
+          oracle=f"SELECT q.*, TRUE AS bloom_no_miss FROM ({_DECON_ORACLE.rstrip()}) q")
+def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase Bloom-prefilter decontamination
+    (operators/decontaminate.py bloom_contamination_scores): corpus
+    grams probe a BROADCAST 512 KiB bitmap of the benchmark (scan-only,
+    zero shuffle - the n-gram equi-join's shuffle disappears for the
+    ~99% clean majority), exact hash join runs only on bloom survivors.
+    The oracle is the ONE-PHASE exact computation - the hash match is
+    the proof that the prefilter lost nothing (Bloom filters have no
+    false negatives), plus the per-doc superset verdict as a boolean."""
+    from ..operators.decontaminate import bloom_contamination_scores
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    return (
+        bloom_contamination_scores(docs, bench, n=_DECON_N)
+        .select("doc_id",
+                F.col("doc_ngrams").cast("bigint").alias("doc_ngrams"),
+                F.col("hit_ngrams").cast("bigint").alias("hit_ngrams"),
+                "contamination", "bloom_no_miss")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Token-budget shard packing (distributed prefix sum)
 # ---------------------------------------------------------------------------

@@ -85,6 +85,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "s4_csv_fallback_roundtrip",      # S4: CSV sink roundtrip vs parquet truth
     "s10_dynamic_ddl",                # S10: schema->DDL text contract
     "dedup_substring_spans",          # Lee-et-al substring dedup spans
+    "stats_quantile_sketch",          # E37: GK sketch beside exact quantiles
+    "decontamination_bloom",          # E38: bloom prefilter, no-loss proof
     # -- code changed this round (old rows stopped vouching) -------------
     "kmeans_embedding_clusters",      # md5 seeding + vectorized kernel
     "semdedup_prune",                 # md5 seeding + vectorized pair-dot
@@ -109,11 +111,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "p2_time_window_cutoff", "p6_normalized_documents",
     "p_clean_documents", "p_clean_events",
     "q1_pricing_summary", "sim_cosine_topk", "x1_token_frequencies",
-    # -- oldest round-2-only greens, rotated back in (8 of 39) -----------
+    # -- oldest round-2-only greens, rotated back in (6 of 39; two slots
+    # -- went to the late-r4 registrations above - sim_lsh_buckets and
+    # -- sim_ivf_probe_topk move to the r5 debt instead) -----------------
     "g1_daily_engagement_summary", "g2_top_performing_content",
     "m1_scd2_account_dim",
     "sessionization_gaps", "stream_tumbling_counts",
-    "sim_lsh_buckets", "sim_ivf_probe_topk", "sim_embedding_near_dups",
+    "sim_embedding_near_dups",
 )
 
 #: Round-5 rotation debt, precomputed: after the r4 driver run, the 31
@@ -131,6 +135,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
 #:   stream_static_join_segments, text_fingerprint, text_language_id,
 #:   text_quality_scores, text_token_counts, tfidf_top_terms,
 #:   u2_sentiment_distribution, u3_udtf_tokenize, w_rank_family.
+#: Plus sim_lsh_buckets and sim_ivf_probe_topk (r2-only greens whose r4
+#: window slots went to the late-r4 registrations
+#: stats_quantile_sketch / decontamination_bloom) -> 33 names, 17 free
+#: r5 slots.
 
 
 def ordered_queries() -> dict[str, QueryFn]:
