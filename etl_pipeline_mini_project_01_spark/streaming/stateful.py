@@ -61,6 +61,71 @@ def _update_user_totals(key: tuple[Any, ...],
     })
 
 
+def tws_available() -> bool:
+    """Spark 4's transformWithStateInPandas drives its per-executor state
+    server over a protobuf protocol; without the google.protobuf package
+    the driver-side schema-validation worker crashes before the query
+    starts. Gate (don't fail) so environments without protobuf keep the
+    applyInPandasWithState path."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user running totals via transformWithStateInPandas
+    (Spark 4's successor to applyInPandasWithState: typed state
+    primitives - value/list/map - timers, TTL, and RocksDB-only state).
+    Raises ImportError where protobuf is unavailable (see
+    :func:`tws_available`); `running_user_totals` is the portable
+    fallback with identical semantics."""
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf; use "
+            "running_user_totals (applyInPandasWithState) instead")
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class Processor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            prior = self._state.get() if self._state.exists() else (0, 0)
+            n_events, total_e4 = prior
+            for pdf in rows:
+                n_events += len(pdf)
+                # Same exactness contract as _update_user_totals: the
+                # state is a DECIMAL(,4)-scaled integer, batch-boundary-
+                # and partition-order insensitive.
+                total_e4 += int(
+                    pdf["value"].fillna(0.0).mul(10000.0).round().sum())
+            self._state.update((n_events, total_e4))
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "total_value": [total_e4 / 10000.0],
+            })
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    events = read_events_stream(spark, sf_dir)
+    return (events
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=Processor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None"))
+
+
 def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DataFrame of per-user running totals (update mode)."""
     events = read_events_stream(spark, sf_dir)

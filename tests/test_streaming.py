@@ -24,6 +24,45 @@ def test_stateful_running_totals_match_batch(spark):
     assert streamed == batch
 
 
+def test_tws_running_totals_match_batch(spark):
+    """transformWithStateInPandas twin (Spark 4 stateful API): identical
+    state contract to the applyInPandasWithState path, so on bounded
+    input its final per-user rows must equal the batch aggregate.
+    Env-gated: the TWS state-server protocol needs google.protobuf,
+    absent in some containers - the gate itself is asserted either way."""
+    import pytest
+
+    from etl_pipeline_mini_project_01_spark.streaming.stateful import (
+        running_user_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            running_user_totals_tws(spark, SF_DIR)
+        pytest.skip("google.protobuf unavailable: TWS state protocol "
+                    "cannot start in this environment")
+
+    q = (running_user_totals_tws(spark, SF_DIR).writeStream
+         .format("memory").queryName("tws_totals_q")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    raw = spark.table("tws_totals_q").withColumn(
+        "__order", F.monotonically_increasing_id())
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("__order"))
+    final = (raw.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1))
+    streamed = {r.user_id: (r.n_events, round(r.total_value, 4))
+                for r in final.collect()}
+    batch = {r.user_id: (r.n, round(r.tv, 4))
+             for r in (load_table(spark, SF_DIR, "events")
+                       .groupBy("user_id")
+                       .agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("value").alias("tv"))).collect()}
+    assert streamed == batch
+
+
 def test_stream_stream_join_matches_batch_interval_join(spark):
     """Stream-stream inner join with two-sided time bounds: on bounded
     availableNow input, the emitted matches must equal the batch
