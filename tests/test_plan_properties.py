@@ -286,3 +286,29 @@ def test_vectorized_kernels_are_arrow_batched(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_quantile_sketch_single_partial_final_aggregate(spark):
+    """stats_quantile_sketch: exact + sketch percentiles all compute in
+    ONE partial+final aggregate pair (one shuffle of per-group sketch
+    state), never one pass per percentile."""
+    plan = _plan(spark, "stats_quantile_sketch")
+    assert plan.count("FileScan parquet") == 1
+    assert "approx_percentile" in plan
+    # exactly one aggregation exchange (plus the presentation sort)
+    agg_exchanges = [
+        seg for seg in plan.split("Exchange")[1:]
+        if seg.lstrip().startswith("hashpartitioning")]
+    assert len(agg_exchanges) == 1, plan
+
+
+def test_bloom_probe_is_arrow_batched_scan_before_join(spark):
+    """decontamination_bloom: the bitmap probe must run as ArrowEvalPython
+    (pandas_udf batch gathers) and the exact join must consume the
+    FILTERED survivor relation - the bloom filter appears upstream of the
+    hash join in the plan."""
+    plan = _plan(spark, "decontamination_bloom")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
