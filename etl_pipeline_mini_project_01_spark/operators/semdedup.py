@@ -104,7 +104,10 @@ def _pair_dot_vectorized(a: str, b: str) -> Column:
 
 def pair_dot(a: str, b: str, kernel: str | None = None) -> Column:
     kernel = kernel or DEFAULT_KERNEL
-    if kernel == "vectorized":
+    # 'matmul' exists only for the ASSIGNMENT stage (operators/kmeans.py
+    # large-k kernel); the pair dot is already blockwise numpy, so it
+    # maps to the vectorized fold-order kernel unchanged.
+    if kernel in ("vectorized", "matmul"):
         return _pair_dot_vectorized(a, b)
     if kernel == "fold":
         return _pair_dot_fold(a, b)

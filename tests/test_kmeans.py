@@ -87,6 +87,45 @@ def test_kernels_bit_identical(spark, emb):
     assert tv == tf  # exact float equality, not approx
 
 
+def test_matmul_kernel_matches_vectorized(spark, emb):
+    """The large-k dgemm kernel must produce the same model, the same
+    assignments, and (because the winner's distance is recomputed in
+    fold order) bit-equal centroid_dist on the fixture - the expanded
+    form only risks divergence on argmin razor-ties, absent here."""
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_transform,
+    )
+
+    cents_v, dim = kmeans_fit(emb, k=5, iters=2, kernel="vectorized")
+    cents_m, dim_m = kmeans_fit(emb, k=5, iters=2, kernel="matmul")
+    assert (dim, cents_v) == (dim_m, cents_m)
+
+    tv = sorted((r.vec_id, r.cluster, r.centroid_dist) for r in
+                kmeans_transform(emb, cents_v, dim,
+                                 kernel="vectorized").collect())
+    tm = sorted((r.vec_id, r.cluster, r.centroid_dist) for r in
+                kmeans_transform(emb, cents_m, dim,
+                                 kernel="matmul").collect())
+    assert tv == tm  # exact float equality, not approx
+
+
+def test_semdedup_matmul_kernel_same_verdicts(spark, emb):
+    """semdedup(kernel='matmul') - dgemm assignment + the unchanged
+    fold-order pair stage - must emit identical verdicts to the
+    default."""
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+        semdedup,
+    )
+
+    base = sorted((r.vec_id, r.cluster, r.kept) for r in
+                  semdedup(emb, k=4, iters=2, threshold=0.35).collect())
+    fast = sorted((r.vec_id, r.cluster, r.kept) for r in
+                  semdedup(emb, k=4, iters=2, threshold=0.35,
+                           kernel="matmul").collect())
+    assert base == fast
+
+
 def test_seeding_handles_sparse_noncontiguous_ids(spark, emb):
     """md5-keyed seeding must not assume ids 0..k-1 exist (VERDICT r3
     weak #3): shifting/spreading the id space still fits and assigns

@@ -57,6 +57,16 @@ from etl_pipeline_mini_project_01_spark.session import get_spark
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: Assignment kernel for the k-means/SemDeDup points. Default 'matmul':
+#: the curve measures the PRODUCTION operating point, and at the
+#: cluster-size-constant rule k grows with the corpus - the 100x run
+#: with the bit-exact 'vectorized' kernel measured 402 s of SemDeDup's
+#: 446 s inside assignment alone (k*dim interpreter-dispatched numpy
+#: ops per batch), i.e. it measured kernel dispatch overhead, not the
+#: operator's scaling shape. Set SPARK_GRAFT_CURVE_KERNEL=vectorized to
+#: reproduce that run.
+KERNEL = os.environ.get("SPARK_GRAFT_CURVE_KERNEL", "matmul")
+
 
 def synthesize(spark, n: int) -> str:
     out = os.path.join(REPO, ".scratch", f"scale{n}x")
@@ -109,11 +119,12 @@ def run_flagships(spark, sf_dir: str, k_clusters: int) -> dict[str, float]:
     walls: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    _consume(kmeans_assign(emb, k=8, iters=2))
+    _consume(kmeans_assign(emb, k=8, iters=2, kernel=KERNEL))
     walls["kmeans_k8_i2"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    _consume(semdedup(emb, k=k_clusters, iters=2, threshold=0.35))
+    _consume(semdedup(emb, k=k_clusters, iters=2, threshold=0.35,
+                      kernel=KERNEL))
     walls[f"semdedup_k{k_clusters}"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
@@ -157,6 +168,7 @@ def main() -> None:
 
     result = {
         "scale_factor": n,
+        "kernel": KERNEL,
         "base_dir": BASE_SF,
         "big_dir": big_dir,
         "kmeans": _pair("kmeans_k8_i2", "kmeans_k8_i2"),
