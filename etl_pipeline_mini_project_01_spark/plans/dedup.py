@@ -543,15 +543,27 @@ def substring_spans(docs: DataFrame,
         F.size("w") >= w_width,
         F.sequence(F.lit(1), F.size("w") - w_width + 1)
     ).otherwise(F.array().cast("array<int>"))
+    # unhex: the 32-char md5 hex collapses to 16-byte binary before the
+    # shuffle+sort - injective, so the duplicate SET is unchanged (and h
+    # never leaves the plan), but the window sort compares half the key
+    # bytes.
     wins = (toks.select("doc_id", "w", F.explode(starts).alias("s"))
             .select("doc_id", "s",
-                    F.md5(F.concat_ws(
-                        " ", F.slice(F.col("w"), F.col("s"), w_width)))
+                    F.unhex(F.md5(F.concat_ws(
+                        " ", F.slice(F.col("w"), F.col("s"), w_width))))
                     .alias("h")))
-    dup = (wins.groupBy("h")
-           .agg(F.countDistinct("doc_id").alias("_nd"))
-           .where(F.col("_nd") >= 2).select("h"))
-    dwin = wins.join(dup, "h").select("doc_id", "s")
+    # ">= 2 distinct docs share h" == "min(doc_id) != max(doc_id) over
+    # the h partition": ONE shuffle of the window relation (the largest
+    # relation in the engine) computes the duplicate test in-place,
+    # where groupBy(h)+join-back shuffles it twice AND re-runs the
+    # tokenize/explode/md5 lineage for each branch (measured at the
+    # 100x curve point: 178 s -> this rewrite is the fix for its
+    # creeping per-unit cost).
+    wh = W_.partitionBy("h")
+    dwin = (wins
+            .withColumn("_dup", F.min("doc_id").over(wh)
+                        != F.max("doc_id").over(wh))
+            .where("_dup").select("doc_id", "s"))
     prev = (W_.partitionBy("doc_id").orderBy("s")
             .rowsBetween(W_.unboundedPreceding, -1))
     end = F.col("s") + (w_width - 1)
