@@ -270,3 +270,133 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
             .select(id_col, "cluster",
                     F.count(F.lit(1)).over(w).alias("cluster_size"))
             )
+
+
+# ---------------------------------------------------------------------------
+# Two-level (coarse -> fine) k-means: the k ~ 1e5 operating point
+# ---------------------------------------------------------------------------
+
+def _assign_fine(assigned: DataFrame, fine: list[list[list[float]]],
+                 dim: int, kernel: str | None = None) -> DataFrame:
+    """Adds `fine` (argmin over the k2 sub-centroids OF THE ROW'S coarse
+    cluster; ties -> lowest fid) and `fine_dist` to a frame carrying
+    (coarse, xd). Per-row cost is k2 x dim, NOT k1*k2 x dim - the whole
+    point of the hierarchy. Exact fold-order accumulation per coarse
+    group ('matmul' swaps in a dgemm per group with the winner's
+    distance recomputed exactly, same caveat as _assign_matmul)."""
+    kernel = kernel or DEFAULT_KERNEL
+    use_matmul = kernel == "matmul"
+    fmats = [np.array(c, dtype=np.float64) if c else None for c in fine]
+
+    @pandas_udf("fine bigint, fine_dist double")
+    def assign(coarse: pd.Series, xd: pd.Series) -> pd.DataFrame:
+        mat = np.stack(xd.to_numpy())
+        co = coarse.to_numpy(dtype=np.int64)
+        out_f = np.zeros(len(co), dtype=np.int64)
+        out_d = np.zeros(len(co), dtype=np.float64)
+        for c in np.unique(co):
+            m = co == c
+            sub = mat[m]
+            cm = fmats[c]
+            if use_matmul:
+                dmat = ((sub * sub).sum(axis=1)[:, None]
+                        - 2.0 * (sub @ cm.T)
+                        + (cm * cm).sum(axis=1)[None, :])
+                sel = np.argmin(dmat, axis=1)
+                win = cm[sel]
+                acc = np.zeros(sub.shape[0], dtype=np.float64)
+                for i in range(dim):             # exact winner recompute
+                    d = sub[:, i] - win[:, i]
+                    acc = acc + d * d
+                out_f[m], out_d[m] = sel, acc
+            else:
+                dmat = np.empty((sub.shape[0], cm.shape[0]),
+                                dtype=np.float64)
+                for j in range(cm.shape[0]):
+                    acc = np.zeros(sub.shape[0], dtype=np.float64)
+                    for i in range(dim):         # fold order: dims ascending
+                        d = sub[:, i] - cm[j, i]
+                        acc = acc + d * d
+                    dmat[:, j] = acc
+                sel = np.argmin(dmat, axis=1)    # first min == lowest fid
+                out_f[m] = sel
+                out_d[m] = dmat[np.arange(sub.shape[0]), sel]
+        return pd.DataFrame({"fine": out_f, "fine_dist": out_d})
+
+    return (assigned.withColumn("_a", assign("coarse", "xd"))
+            .withColumn("fine", F.col("_a.fine"))
+            .withColumn("fine_dist", F.col("_a.fine_dist"))
+            .drop("_a"))
+
+
+def kmeans_assign_twolevel(emb: DataFrame, k1: int = 4, k2: int = 3,
+                           iters1: int = 1, iters2: int = 1,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           kernel: str | None = None) -> DataFrame:
+    """Hierarchical Lloyd's: fit k1 coarse centroids on the corpus, then
+    k2 sub-centroids WITHIN each coarse cluster (joint distributed
+    iterations - one shuffle of k1*k2 x dim integer sums per pass, same
+    as flat fit), and emit (id_col, coarse, fine, leaf, leaf_size) with
+    leaf = coarse*k2 + fine.
+
+    Why it exists: flat assignment is O(n*k*dim) per pass, and under
+    SemDeDup's cluster-size-constant rule k grows with the corpus - at
+    k ~ 1e5 (the Abbas et al. operating point for 1e9-row corpora) even
+    one dgemm per batch is ~1.5 TFLOP per 10k rows. Two levels cut the
+    per-row cost to (k1 + k2) x dim; k1 = k2 = sqrt(k) gives the
+    classic IVF shape (faiss's coarse quantizer + per-list refinement)
+    at O(n*sqrt(k)*dim). The tradeoff is a partition-constrained argmin
+    (a row can only join leaves of its own coarse cluster) - standard
+    for IVF, and exactly what bounds SemDeDup's pair stage anyway.
+
+    Determinism contract is unchanged: integer-scaled sums, md5-keyed
+    seeding per level (fine seeds = the k2 smallest md5('seed|'||id)
+    WITHIN each coarse cluster), fixed iteration counts, empty leaves
+    keep their previous centroid - the full two-level run replays in
+    SQL (plans/similarity.py _km2_oracle)."""
+    coarse_cents, dim = kmeans_fit(emb, k1, iters1, id_col, vec_col,
+                                   kernel)
+    x = _scaled(emb.select(id_col, vec_col), vec_col)
+    # The coarse assignment feeds every fine phase (seeds, each
+    # iteration's sums, the final assignment): pin it once instead of
+    # re-evaluating the k1 x dim argmin per phase (the same
+    # materialization decision as SemDeDup's assignment checkpoint).
+    assigned = (_assign(x, coarse_cents, dim, kernel)
+                .select(id_col, "xi", "xd",
+                        F.col("cluster").alias("coarse"))
+                .localCheckpoint())
+
+    wseed = Window.partitionBy("coarse").orderBy("_sk", id_col)
+    seed_rows = (assigned
+                 .select("coarse", "xd", id_col,
+                         _seed_key(id_col).alias("_sk"))
+                 .withColumn("_rn", F.row_number().over(wseed))
+                 .where(F.col("_rn") <= k2)
+                 .select("coarse", "_rn", "xd")
+                 .collect())
+    fine: list[list[list[float]]] = [[] for _ in range(k1)]
+    for r in sorted(seed_rows, key=lambda r: (r["coarse"], r["_rn"])):
+        fine[int(r["coarse"])].append(list(r["xd"]))
+
+    for _ in range(iters2):
+        sums = (_assign_fine(assigned, fine, dim, kernel)
+                .groupBy("coarse", "fine").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.element_at("xi", i + 1)).alias(f"s{i}")
+                      for i in range(dim)]))
+        got = {(int(r["coarse"]), int(r["fine"])): r
+               for r in sums.collect()}
+        fine = [
+            [[int(r[f"s{i}"]) / (int(r["n"]) * SCALE) for i in range(dim)]
+             if (r := got.get((c, f))) is not None else fine[c][f]
+             for f in range(len(fine[c]))]
+            for c in range(k1)
+        ]
+
+    w = Window.partitionBy("leaf")
+    return (_assign_fine(assigned, fine, dim, kernel)
+            .withColumn("leaf", F.col("coarse") * k2 + F.col("fine"))
+            .select(id_col, "coarse", "fine", "leaf",
+                    F.count(F.lit(1)).over(w).alias("leaf_size"))
+            )

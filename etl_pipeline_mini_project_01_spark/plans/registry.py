@@ -137,8 +137,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
 #:   u2_sentiment_distribution, u3_udtf_tokenize, w_rank_family.
 #: Plus sim_lsh_buckets and sim_ivf_probe_topk (r2-only greens whose r4
 #: window slots went to the late-r4 registrations
-#: stats_quantile_sketch / decontamination_bloom) -> 33 names, 17 free
-#: r5 slots.
+#: stats_quantile_sketch / decontamination_bloom), plus a first row for
+#: the post-window r4 registration kmeans_twolevel_clusters -> 34
+#: names, 16 free r5 slots.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

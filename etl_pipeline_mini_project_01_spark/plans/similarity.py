@@ -555,12 +555,12 @@ WHERE rn = 1
 _KM_ITERS = 2
 
 
-def _km_oracle(iters: int) -> str:
+def _km_oracle(iters: int, k: int = _KM_K) -> str:
     """The full k-means replay as SQL: init from the first-k rows, then
     `iters` (assign -> exact integer-sum update -> COALESCE empty
     clusters) blocks, then the final assignment - mirroring
     kmeans_assign's loop structure one CTE per phase."""
-    dim1, k, scale = _KM_DIM + 1, _KM_K, _KM_SCALE
+    dim1, scale = _KM_DIM + 1, _KM_SCALE
     parts = [f"""
 WITH x AS (
     SELECT vec_id,
@@ -636,6 +636,112 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (kmeans_assign(emb, k=_KM_K, iters=_KM_ITERS)
             .orderBy("vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# Two-level (coarse -> fine) k-means (operators/kmeans.py)
+# ---------------------------------------------------------------------------
+
+_KM2_K1, _KM2_K2 = 4, 3
+_KM2_ITERS1, _KM2_ITERS2 = 1, 1
+
+#: One FINE assignment pass: argmin over the k2 sub-centroids of the
+#: row's OWN coarse cluster (the IVF-style partition-constrained
+#: argmin), fold-order distance, ties -> lowest fid. `{cents}` carries
+#: (coarse, fid, c).
+_KM2_ASSIGN = """
+SELECT vec_id, coarse, fid AS fine, dist AS fine_dist
+FROM (
+    SELECT vec_id, coarse, fid, dist,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist, fid) AS rn
+    FROM (
+        SELECT x.vec_id, a.cluster AS coarse, c.fid,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, {dim1}),
+                       i -> (x.xd[i] - c.c[i]) * (x.xd[i] - c.c[i]))),
+                   (p, q) -> p + q) AS dist
+        FROM xd x
+        JOIN afinal a USING (vec_id)
+        JOIN {cents} c ON c.coarse = a.cluster))
+WHERE rn = 1
+"""
+
+
+def _km2_oracle(iters1: int, iters2: int) -> str:
+    """Two-level replay: the flat replay (k1, iters1) up to its final
+    coarse assignment CTE (`afinal`), then per-coarse md5 seeding,
+    `iters2` fine (assign -> integer-sum update -> COALESCE) blocks,
+    and the final leaf assignment."""
+    dim1, k2, scale = _KM_DIM + 1, _KM2_K2, _KM_SCALE
+    parts = [_km_oracle(iters1, k=_KM2_K1)
+             .rsplit("SELECT vec_id, cluster,", 1)[0]]
+    parts.append(f""",
+f0 AS (
+    SELECT coarse, fid, c FROM (
+        SELECT a.cluster AS coarse,
+               row_number() OVER (
+                   PARTITION BY a.cluster
+                   ORDER BY md5('seed|' || CAST(x.vec_id AS VARCHAR)),
+                            x.vec_id) - 1 AS fid,
+               x.xd AS c
+        FROM afinal a JOIN xd x USING (vec_id))
+    WHERE fid < {k2})""")
+    cents = "f0"
+    for t in range(1, iters2 + 1):
+        assign = _KM2_ASSIGN.format(dim1=dim1, cents=cents)
+        parts.append(f""",
+b{t} AS ({assign}),
+fs{t} AS (
+    SELECT b.coarse, b.fine AS fid, d.i,
+           SUM(x.xi[d.i]) AS s, COUNT(*) AS n
+    FROM b{t} b JOIN xd x USING (vec_id) CROSS JOIN dims d
+    GROUP BY 1, 2, 3
+),
+fm{t} AS (
+    SELECT coarse, fid,
+           list(CAST(s AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST({scale} AS DOUBLE))
+                ORDER BY i) AS c
+    FROM fs{t} GROUP BY coarse, fid
+),
+f{t} AS (
+    SELECT p.coarse, p.fid, COALESCE(m.c, p.c) AS c
+    FROM {cents} p
+    LEFT JOIN fm{t} m ON m.coarse = p.coarse AND m.fid = p.fid
+)""")
+        cents = f"f{t}"
+    final = _KM2_ASSIGN.format(dim1=dim1, cents=cents)
+    parts.append(f""",
+bfinal AS ({final})
+SELECT vec_id,
+       CAST(coarse AS BIGINT) AS coarse,
+       CAST(fine AS BIGINT) AS fine,
+       CAST(coarse * {k2} + fine AS BIGINT) AS leaf,
+       CAST(COUNT(*) OVER (PARTITION BY coarse, fine) AS BIGINT)
+           AS leaf_size
+FROM bfinal
+ORDER BY vec_id
+""")
+    return "".join(parts)
+
+
+@register("kmeans_twolevel_clusters",
+          oracle=_km2_oracle(_KM2_ITERS1, _KM2_ITERS2))
+def kmeans_twolevel_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical k-means (operators/kmeans.py kmeans_assign_twolevel):
+    k1={k1} coarse clusters then k2={k2} sub-clusters within each - the
+    O(n*(k1+k2)*dim) route to SemDeDup's k ~ 1e5 operating point, where
+    flat assignment is O(n*k*dim) per pass (the IVF coarse-quantizer
+    shape). Fully deterministic (md5 seeding per level, integer-exact
+    sums), so the oracle replays BOTH levels in SQL."""
+    from ..operators.kmeans import kmeans_assign_twolevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (kmeans_assign_twolevel(
+        emb, k1=_KM2_K1, k2=_KM2_K2,
+        iters1=_KM2_ITERS1, iters2=_KM2_ITERS2)
+        .orderBy("vec_id"))
 
 
 # ---------------------------------------------------------------------------

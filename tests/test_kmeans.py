@@ -163,3 +163,76 @@ def test_cluster_label_purity_beats_random(spark, emb):
     assert purity >= 1.5 / n_labels, (
         f"purity {purity:.3f} vs random {1 / n_labels:.3f}"
     )
+
+
+def test_twolevel_partition_count_invariant(spark, emb):
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_assign_twolevel,
+    )
+
+    outs = []
+    for p in (1, 7):
+        outs.append(sorted(
+            (r.vec_id, r.coarse, r.fine, r.leaf, r.leaf_size)
+            for r in kmeans_assign_twolevel(
+                emb.repartition(p), k1=3, k2=2).collect()))
+    assert outs[0] == outs[1]
+
+
+def test_twolevel_covers_all_rows_with_consistent_leaves(spark, emb):
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_assign_twolevel,
+    )
+
+    k1, k2 = 4, 3
+    rows = kmeans_assign_twolevel(emb, k1=k1, k2=k2).collect()
+    assert len(rows) == emb.count()
+    sizes = {}
+    for r in rows:
+        assert 0 <= r.coarse < k1 and 0 <= r.fine < k2
+        assert r.leaf == r.coarse * k2 + r.fine
+        sizes.setdefault(r.leaf, set()).add(r.leaf_size)
+    # leaf_size is a window count: constant within the leaf, sums to n
+    assert all(len(s) == 1 for s in sizes.values())
+    assert sum(next(iter(s)) for s in sizes.values()) == len(rows)
+
+
+def test_twolevel_matmul_kernel_matches_default(spark, emb):
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_assign_twolevel,
+    )
+
+    base = sorted((r.vec_id, r.coarse, r.fine) for r in
+                  kmeans_assign_twolevel(emb, k1=3, k2=2).collect())
+    fast = sorted((r.vec_id, r.coarse, r.fine) for r in
+                  kmeans_assign_twolevel(emb, k1=3, k2=2,
+                                         kernel="matmul").collect())
+    assert base == fast
+
+
+def test_twolevel_refines_coarse_inertia(spark, emb):
+    """Splitting each coarse cluster into k2 leaves must not increase
+    total within-cluster squared distance: the fine argmin minimizes
+    over sub-centroids that include each coarse cluster's own mass."""
+    import numpy as np
+
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_assign_twolevel,
+    )
+
+    def inertia(assign_df, key):
+        joined = assign_df.join(emb, "vec_id").select(key, "embedding")
+        groups = defaultdict(list)
+        for r in joined.collect():
+            groups[r[key]].append(np.array(r.embedding, dtype=float))
+        tot = 0.0
+        for vs in groups.values():
+            mat = np.stack(vs)
+            tot += ((mat - mat.mean(axis=0)) ** 2).sum()
+        return tot
+
+    flat = inertia(kmeans_assign(emb, k=3, iters=1), "cluster")
+    two = inertia(kmeans_assign_twolevel(emb, k1=3, k2=3,
+                                         iters1=1, iters2=1), "leaf")
+    assert two <= flat * 1.0001
