@@ -355,6 +355,28 @@ def kmeans_assign_twolevel(emb: DataFrame, k1: int = 4, k2: int = 3,
     WITHIN each coarse cluster), fixed iteration counts, empty leaves
     keep their previous centroid - the full two-level run replays in
     SQL (plans/similarity.py _km2_oracle)."""
+    coarse_cents, fine, dim = kmeans_fit_twolevel(
+        emb, k1, k2, iters1, iters2, id_col, vec_col, kernel)
+    w = Window.partitionBy("leaf")
+    return (kmeans_transform_twolevel(emb, coarse_cents, fine, dim,
+                                      id_col, vec_col, kernel)
+            .withColumn("leaf", F.col("coarse") * k2 + F.col("fine"))
+            .select(id_col, "coarse", "fine", "leaf",
+                    F.count(F.lit(1)).over(w).alias("leaf_size"))
+            )
+
+
+def kmeans_fit_twolevel(emb: DataFrame, k1: int = 4, k2: int = 3,
+                        iters1: int = 1, iters2: int = 1,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        kernel: str | None = None,
+                        ) -> tuple[list[list[float]],
+                                   list[list[list[float]]], int]:
+    """(coarse_cents, fine, dim): the driver-resident two-level model -
+    fine[c] holds the k2 sub-centroids of coarse cluster c (fewer when
+    the cluster has < k2 rows). See kmeans_assign_twolevel for the
+    algorithm and determinism contract."""
     coarse_cents, dim = kmeans_fit(emb, k1, iters1, id_col, vec_col,
                                    kernel)
     x = _scaled(emb.select(id_col, vec_col), vec_col)
@@ -393,10 +415,20 @@ def kmeans_assign_twolevel(emb: DataFrame, k1: int = 4, k2: int = 3,
              for f in range(len(fine[c]))]
             for c in range(k1)
         ]
+    return coarse_cents, fine, dim
 
-    w = Window.partitionBy("leaf")
+
+def kmeans_transform_twolevel(emb: DataFrame,
+                              coarse_cents: list[list[float]],
+                              fine: list[list[list[float]]], dim: int,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              kernel: str | None = None) -> DataFrame:
+    """(id_col, coarse, fine, fine_dist) for a fitted two-level model:
+    one coarse pass + one partition-constrained fine pass, both
+    map-side."""
+    x = _scaled(emb.select(id_col, vec_col), vec_col)
+    assigned = (_assign(x, coarse_cents, dim, kernel)
+                .select(id_col, "xd", F.col("cluster").alias("coarse")))
     return (_assign_fine(assigned, fine, dim, kernel)
-            .withColumn("leaf", F.col("coarse") * k2 + F.col("fine"))
-            .select(id_col, "coarse", "fine", "leaf",
-                    F.count(F.lit(1)).over(w).alias("leaf_size"))
-            )
+            .select(id_col, "coarse", "fine", "fine_dist"))

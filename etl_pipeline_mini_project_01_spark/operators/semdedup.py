@@ -170,6 +170,37 @@ def _semdedup_grouped(assigned_emb: DataFrame, threshold: float,
                                   f"kept boolean"))
 
 
+def semdedup_twolevel(emb: DataFrame, k1: int = 8, k2: int = 8,
+                      iters1: int = 1, iters2: int = 1,
+                      threshold: float = 0.35, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      kernel: str | None = None) -> DataFrame:
+    """(id_col, cluster, kept): SemDeDup with the TWO-LEVEL k-means as
+    the bounding device - cluster = the k1*k2 leaf, centroid_dist = the
+    distance to the LEAF sub-centroid. This is the composed 100 TB
+    path: at the cluster-size-constant rule the leaf count k grows with
+    the corpus, and the hierarchy keeps the assignment stage at
+    O(n*(k1+k2)*dim) where flat SemDeDup pays O(n*k*dim) (see
+    operators/kmeans.py kmeans_assign_twolevel). The pairwise stage is
+    unchanged - grouped applyInPandas per leaf, quadratic only within
+    the leaf. Verdict semantics are the paper's, against the leaf
+    centroid; leaf boundaries differ from flat k-means' (clustering is
+    a bounding device, not part of the dedup contract)."""
+    from .kmeans import kmeans_fit_twolevel, kmeans_transform_twolevel
+
+    coarse_cents, fine, dim = kmeans_fit_twolevel(
+        emb, k1, k2, iters1, iters2, id_col, vec_col, kernel)
+    assigned = (kmeans_transform_twolevel(emb, coarse_cents, fine, dim,
+                                          id_col, vec_col, kernel)
+                .select(id_col,
+                        (F.col("coarse") * k2 + F.col("fine"))
+                        .alias("cluster"),
+                        F.col("fine_dist").alias("centroid_dist")))
+    assigned_emb = assigned.join(emb.select(id_col, vec_col), id_col)
+    return _semdedup_grouped(assigned_emb, threshold, id_col,
+                             vec_col, dim)
+
+
 def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
              threshold: float = 0.35, id_col: str = "vec_id",
              vec_col: str = "embedding",

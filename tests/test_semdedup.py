@@ -144,3 +144,46 @@ def test_cluster_balanced_sample_quota(spark, emb):
         assert len(kept) == min(30, len(members))
         ranks = sorted(r.pick_rank for r in members)
         assert ranks == list(range(1, len(members) + 1))
+
+
+def test_twolevel_semdedup_matches_rule_replay(spark, emb):
+    """semdedup_twolevel: the dominance rule replayed in Python from the
+    engine's OWN two-level assignment (leaf = cluster, fine_dist =
+    centroid distance) must reproduce every verdict - proving the
+    composition changed the bounding device, not the dedup rule."""
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit_twolevel,
+        kmeans_transform_twolevel,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+        semdedup_twolevel,
+    )
+
+    k1, k2 = 3, 2
+    coarse, fine, dim = kmeans_fit_twolevel(emb, k1=k1, k2=k2)
+    rows = (kmeans_transform_twolevel(emb, coarse, fine, dim)
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .collect())
+    by_leaf = defaultdict(list)
+    for r in rows:
+        by_leaf[r.coarse * k2 + r.fine].append(
+            (r.vec_id, r.fine_dist, [float(v) for v in r.embedding]))
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return sum((x / na) * (y / nb) for x, y in zip(a, b))
+
+    expect = {}
+    for members in by_leaf.values():
+        for vid, dist, vec in members:
+            dominated = any(
+                cos(vec, ovec) >= TAU
+                and (odist > dist or (odist == dist and ovid < vid))
+                for ovid, odist, ovec in members if ovid != vid)
+            expect[vid] = not dominated
+
+    got = {r.vec_id: r.kept
+           for r in semdedup_twolevel(emb, k1=k1, k2=k2,
+                                      threshold=TAU).collect()}
+    assert got == expect
