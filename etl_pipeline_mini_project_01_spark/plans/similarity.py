@@ -639,6 +639,149 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN over the k-means coarse quantizer (E32 + E24 composed)
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE = 2
+_IVF_FLOOR = 0.2
+
+
+def _ivf_recall_oracle() -> str:
+    """Full replay: the flat k-means chain (same model as
+    kmeans_embedding_clusters), per-query top-nprobe lists by the SAME
+    fold distance, exact-cosine rank within the probed candidates,
+    recall vs brute-force - every number recomputed by DuckDB."""
+    dim1, k, npb = _KM_DIM + 1, _ANN_TOP_K, _IVF_NPROBE
+    prefix = _km_oracle(_KM_ITERS).rsplit("SELECT vec_id, cluster,", 1)[0]
+    cos = (f"{_SQL_DOT.format(a='q.qv', b='s.embedding')}"
+           f" / (sqrt({_SQL_NORM2.format(a='q.qv')})"
+           f" * sqrt({_SQL_NORM2.format(a='s.embedding')}))")
+    return prefix + f""",
+qp AS (
+    SELECT query_id, cid FROM (
+        SELECT query_id, cid, dist,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY dist, cid) AS rn
+        FROM (
+            SELECT x.vec_id AS query_id, c.cid,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(range(1, {dim1}),
+                           i -> (x.xd[i] - c.c[i]) * (x.xd[i] - c.c[i]))),
+                       (p, q) -> p + q) AS dist
+            FROM xd x, c{_KM_ITERS} c
+            WHERE x.vec_id < {N_QUERIES}))
+    WHERE rn <= {npb}),
+cand AS (
+    SELECT p.query_id, a.vec_id
+    FROM qp p JOIN afinal a ON a.cluster = p.cid
+    WHERE a.vec_id <> p.query_id),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+ann AS (
+    SELECT query_id, vec_id FROM (
+        SELECT c.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rank
+        FROM cand c
+        JOIN q ON c.query_id = q.query_id
+        JOIN embeddings s ON c.vec_id = s.vec_id)
+    WHERE rank <= {k}),
+brute AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, s.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos} DESC, s.vec_id) AS rank
+        FROM q JOIN embeddings s ON q.query_id <> s.vec_id)
+    WHERE rank <= {k}),
+hits AS (
+    SELECT b.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits
+    FROM brute b
+    LEFT JOIN ann a ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+    GROUP BY b.query_id)
+SELECT query_id, n_hits,
+       CAST(n_hits AS DOUBLE) / {k} AS recall_at_5,
+       CAST(n_hits AS DOUBLE) / {k} >= {_IVF_FLOOR} AS meets_floor
+FROM hits
+ORDER BY query_id
+"""
+
+
+@register("ann_ivf_kmeans_recall", oracle=_ivf_recall_oracle())
+def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVF ANN: the k-means model IS the inverted-file quantizer
+    (faiss IVF-Flat shape) - each query probes its nprobe={np} nearest
+    of the k={k} lists by the SAME fold distance the assignment uses,
+    exact cosine ranks only the probed lists (~nprobe/k of the corpus
+    scanned), recall measured against brute-force truth. At 100 TB the
+    cluster id is the parquet partition key, so the probe prunes
+    partitions at the scan. All arithmetic deterministic -> the oracle
+    replays the model, the probe, both rankings, and the recall; the
+    verdict is computed identically on both sides (floor {fl})."""
+    return ivf_kmeans_recall(spark, sf_dir, nprobe=_IVF_NPROBE)
+
+
+def ivf_kmeans_recall(spark: SparkSession, sf_dir: str,
+                      nprobe: int = _IVF_NPROBE) -> DataFrame:
+    import math
+
+    from ..operators.kmeans import kmeans_fit, kmeans_transform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, dim = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    assigned = (kmeans_transform(emb, cents, dim)
+                .select("vec_id", "cluster"))
+
+    # Per-query probed lists, replayed driver-side with the exact same
+    # arithmetic as the plan: xd = floor(v*2^20)/2^20 (both steps
+    # exact), fold-order distance from 0.0, ties -> lowest cid.
+    # N_QUERIES x k work - control-plane, like the centroids themselves.
+    probed = []
+    for r in (emb.filter(F.col("vec_id") < N_QUERIES)
+              .select("vec_id", "embedding").collect()):
+        xd = [math.floor(float(v) * (1 << 20)) / (1 << 20)
+              for v in r.embedding]
+        ds = []
+        for cid, c in enumerate(cents):
+            acc = 0.0
+            for i in range(dim):
+                d = xd[i] - c[i]
+                acc = acc + d * d
+            ds.append((acc, cid))
+        ds.sort()
+        probed += [(int(r.vec_id), cid) for _, cid in ds[:nprobe]]
+    probed_df = spark.createDataFrame(probed, "query_id long, cluster long")
+
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv")))
+    cand = (assigned.join(F.broadcast(probed_df), "cluster")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), "vec_id")
+    ann = (cand.join(F.broadcast(q), "query_id")
+           .join(emb.select("vec_id", "embedding"), "vec_id")
+           .withColumn("_cos", _cosine("qv", "embedding"))
+           .withColumn("_rank", F.row_number().over(w))
+           .where(F.col("_rank") <= _ANN_TOP_K)
+           .select(F.col("query_id").alias("_aq"),
+                   F.col("vec_id").alias("_av")))
+    truth = (sim_cosine_topk(spark, sf_dir)
+             .where(F.col("rank") <= _ANN_TOP_K)
+             .select("query_id", "vec_id"))
+    hits = (truth
+            .join(ann, (F.col("query_id") == F.col("_aq"))
+                  & (F.col("vec_id") == F.col("_av")), "left")
+            .groupBy("query_id")
+            .agg(F.count("_av").alias("n_hits")))
+    recall = F.col("n_hits").cast("double") / _ANN_TOP_K
+    return (hits.select(
+        "query_id", F.col("n_hits").cast("bigint").alias("n_hits"),
+        recall.alias("recall_at_5"),
+        (recall >= _IVF_FLOOR).alias("meets_floor"))
+        .orderBy("query_id"))
+
+
+# ---------------------------------------------------------------------------
 # Two-level (coarse -> fine) k-means (operators/kmeans.py)
 # ---------------------------------------------------------------------------
 

@@ -140,3 +140,25 @@ def test_signature_kernels_bit_identical(spark):
                   multitable_signatures(emb, 3, 4,
                                         kernel="fold").collect())
     assert vec == fold
+
+
+def test_ivf_recall_monotone_in_nprobe_and_exact_at_full_probe(spark):
+    """IVF over the k-means quantizer: mean recall@5 must not decrease
+    as nprobe grows, and probing ALL k lists must recover brute-force
+    exactly (recall 1.0 for every query) - the exactness limit that
+    proves the probe is the only source of loss."""
+    from etl_pipeline_mini_project_01_spark.plans.similarity import (
+        ivf_kmeans_recall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def mean_recall(nprobe):
+        rows = ivf_kmeans_recall(spark, sf, nprobe=nprobe).collect()
+        return sum(r.recall_at_5 for r in rows) / len(rows), rows
+
+    r2, _ = mean_recall(2)
+    r4, _ = mean_recall(4)
+    r8, rows8 = mean_recall(8)
+    assert r2 <= r4 + 1e-9 and r4 <= r8 + 1e-9
+    assert all(r.recall_at_5 == 1.0 for r in rows8)
