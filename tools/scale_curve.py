@@ -51,7 +51,10 @@ from etl_pipeline_mini_project_01_spark.operators.kmeans import kmeans_assign
 from etl_pipeline_mini_project_01_spark.operators.mix import (
     assemble_training_shards,
 )
-from etl_pipeline_mini_project_01_spark.operators.semdedup import semdedup
+from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+    semdedup,
+    semdedup_twolevel,
+)
 from etl_pipeline_mini_project_01_spark.session import get_spark
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,6 +130,14 @@ def run_flagships(spark, sf_dir: str, k_clusters: int) -> dict[str, float]:
                       kernel=KERNEL))
     walls[f"semdedup_k{k_clusters}"] = round(time.perf_counter() - t0, 3)
 
+    # The hierarchical bounding device at the same leaf count - the
+    # operating rule past k ~ 1e3 (SCALE.md flat-vs-two-level note).
+    side = max(2, int(round(k_clusters ** 0.5)))
+    t0 = time.perf_counter()
+    _consume(semdedup_twolevel(emb, k1=side, k2=side, iters1=2, iters2=2,
+                               threshold=0.35, kernel=KERNEL))
+    walls[f"semdedup2_{side}x{side}"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     _consume(assemble_training_shards(docs, benchmark=None, budget=2048,
                                       num_partitions=8))
@@ -173,6 +184,10 @@ def main() -> None:
         "big_dir": big_dir,
         "kmeans": _pair("kmeans_k8_i2", "kmeans_k8_i2"),
         "semdedup": _pair("semdedup_k8", f"semdedup_k{8 * n}"),
+        "semdedup_twolevel": _pair(
+            "semdedup2_3x3",
+            f"semdedup2_{max(2, int(round((8 * n) ** 0.5)))}x"
+            f"{max(2, int(round((8 * n) ** 0.5)))}"),
         "training_mix": _pair("training_mix", "training_mix"),
         "substring_spans": _pair("substring_spans", "substring_spans"),
         "ann_topk": _pair("ann_topk", "ann_topk"),
