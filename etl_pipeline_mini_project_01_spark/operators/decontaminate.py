@@ -33,9 +33,11 @@ from ..functions.text import word_array
 #: range. Tunable per call.
 DEFAULT_N = 13
 
-#: Bloom prefilter sizing: m bits / k hashes. At the default 2^22 bits a
-#: 1e6-distinct-gram benchmark runs at ~24% fill -> FP ~ fill^k ~ 0.3%;
-#: the broadcast payload is m/8 = 512 KiB packed.
+#: Bloom prefilter sizing: m bits / k hashes; fill = 1-exp(-n*k/m) for
+#: n distinct grams, FP ~ fill^k. The default 2^22 bits (512 KiB
+#: packed broadcast) suits benchmarks up to ~3e5 distinct grams (~25%
+#: fill -> FP ~0.4%); for a 1e6-gram suite use 2^25 (4 MiB, ~11% fill,
+#: FP ~1.6e-4) - the standard rule m ~ 10*n keeps FP near 1%.
 BLOOM_BITS = 1 << 22
 BLOOM_K = 4
 

@@ -1,7 +1,8 @@
-"""Scale-curve harness (VERDICT r3 #7): measure the three heavyweight
-flagships - distributed k-means, SemDeDup, and the end-to-end training-
-mix chain - at 1x (sf0.1) and Nx (synthesized), so the sub-quadratic
-design claims are MEASURED, not asserted.
+"""Scale-curve harness (VERDICT r3 #7): measure the heavyweight
+flagships - distributed k-means, SemDeDup (flat AND two-level),
+the end-to-end training-mix chain, substring-span dedup, and the
+multi-table LSH ANN - at 1x (sf0.1) and Nx (synthesized), so the
+sub-quadratic design claims are MEASURED, not asserted.
 
 Blow-up construction (deterministic, duplication-rate preserving):
   * documents: each source doc becomes N replicas with distinct doc_ids
