@@ -73,3 +73,39 @@ def test_upsert_latest_is_idempotent_and_latest_wins(spark, s1, s2):
     got = {r.k: r.attr for r in once.collect()}
     for k, v in s2.items():
         assert got[k] == f"v{v}"  # newest version wins
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefilter decontamination: no-loss property on arbitrary corpora
+# ---------------------------------------------------------------------------
+
+_WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps",
+                          "zeta", "eta", "theta"])
+_DOC = st.lists(_WORDS, min_size=0, max_size=12).map(" ".join)
+_CORPUS = st.lists(_DOC, min_size=1, max_size=8)
+_BENCH = st.lists(_DOC, min_size=1, max_size=3)
+
+
+@given(corpus=_CORPUS, bench=_BENCH)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bloom_two_phase_never_loses_hits(spark, corpus, bench):
+    """For ANY corpus/benchmark over a tiny vocabulary (engineered for
+    heavy n-gram collisions), the two-phase bloom pipeline's per-doc
+    exact hit counts equal the one-phase computation - zero false
+    negatives regardless of content."""
+    from etl_pipeline_mini_project_01_spark.operators.decontaminate import (
+        bloom_contamination_scores,
+        contamination_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    benchmark = spark.createDataFrame([(t,) for t in bench], ["text"])
+    n = 3
+    exact = {r.doc_id: (r.doc_ngrams, r.hit_ngrams)
+             for r in contamination_scores(docs, benchmark, n=n).collect()}
+    rows = bloom_contamination_scores(docs, benchmark, n=n).collect()
+    got = {r.doc_id: (r.doc_ngrams, r.hit_ngrams) for r in rows}
+    assert got == exact
+    assert all(r.bloom_no_miss for r in rows)
