@@ -312,3 +312,23 @@ def test_bloom_probe_is_arrow_batched_scan_before_join(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_probe_broadcasts_and_never_cartesian(spark):
+    """ann_ivf_kmeans_recall: the probed-list relation (N_QUERIES x
+    nprobe rows) must broadcast into the candidate join - the corpus
+    assignment never shuffles for the probe - and nothing falls back to
+    a cartesian."""
+    plan = _plan(spark, "ann_ivf_kmeans_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_twolevel_kernels_are_arrow_batched(spark):
+    """kmeans_twolevel_clusters: both assignment stages run as
+    ArrowEvalPython (pandas_udf batches), never row-at-a-time
+    BatchEvalPython, and the fine stage adds no extra shuffle beyond
+    the leaf_size window."""
+    plan = _plan(spark, "kmeans_twolevel_clusters")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
