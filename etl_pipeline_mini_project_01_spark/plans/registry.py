@@ -89,6 +89,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "decontamination_bloom",          # E38: bloom prefilter, no-loss proof
     "kmeans_twolevel_clusters",       # E39: hierarchical k-means, SQL replay
     "ann_ivf_kmeans_recall",          # E40: IVF over the k-means quantizer
+    "kmeans_incremental_assign",      # E41: frozen-model delta assignment
     # -- code changed this round (old rows stopped vouching) -------------
     "kmeans_embedding_clusters",      # md5 seeding + vectorized kernel
     "semdedup_prune",                 # md5 seeding + vectorized pair-dot
@@ -113,12 +114,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "p2_time_window_cutoff", "p6_normalized_documents",
     "p_clean_documents", "p_clean_events",
     "q1_pricing_summary", "sim_cosine_topk", "x1_token_frequencies",
-    # -- oldest round-2-only greens, rotated back in (4 of 39; four
+    # -- oldest round-2-only greens, rotated back in (3 of 39; five
     # -- slots went to the late-r4 registrations above - sim_lsh_buckets,
-    # -- sim_ivf_probe_topk, sim_embedding_near_dups, and
-    # -- stream_tumbling_counts move to the r5 debt instead) -------------
+    # -- sim_ivf_probe_topk, sim_embedding_near_dups,
+    # -- stream_tumbling_counts, and sessionization_gaps move to the r5
+    # -- debt instead) ---------------------------------------------------
     "g1_daily_engagement_summary", "g2_top_performing_content",
-    "m1_scd2_account_dim", "sessionization_gaps",
+    "m1_scd2_account_dim",
 )
 
 #: Round-5 rotation debt, precomputed: after the r4 driver run, the 31
@@ -137,10 +139,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
 #:   text_quality_scores, text_token_counts, tfidf_top_terms,
 #:   u2_sentiment_distribution, u3_udtf_tokenize, w_rank_family.
 #: Plus sim_lsh_buckets, sim_ivf_probe_topk, sim_embedding_near_dups,
-#: and stream_tumbling_counts (r2-only greens whose r4 window slots
-#: went to the late-r4 registrations stats_quantile_sketch /
-#: decontamination_bloom / kmeans_twolevel_clusters /
-#: ann_ivf_kmeans_recall) -> 35 names, 15 free r5 slots.
+#: stream_tumbling_counts, and sessionization_gaps (r2-only greens
+#: whose r4 window slots went to the late-r4 registrations
+#: stats_quantile_sketch / decontamination_bloom /
+#: kmeans_twolevel_clusters / ann_ivf_kmeans_recall /
+#: kmeans_incremental_assign) -> 36 names, 14 free r5 slots.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

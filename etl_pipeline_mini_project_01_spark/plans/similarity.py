@@ -536,6 +536,9 @@ _KM_SCALE = 1 << 20
 #: accumulator (list_reduce(list_prepend(...)) - the same operation
 #: sequence as the engine's F.aggregate fold), argmin tie-broken on the
 #: lowest centroid id.
+#: `{pred}` restricts which rows get assigned (TRUE = all) - the
+#: incremental variant fits on the standing corpus and assigns the
+#: delta with the frozen model.
 _KM_ASSIGN = """
 SELECT vec_id, cid AS cluster, dist AS centroid_dist
 FROM (
@@ -548,18 +551,22 @@ FROM (
                    list_transform(range(1, {dim1}),
                        i -> (x.xd[i] - c.c[i]) * (x.xd[i] - c.c[i]))),
                    (a, b) -> a + b) AS dist
-        FROM xd x, {cents} c))
+        FROM xd x, {cents} c
+        WHERE {pred}))
 WHERE rn = 1
 """
 
 _KM_ITERS = 2
 
 
-def _km_oracle(iters: int, k: int = _KM_K) -> str:
+def _km_oracle(iters: int, k: int = _KM_K, fit_pred: str = "TRUE") -> str:
     """The full k-means replay as SQL: init from the first-k rows, then
     `iters` (assign -> exact integer-sum update -> COALESCE empty
     clusters) blocks, then the final assignment - mirroring
-    kmeans_assign's loop structure one CTE per phase."""
+    kmeans_assign's loop structure one CTE per phase. `fit_pred`
+    restricts which rows the model is FIT on (seeds, per-iteration
+    assignment + sums, and the afinal assignment) - TRUE = the whole
+    table; the incremental variant fits on the standing corpus only."""
     dim1, scale = _KM_DIM + 1, _KM_SCALE
     parts = [f"""
 WITH x AS (
@@ -583,11 +590,11 @@ c0 AS (
                    ORDER BY md5('seed|' || CAST(vec_id AS VARCHAR)), vec_id)
                - 1 AS cid,
                xd AS c
-        FROM xd)
+        FROM xd WHERE {fit_pred})
     WHERE cid < {k})"""]
     cents = "c0"
     for t in range(1, iters + 1):
-        assign = _KM_ASSIGN.format(dim1=dim1, cents=cents)
+        assign = _KM_ASSIGN.format(dim1=dim1, cents=cents, pred=fit_pred)
         parts.append(f""",
 a{t} AS ({assign}),
 s{t} AS (
@@ -608,7 +615,7 @@ c{t} AS (
     FROM {cents} p LEFT JOIN m{t} USING (cid)
 )""")
         cents = f"c{t}"
-    final = _KM_ASSIGN.format(dim1=dim1, cents=cents)
+    final = _KM_ASSIGN.format(dim1=dim1, cents=cents, pred=fit_pred)
     parts.append(f""",
 afinal AS ({final})
 SELECT vec_id, cluster,
@@ -635,6 +642,56 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return (kmeans_assign(emb, k=_KM_K, iters=_KM_ITERS)
+            .orderBy("vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental k-means assignment: frozen model over a delta batch
+# ---------------------------------------------------------------------------
+
+#: Every 5th vector plays the incoming batch; the rest are the standing
+#: corpus the model was fit on (same fixture convention as the
+#: incremental near-dup's doc split, plans/dedup.py _INCR_PRED).
+_INCR_VEC_PRED = "vec_id % 5 = 0"
+
+
+def _km_incr_oracle() -> str:
+    """Fit replayed on the standing corpus only (fit_pred), then ONE
+    extra assignment CTE applies the frozen final centroids to the
+    delta."""
+    prefix = (_km_oracle(_KM_ITERS, fit_pred=f"NOT ({_INCR_VEC_PRED})")
+              .rsplit("SELECT vec_id, cluster,", 1)[0])
+    assign_delta = _KM_ASSIGN.format(dim1=_KM_DIM + 1,
+                                     cents=f"c{_KM_ITERS}",
+                                     pred=_INCR_VEC_PRED)
+    return prefix + f""",
+adelta AS ({assign_delta})
+SELECT vec_id,
+       CAST(cluster AS BIGINT) AS cluster,
+       centroid_dist
+FROM adelta
+ORDER BY vec_id
+"""
+
+
+@register("kmeans_incremental_assign", oracle=_km_incr_oracle())
+def kmeans_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest clustering shape (the model-reuse counterpart of
+    `dedup_incremental`): k-means is FIT on the standing corpus only,
+    then the incoming batch is assigned with the FROZEN model - one
+    map-side pass over the delta, no refit, no shuffle of either
+    relation. At 100 TB the standing model is a persisted k x dim
+    artifact; daily cost is |delta| x k x dim, independent of corpus
+    size. The oracle replays the standing-only fit (fit_pred) plus the
+    delta assignment."""
+    from ..operators.kmeans import kmeans_fit, kmeans_transform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = emb.filter(f"NOT ({_INCR_VEC_PRED})")
+    delta = emb.filter(_INCR_VEC_PRED)
+    cents, dim = kmeans_fit(standing, k=_KM_K, iters=_KM_ITERS)
+    return (kmeans_transform(delta, cents, dim)
+            .select("vec_id", "cluster", "centroid_dist")
             .orderBy("vec_id"))
 
 
