@@ -36,10 +36,16 @@ def bucketed_range_join(points: DataFrame, point_col: str,
         "__bucket",
         F.explode(F.sequence(
             F.floor(F.col(lo_col) / F.lit(stride)).cast("bigint"),
-            # hi is exclusive: the last overlapped bucket is the one
-            # containing the largest value strictly below hi.
-            F.floor((F.col(hi_col) - F.lit(1e-12)) / F.lit(stride))
-            .cast("bigint"))))
+            # hi is exclusive, but the last candidate bucket is taken
+            # INCLUSIVE of hi's own bucket: a "largest value strictly
+            # below hi" epsilon (the first version subtracted 1e-12)
+            # under-shoots whenever ulp(hi) < epsilon - e.g. hi barely
+            # above a bucket boundary - and silently drops the last
+            # bucket (hypothesis-found: point 1.0 vs [2.2e-16, 1+2.2e-16)).
+            # The cost is at most ONE spurious candidate bucket per
+            # interval, and the exact lo<=x<hi filter removes any false
+            # pairs - correctness never rides on float epsilons.
+            F.floor(F.col(hi_col) / F.lit(stride)).cast("bigint"))))
     joined = p.join(iv, "__bucket", how).filter(
         (F.col(point_col) >= F.col(lo_col))
         & (F.col(point_col) < F.col(hi_col)))

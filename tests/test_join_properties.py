@@ -85,3 +85,17 @@ def test_bucketed_range_join_equals_naive_theta(spark, data):
         intervals, (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
         .collect()}
     assert got == naive
+
+
+def test_bucketed_range_join_hi_barely_past_boundary(spark):
+    """Pinned hypothesis counterexample: hi = 1 + ulp(1) sits barely
+    past the bucket boundary, so the old `hi - 1e-12` epsilon (larger
+    than ulp here) under-shot the last bucket and dropped the matching
+    point x = 1.0. The inclusive-hi explode must keep it."""
+    eps = 2.220446049250313e-16
+    points = spark.createDataFrame([(0, 1.0)], ["pid", "x"])
+    intervals = spark.createDataFrame([(0, eps, 1.0 + eps)],
+                                      ["iid", "lo", "hi"])
+    got = {(r["pid"], r["iid"]) for r in bucketed_range_join(
+        points, "x", intervals, "lo", "hi", 1.0).collect()}
+    assert got == {(0, 0)}
