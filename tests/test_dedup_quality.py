@@ -204,3 +204,62 @@ def test_substring_spans_planted_verbatim_run(spark):
     assert out[3].dup_tokens_covered == 0
     assert out[3].dup_fraction == 0.0
     assert abs(out[1].dup_fraction - 10 / out[1].n_tokens) < 1e-15
+
+
+def test_substring_spans_match_python_replay_on_fuzzed_corpora(spark):
+    """Property check of the interval-union arithmetic: on tiny-vocab
+    corpora (engineered for heavy window sharing), every per-doc count
+    from substring_spans must equal a direct Python replay of the spec
+    (windows -> >=2-distinct-doc duplicates -> merged-interval union)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_pipeline_mini_project_01_spark.plans.dedup import (
+        SUBSTR_W,
+        substring_spans,
+    )
+
+    words = st.sampled_from(["a", "b", "c", "d"])
+    doc = st.lists(words, min_size=0, max_size=24).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    def replay(texts):
+        toks = {i: [w for w in t.lower().split() if w]
+                for i, t in enumerate(texts)}
+        grams = {i: [" ".join(w[s:s + SUBSTR_W])
+                     for s in range(len(w) - SUBSTR_W + 1)]
+                 for i, w in toks.items()}
+        by_gram = {}
+        for i, gs in grams.items():
+            for g in gs:
+                by_gram.setdefault(g, set()).add(i)
+        out = {}
+        for i, w in toks.items():
+            dup_starts = [s for s, g in enumerate(grams[i])
+                          if len(by_gram[g]) >= 2]
+            spans = []
+            for s in dup_starts:
+                lo, hi = s, s + SUBSTR_W - 1
+                # operator rule: new span iff s > prev_end (touching at
+                # exactly prev_end still merges; adjacency does not)
+                if spans and lo <= spans[-1][1]:
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], hi))
+                else:
+                    spans.append((lo, hi))
+            covered = sum(hi - lo + 1 for lo, hi in spans)
+            out[i] = (len(w), len(dup_starts), len(spans), covered)
+        return out
+
+    @given(corpus=corpus)
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(corpus):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.dup_window_count,
+                          r.dup_span_count, r.dup_tokens_covered)
+               for r in substring_spans(docs).collect()}
+        assert got == replay(corpus)
+
+    check()
