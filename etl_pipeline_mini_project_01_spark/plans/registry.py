@@ -60,90 +60,77 @@ _PLAN_MODULES = (
 #: exist - so the test's verdict is stable across the moment the current
 #: round's results land, and flips red exactly when a new round starts
 #: without the window being rebuilt.
-WINDOW_ROUND = 4
+WINDOW_ROUND = 5
 
 
 #: Driver-check priority: the grading driver verifies only the FIRST 50
-#: registered queries each round. Round-4 window = (a) the two NEW
-#: registrations (first driver rows), (b) every query whose implementing
-#: code changed this round - the k-means family (md5 seeding + the
-#: vectorized assignment kernel changed both the engine output and the
-#: oracles) and the whole LSH-candidate-consuming family (the bucket-skew
-#: salt guard rewrote lsh_candidates and its oracle twin _CANDIDATES_SQL)
-#: - then (c) all 25 queries whose only green row is from round 1 (the
-#: precomputed r4 rotation debt; the staleness guard
-#: tests/test_entry.py::test_no_query_staler_than_two_rounds fails at
-#: WINDOW_ROUND=4 without them), and (d) 12 of the 39 round-2-only
-#: greens, oldest-evidence families first (gold/SCD flagships, the
-#: streaming + sessionization bench headliners, the similarity family
-#: adjacent to this round's ANN work, and the curation split siblings).
+#: registered queries each round. Round-5 window = (a) the 36 round-2-
+#: only greens (the precomputed r5 rotation debt - at WINDOW_ROUND=5 the
+#: staleness guard tests/test_entry.py::test_no_query_staler_than_two_
+#: rounds fails without every one of them), (b) the ONE new r5
+#: registration, (c) the four queries whose implementing code changed
+#: this round (IVF probe assignment vectorized, bloom_no_miss made a
+#: real exact-join check, the two-level empty-fine transform guard, the
+#: stateful conf save/restore), and (d) 9 round-3-only greens rotated
+#: proactively - all 39 r3 names fall due at r6, so prefilling the
+#: gold/silver flagships and the skew-adjacent pair now leaves r6 with
+#: 30 debt names + 20 free slots instead of 39 + 11.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- new this round (need FIRST driver rows) -------------------------
-    "ann_multitable_recall",          # E24: recall@5 with full SQL ANN replay
-    "cluster_split_audit",            # E28: per-split leakage audit, 0 straddles
-    "s2_retry_backoff",               # S2: retry wrapper, contract oracle
-    "s4_csv_fallback_roundtrip",      # S4: CSV sink roundtrip vs parquet truth
-    "s10_dynamic_ddl",                # S10: schema->DDL text contract
-    "dedup_substring_spans",          # Lee-et-al substring dedup spans
-    "stats_quantile_sketch",          # E37: GK sketch beside exact quantiles
-    "decontamination_bloom",          # E38: bloom prefilter, no-loss proof
-    "kmeans_twolevel_clusters",       # E39: hierarchical k-means, SQL replay
-    "ann_ivf_kmeans_recall",          # E40: IVF over the k-means quantizer
-    "kmeans_incremental_assign",      # E41: frozen-model delta assignment
+    # -- new this round (needs a FIRST driver row) -----------------------
+    "semdedup_miss_audit",            # E42: cross-cluster near-dup miss rate
     # -- code changed this round (old rows stopped vouching) -------------
-    "kmeans_embedding_clusters",      # md5 seeding + vectorized kernel
-    "semdedup_prune",                 # md5 seeding + vectorized pair-dot
-    "sample_cluster_balanced",        # rides the reseeded k-means model
-    "dedup_minhash_lsh",              # lsh_candidates bucket-skew salt guard
-    "dedup_ngram_jaccard",            # consumes guarded candidates
-    "dedup_editdistance_pairs",       # consumes guarded candidates
-    "dedup_incremental",              # consumes guarded candidates
-    "dedup_clusters",                 # CC over guarded candidate edges
-    "curation_docs_ledger",           # ledger composes the guarded CC
-    "curation_funnel",                # funnel over the same ledger
-    "training_mix_shards",            # end-to-end chain over guarded CC
-    # -- round-1-only greens: the precomputed r4 rotation debt (25) ------
-    "a1_language_distribution", "a2_event_type_distribution",
-    "a3_engagement_stats", "a5_latest_user_snapshot",
-    "a7_dedup_keep_first", "a8_null_profile",
-    "a12_daily_modal_event_type", "a14_table_stats",
-    "dedup_exact", "f1_html_clean", "f2_json_array_ops",
-    "f4_json_field_extraction", "f5_json_roundtrip", "f9_date_dimension",
-    "f11_user_activity_age", "f12_engagement_ratio",
-    "o1_global_sort", "o2_top_events",
-    "p2_time_window_cutoff", "p6_normalized_documents",
-    "p_clean_documents", "p_clean_events",
-    "q1_pricing_summary", "sim_cosine_topk", "x1_token_frequencies",
-    # -- oldest round-2-only greens, rotated back in (3 of 39; five
-    # -- slots went to the late-r4 registrations above - sim_lsh_buckets,
-    # -- sim_ivf_probe_topk, sim_embedding_near_dups,
-    # -- stream_tumbling_counts, and sessionization_gaps move to the r5
-    # -- debt instead) ---------------------------------------------------
-    "g1_daily_engagement_summary", "g2_top_performing_content",
-    "m1_scd2_account_dim",
+    "ann_ivf_kmeans_recall",          # probe lists now via the distributed kernel
+    "decontamination_bloom",          # bloom_no_miss = real exact-join equality
+    "kmeans_twolevel_clusters",       # _assign_fine empty-cluster guard
+    "stream_stateful_running_totals", # state-store conf save/restore
+    # -- round-2-only greens: the precomputed r5 rotation debt (36) ------
+    "asof_join_latest_order", "digest_run_summary", "dq_violation_summary",
+    "mm_binary_metadata", "mm_frame_sample", "olap_cube_type_weekend",
+    "olap_grouping_sets", "olap_pivot_status_qty",
+    "olap_rollup_returnflag_status", "p7_top_positive_docs",
+    "pii_redaction", "rangejoin_value_bands", "rolling_7day_user_value",
+    "session_window_native", "sessionization_gaps", "setops_user_segments",
+    "sim_embedding_near_dups", "sim_ivf_probe_topk", "sim_lsh_buckets",
+    "split_train_val_test", "sql_surface_daily_trends",
+    "sql_surface_star_revenue", "stats_moments", "stats_value_quantiles",
+    "stream_dedup_events", "stream_sliding_value_avg",
+    "stream_static_join_segments", "stream_tumbling_counts",
+    "text_fingerprint", "text_language_id", "text_quality_scores",
+    "text_token_counts", "tfidf_top_terms", "u2_sentiment_distribution",
+    "u3_udtf_tokenize", "w_rank_family",
+    # -- round-3-only greens rotated early (9 of 39; the rest are r6
+    # -- debt) - the skew-adjacent star join + salted aggregate this
+    # -- round's planted-skew test exercises, the gold MV family, and
+    # -- the silver fact + exact-decontamination siblings of r5 changes -
+    "j7_star_join_region_revenue", "skew_salted_aggregate",
+    "g3_account_influence", "g4_hashtag_performance",
+    "g5_hourly_posting_patterns", "g6_daily_event_trends",
+    "g7_viral_content", "silver_fact_build", "decontamination_scores",
 )
 
-#: Round-5 rotation debt, precomputed: after the r4 driver run, the 31
-#: round-2-only greens NOT in the window above will be two rounds old -
-#: at WINDOW_ROUND=5 the staleness guard requires all of them in the r5
-#: window (leaving 19 slots for r5's new/changed code):
-#:   asof_join_latest_order, digest_run_summary, dq_violation_summary,
-#:   mm_binary_metadata, mm_frame_sample, olap_cube_type_weekend,
-#:   olap_grouping_sets, olap_pivot_status_qty,
-#:   olap_rollup_returnflag_status, p7_top_positive_docs, pii_redaction,
-#:   rangejoin_value_bands, rolling_7day_user_value,
-#:   session_window_native, setops_user_segments, split_train_val_test,
-#:   sql_surface_daily_trends, sql_surface_star_revenue, stats_moments,
-#:   stats_value_quantiles, stream_dedup_events, stream_sliding_value_avg,
-#:   stream_static_join_segments, text_fingerprint, text_language_id,
-#:   text_quality_scores, text_token_counts, tfidf_top_terms,
-#:   u2_sentiment_distribution, u3_udtf_tokenize, w_rank_family.
-#: Plus sim_lsh_buckets, sim_ivf_probe_topk, sim_embedding_near_dups,
-#: stream_tumbling_counts, and sessionization_gaps (r2-only greens
-#: whose r4 window slots went to the late-r4 registrations
-#: stats_quantile_sketch / decontamination_bloom /
-#: kmeans_twolevel_clusters / ann_ivf_kmeans_recall /
-#: kmeans_incremental_assign) -> 36 names, 14 free r5 slots.
+#: Round-6 rotation debt, precomputed: after the r5 driver run the 29
+#: round-3-only greens NOT in the r5 window (9 rotated early above +
+#: stream_stateful_running_totals re-vouched as changed code) fall due
+#: (at WINDOW_ROUND=6 every one of them needs a slot, leaving 21 for
+#: r6's new/changed code):
+#:   a11_approx_distinct, a6_dedup_latest_version, chunk_context_windows,
+#:   day2_incremental_counts, day2_schema_evolution, dedup_simhash,
+#:   f1_html_entities, j1_change_detection, j2_dimension_lookup,
+#:   j3_band_join, j4_anti_join_missing_fk, j5_semi_join_cleanup,
+#:   m2_idempotent_dim_insert, m4_surrogate_keys, m5_orphan_cleanup,
+#:   mm_decode_features, mm_image_resize, pack_token_shards,
+#:   s9_ddl_catalog, sample_stratified, stream_file_sink_counts,
+#:   stream_interval_join, temperature_mix_counts, text_gopher_quality,
+#:   text_repetition, topk_per_group_docs, u2_sentiment_inference,
+#:   w1_user_engagement_rank, w2_user_daily_value_change.
+#:
+#: CAPACITY POLICY (VERDICT r4 #7): the 50-slot window and the 2-round
+#: staleness bound give a hard ceiling of 50 x 3 = 150 sustainable
+#: registrations (each name needs a slot at least every third round).
+#: Registrations are capped at 145 (tests/test_entry.py::
+#: test_registry_capacity_headroom) to keep >= 5 slots/round of slack
+#: for changed-code re-vouching; new trivial surfaces should join an
+#: existing composite contract row instead of registering standalone.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

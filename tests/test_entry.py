@@ -44,6 +44,23 @@ def test_check_priority_window_invariant():
     assert not missing
 
 
+def test_registry_capacity_headroom():
+    """Guard math (VERDICT r4 #7): a 50-slot driver window and a
+    2-round staleness bound sustain at most 50 x 3 = 150 registrations
+    (each name must occupy a slot at least every third round). Cap at
+    145 so >= 5 slots/round stay free for changed-code re-vouching -
+    past that, the rotation treadmill becomes unsatisfiable BEFORE this
+    test fails, so fail early: compose trivial new surfaces into
+    existing contract rows instead of registering standalone."""
+    from etl_pipeline_mini_project_01_spark.plans import registry
+
+    registry.load_all_plans()
+    assert len(registry.QUERIES) <= 145, (
+        f"{len(registry.QUERIES)} registrations exceed the sustainable "
+        "rotation capacity (window 50 x staleness 3 rounds = 150 hard "
+        "ceiling, 145 with re-vouch headroom)")
+
+
 def test_no_query_staler_than_two_rounds():
     """Rotation-debt guard (VERDICT r2 #8): with ~100 registered queries
     and a 50-row driver window, every query must either sit inside the
