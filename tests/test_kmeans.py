@@ -210,6 +210,109 @@ def test_twolevel_matmul_kernel_matches_default(spark, emb):
     assert base == fast
 
 
+def test_topn_matches_pure_python_replay(spark, emb):
+    """The distributed probe-list kernel (kmeans_transform_topn) must
+    reproduce the exact (dist, cid)-ordered top-n the retired driver
+    loop computed: floor-scaled xd, fold-order accumulation from 0.0,
+    ties -> lowest cid (VERDICT r4 'done' criterion for the IVF fix)."""
+    import math
+
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_transform_topn,
+    )
+
+    sub = emb.limit(100)
+    cents, dim = kmeans_fit(sub, k=5, iters=1)
+    got = sorted((r.vec_id, r.probe_rank, r.cluster) for r in
+                 kmeans_transform_topn(sub, cents, dim, n=3).collect())
+
+    expect = []
+    for r in sub.select("vec_id", "embedding").collect():
+        xd = [math.floor(float(v) * (1 << 20)) / (1 << 20)
+              for v in r.embedding]
+        ds = []
+        for cid, c in enumerate(cents):
+            acc = 0.0
+            for i in range(dim):
+                d = xd[i] - c[i]
+                acc = acc + d * d
+            ds.append((acc, cid))
+        ds.sort()
+        expect += [(int(r.vec_id), rank, cid)
+                   for rank, (_, cid) in enumerate(ds[:3])]
+    assert got == sorted(expect)
+
+
+def test_topn_plan_is_map_side_only(spark, emb):
+    """The probe-list assignment must stay a scan -> ArrowEvalPython ->
+    posexplode chain: no Exchange (the whole point of replacing the
+    driver loop is one shuffle-free distributed pass), no row-at-a-time
+    BatchEvalPython."""
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_transform_topn,
+    )
+
+    cents, dim = kmeans_fit(emb, k=4, iters=1)
+    plan = (kmeans_transform_topn(emb, cents, dim, n=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_topn_matmul_kernel_matches_default(spark, emb):
+    got = None
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_transform_topn,
+    )
+
+    cents, dim = kmeans_fit(emb, k=6, iters=1)
+    for kernel in ("vectorized", "matmul"):
+        out = sorted((r.vec_id, r.probe_rank, r.cluster) for r in
+                     kmeans_transform_topn(emb, cents, dim, n=6,
+                                           kernel=kernel).collect())
+        assert got is None or out == got
+        got = out
+
+
+def test_twolevel_transform_handles_empty_fine_cluster(spark, emb):
+    """Frozen-model safety (ADVICE r4): applying a two-level model to
+    data that routes into a coarse cluster with NO fine centroids must
+    not crash - the row falls back to fine=0 with the distance measured
+    against the coarse centroid itself."""
+    import math
+
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit_twolevel,
+        kmeans_transform_twolevel,
+    )
+
+    coarse, fine, dim = kmeans_fit_twolevel(emb, k1=3, k2=2)
+    # Simulate a coarse cluster that was empty at fit time: strip its
+    # sub-centroids, then transform rows that land there.
+    gutted = [fine[0], fine[1], []]
+    out = {r.vec_id: r for r in
+           kmeans_transform_twolevel(emb, coarse, gutted, dim).collect()}
+    assert len(out) == emb.count()
+    hit = [r for r in out.values() if r.coarse == 2]
+    assert hit, "fixture must route some rows to the gutted cluster"
+    for r in hit:
+        assert r.fine == 0
+    # Spot-check one fallback distance against the coarse centroid.
+    probe = hit[0]
+    vec = (emb.filter(F.col("vec_id") == probe.vec_id)
+           .select("embedding").collect()[0].embedding)
+    xd = [math.floor(float(v) * (1 << 20)) / (1 << 20) for v in vec]
+    acc = 0.0
+    for i in range(dim):
+        d = xd[i] - coarse[2][i]
+        acc = acc + d * d
+    assert probe.fine_dist == acc
+
+
 def test_twolevel_refines_coarse_inertia(spark, emb):
     """Splitting each coarse cluster into k2 leaves must not increase
     total within-cluster squared distance: the fine argmin minimizes
