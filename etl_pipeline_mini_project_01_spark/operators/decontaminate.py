@@ -107,24 +107,46 @@ def bloom_contamination_scores(docs: DataFrame, benchmark: DataFrame,
                                n: int = DEFAULT_N, id_col: str = "doc_id",
                                text_col: str = "text",
                                bits: int = BLOOM_BITS,
-                               k: int = BLOOM_K) -> DataFrame:
+                               k: int = BLOOM_K,
+                               audit: bool = True,
+                               bitmap: np.ndarray | None = None) -> DataFrame:
     """Two-phase decontamination, the 100 TB shape: phase 1 probes every
-    corpus n-gram against a BROADCAST Bloom bitmap of the benchmark -
-    pure scan work, zero shuffle, Arrow-batched numpy gathers - and
-    phase 2 runs the exact hash equi-join ONLY on the bloom-surviving
-    grams (benchmark-FP-rate of the corpus, not the corpus). Bloom
-    filters have zero false negatives by construction, so the exact
-    per-doc hit counts out of phase 2 equal the one-phase
-    :func:`contamination_scores` over the full corpus - which is exactly
-    what the driver oracle checks (`bloom_no_miss` carries the
-    per-doc superset verdict; the hash-matched hit counts themselves
-    are the no-loss proof).
+    corpus n-gram against a BROADCAST Bloom bitmap of the benchmark - an
+    Arrow-batched numpy gather evaluated during the scan - and phase 2
+    runs the exact hash equi-join ONLY on the bloom-surviving grams
+    (benchmark-FP-rate of the corpus, not the corpus). Phase 1 still
+    pays the corpus-local gram DISTINCT and the per-doc groupBy (both
+    shuffles exist identically in the one-phase exact path); what the
+    bitmap removes is the corpus-vs-benchmark JOIN shuffle for the
+    ~99% clean gram majority, which at 100 TB is the dominant exchange.
+
+    `audit=True` (the driver-row configuration) makes `bloom_no_miss` a
+    REAL zero-false-negative check: per doc, the bloom-gated hit count
+    is compared for EQUALITY against an exact join over ALL of the
+    doc's grams, so a build/probe hash mismatch that silently dropped
+    grams reports FALSE (ADVICE r4: the former `_bloom_ngrams >=
+    hit_ngrams` form was true by construction). The audit costs the
+    one-phase exact join it certifies, so it is computed as ONE pass:
+    every gram left-joins the benchmark set and a single per-doc
+    aggregation yields total grams, exact hits, and bloom-gated hits
+    together - no consumer re-descends the tokenize/probe lineage.
+    Run audit in tests/QA samples; production sets audit=False
+    (bloom_no_miss = NULL) and relies on the guarantee the audit row
+    proved. In that mode the probed relation feeds two consumers
+    (per-doc counts + the survivor join), so it is persist()ed rather
+    than recomputed (at cluster scale: DISK-backed or a staged table).
+
+    `bitmap` lets a caller reuse a persisted benchmark bitmap artifact
+    (the production shape: build once, decontaminate many corpora) -
+    and lets tests inject a deliberately corrupted one to prove the
+    audit reports FALSE on real gram loss.
 
     Output: (id_col, doc_ngrams, hit_ngrams, contamination,
     bloom_no_miss)."""
     spark = docs.sparkSession
-    bc = spark.sparkContext.broadcast(
-        bloom_bitmap(benchmark, n, text_col, bits, k))
+    if bitmap is None:
+        bitmap = bloom_bitmap(benchmark, n, text_col, bits, k)
+    bc = spark.sparkContext.broadcast(bitmap)
     memo: dict[int, np.ndarray] = {}
 
     @pandas_udf("boolean")
@@ -138,34 +160,55 @@ def bloom_contamination_scores(docs: DataFrame, benchmark: DataFrame,
         return pd.Series(out)
 
     grams = _ngram_texts(docs, n, id_col, text_col)
-    probed = grams.withColumn(
-        "_bloom", _bloom_all_set(*_bloom_positions(F.col("gram"), bits, k)))
-    per_doc = probed.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("doc_ngrams"),
-        F.sum(F.col("_bloom").cast("long")).alias("_bloom_ngrams"))
+    probed = (grams
+              .withColumn("_bloom", _bloom_all_set(
+                  *_bloom_positions(F.col("gram"), bits, k)))
+              .withColumn("gram_hash", F.xxhash64("gram"))
+              .drop("gram"))
     bench = (_ngram_texts(
         benchmark.select(F.monotonically_increasing_id().alias("_bid"),
                          F.col(text_col)), n, "_bid", text_col)
         .select(F.xxhash64("gram").alias("gram_hash")).distinct())
-    hits = (probed.filter(F.col("_bloom"))
-            .select(id_col, F.xxhash64("gram").alias("gram_hash"))
-            .join(bench, "gram_hash")
-            .groupBy(id_col).agg(F.count(F.lit(1)).alias("hit_ngrams")))
-    return (docs.select(id_col)
-            .join(per_doc, id_col, "left")
-            .join(hits, id_col, "left")
-            .select(
-                id_col,
-                F.coalesce("doc_ngrams", F.lit(0)).alias("doc_ngrams"),
-                F.coalesce("hit_ngrams", F.lit(0)).alias("hit_ngrams"),
-                F.coalesce("_bloom_ngrams", F.lit(0)).alias("_bloom_ngrams"))
-            .select(
-                id_col, "doc_ngrams", "hit_ngrams",
-                F.when(F.col("doc_ngrams") > 0,
-                       F.col("hit_ngrams") / F.col("doc_ngrams"))
-                .otherwise(F.lit(0.0)).cast("double").alias("contamination"),
-                (F.col("_bloom_ngrams") >= F.col("hit_ngrams"))
-                .alias("bloom_no_miss")))
+    if audit:
+        joined = probed.join(bench.withColumn("_bench", F.lit(True)),
+                             "gram_hash", "left")
+        per_doc = joined.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("doc_ngrams"),
+            F.sum(F.when(F.col("_bench") & F.col("_bloom"), 1).otherwise(0))
+            .alias("hit_ngrams"),
+            F.sum(F.when(F.col("_bench"), 1).otherwise(0))
+            .alias("_exact_ngrams"))
+        out = (docs.select(id_col)
+               .join(per_doc, id_col, "left")
+               .select(
+                   id_col,
+                   F.coalesce("doc_ngrams", F.lit(0)).alias("doc_ngrams"),
+                   F.coalesce("hit_ngrams", F.lit(0)).alias("hit_ngrams"),
+                   (F.coalesce("hit_ngrams", F.lit(0))
+                    == F.coalesce("_exact_ngrams", F.lit(0)))
+                   .alias("_no_miss")))
+    else:
+        probed = probed.persist()
+        per_doc = probed.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("doc_ngrams"))
+        hits = (probed.filter(F.col("_bloom"))
+                .select(id_col, "gram_hash")
+                .join(bench, "gram_hash")
+                .groupBy(id_col).agg(F.count(F.lit(1)).alias("hit_ngrams")))
+        out = (docs.select(id_col)
+               .join(per_doc, id_col, "left")
+               .join(hits, id_col, "left")
+               .select(
+                   id_col,
+                   F.coalesce("doc_ngrams", F.lit(0)).alias("doc_ngrams"),
+                   F.coalesce("hit_ngrams", F.lit(0)).alias("hit_ngrams"),
+                   F.lit(None).cast("boolean").alias("_no_miss")))
+    return out.select(
+        id_col, "doc_ngrams", "hit_ngrams",
+        F.when(F.col("doc_ngrams") > 0,
+               F.col("hit_ngrams") / F.col("doc_ngrams"))
+        .otherwise(F.lit(0.0)).cast("double").alias("contamination"),
+        F.col("_no_miss").alias("bloom_no_miss"))
 
 
 def contamination_scores(docs: DataFrame, benchmark: DataFrame,

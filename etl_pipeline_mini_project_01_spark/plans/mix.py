@@ -162,12 +162,15 @@ def decontamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase Bloom-prefilter decontamination
     (operators/decontaminate.py bloom_contamination_scores): corpus
-    grams probe a BROADCAST 512 KiB bitmap of the benchmark (scan-only,
-    zero shuffle - the n-gram equi-join's shuffle disappears for the
-    ~99% clean majority), exact hash join runs only on bloom survivors.
-    The oracle is the ONE-PHASE exact computation - the hash match is
-    the proof that the prefilter lost nothing (Bloom filters have no
-    false negatives), plus the per-doc superset verdict as a boolean."""
+    grams probe a BROADCAST 512 KiB bitmap of the benchmark during the
+    scan, so the corpus-vs-benchmark JOIN shuffle disappears for the
+    ~99% clean gram majority; the exact hash join runs only on bloom
+    survivors. The oracle is the ONE-PHASE exact computation - the hash
+    match proves the prefilter lost nothing - and `bloom_no_miss` is now
+    a REAL per-doc equality check (bloom-gated hits == exact hits over
+    ALL grams, audit mode; ADVICE r4 replaced the by-construction
+    superset form), so a lossy bitmap fails twice: FALSE verdicts AND
+    an oracle hash mismatch."""
     from ..operators.decontaminate import bloom_contamination_scores
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")

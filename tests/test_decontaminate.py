@@ -124,6 +124,42 @@ def test_bloom_two_phase_equals_one_phase_exact(spark):
     assert planted <= flagged
 
 
+def test_bloom_audit_catches_lossy_bitmap(spark):
+    """bloom_no_miss must be a REAL check (ADVICE r4): injecting a
+    corrupted bitmap (all bits cleared - every gram wrongly 'clean')
+    must flip the verdict to FALSE exactly for the docs whose exact hit
+    count is nonzero, instead of reporting TRUE by construction."""
+    import numpy as np
+
+    from etl_pipeline_mini_project_01_spark.operators.decontaminate import (
+        BLOOM_BITS,
+        bloom_contamination_scores,
+    )
+    docs, benchmark, _ = _fixture(spark)
+    exact = {r.doc_id: r.hit_ngrams
+             for r in contamination_scores(docs, benchmark, n=N).collect()}
+    dead = np.packbits(np.zeros(BLOOM_BITS, dtype=bool))
+    rows = bloom_contamination_scores(docs, benchmark, n=N,
+                                      bitmap=dead).collect()
+    assert any(h > 0 for h in exact.values())
+    for r in rows:
+        assert r.hit_ngrams == 0  # the dead bitmap dropped everything
+        assert r.bloom_no_miss == (exact[r.doc_id] == 0), r
+
+
+def test_bloom_audit_off_returns_null_verdict(spark):
+    from etl_pipeline_mini_project_01_spark.operators.decontaminate import (
+        bloom_contamination_scores,
+    )
+    docs, benchmark, _ = _fixture(spark)
+    exact = {r.doc_id: (r.doc_ngrams, r.hit_ngrams)
+             for r in contamination_scores(docs, benchmark, n=N).collect()}
+    rows = bloom_contamination_scores(docs, benchmark, n=N,
+                                      audit=False).collect()
+    assert {r.doc_id: (r.doc_ngrams, r.hit_ngrams) for r in rows} == exact
+    assert all(r.bloom_no_miss is None for r in rows)
+
+
 def test_bloom_prefilter_actually_prunes(spark):
     """On a corpus where most grams are clean, the bloom stage must pass
     only a small fraction into the exact join (FP rate ~ fill^k): probe
