@@ -11,6 +11,7 @@ per micro-batch; at scale state lives in the per-partition state store
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 from typing import Any
 
 import pandas as pd
@@ -74,13 +75,41 @@ def tws_available() -> bool:
         return False
 
 
+@contextmanager
+def tws_state_store_conf(spark: SparkSession):
+    """Scope the RocksDB state-store provider (required by
+    transformWithState) to a with-block: the prior providerClass is
+    restored - or unset back to Spark's default - on exit, so the
+    provider choice cannot leak into subsequent streaming queries on
+    the shared session (ADVICE r4: the old unconditional conf.set
+    silently switched the applyInPandasWithState fallback's store too).
+    The conf is read at query START, so the block must span
+    .start()/awaitTermination(), not just plan construction."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def running_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user running totals via transformWithStateInPandas
     (Spark 4's successor to applyInPandasWithState: typed state
     primitives - value/list/map - timers, TTL, and RocksDB-only state).
     Raises ImportError where protobuf is unavailable (see
     :func:`tws_available`); `running_user_totals` is the portable
-    fallback with identical semantics."""
+    fallback with identical semantics. The returned plan is lazy: start
+    it inside :func:`tws_state_store_conf` (transformWithState requires
+    the RocksDB provider; this builder no longer mutates session conf
+    itself)."""
     if not tws_available():
         raise ImportError(
             "transformWithStateInPandas needs google.protobuf; use "
@@ -111,11 +140,6 @@ def running_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    # transformWithState requires the RocksDB state store provider.
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider")
     events = read_events_stream(spark, sf_dir)
     return (events
             .groupBy("user_id")

@@ -24,6 +24,28 @@ def test_stateful_running_totals_match_batch(spark):
     assert streamed == batch
 
 
+def test_tws_conf_scope_sets_and_restores_provider(spark):
+    """tws_state_store_conf must scope the RocksDB provider to the
+    with-block and restore (or unset) the prior value - independent of
+    protobuf availability, so this runs in every environment."""
+    from etl_pipeline_mini_project_01_spark.streaming.stateful import (
+        tws_state_store_conf,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    with tws_state_store_conf(spark):
+        assert "RocksDBStateStoreProvider" in spark.conf.get(key)
+    assert spark.conf.get(key, None) == prior
+    # Re-entry after an exception still restores.
+    try:
+        with tws_state_store_conf(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key, None) == prior
+
+
 def test_tws_running_totals_match_batch(spark):
     """transformWithStateInPandas twin (Spark 4 stateful API): identical
     state contract to the applyInPandasWithState path, so on bounded
@@ -35,6 +57,7 @@ def test_tws_running_totals_match_batch(spark):
     from etl_pipeline_mini_project_01_spark.streaming.stateful import (
         running_user_totals_tws,
         tws_available,
+        tws_state_store_conf,
     )
 
     if not tws_available():
@@ -43,10 +66,16 @@ def test_tws_running_totals_match_batch(spark):
         pytest.skip("google.protobuf unavailable: TWS state protocol "
                     "cannot start in this environment")
 
-    q = (running_user_totals_tws(spark, SF_DIR).writeStream
-         .format("memory").queryName("tws_totals_q")
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    with tws_state_store_conf(spark):
+        assert "RocksDB" in spark.conf.get(key)
+        q = (running_user_totals_tws(spark, SF_DIR).writeStream
+             .format("memory").queryName("tws_totals_q")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+    # The provider choice must not leak into later queries (ADVICE r4).
+    assert spark.conf.get(key, None) == prior
     raw = spark.table("tws_totals_q").withColumn(
         "__order", F.monotonically_increasing_id())
     from pyspark.sql import Window
