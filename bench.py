@@ -56,6 +56,14 @@ HEADLINE = [
     "semdedup_prune",
     # round-4: multi-table LSH ANN + brute-force truth + recall join
     "ann_multitable_recall",
+    # round-5 additions (VERDICT r4 #3): the five r4 flagships, so
+    # regressions in the newest heavyweights surface round-over-round
+    # instead of only in the ad-hoc scale curve.
+    "dedup_substring_spans",
+    "decontamination_bloom",
+    "kmeans_twolevel_clusters",
+    "ann_ivf_kmeans_recall",
+    "kmeans_incremental_assign",
 ]
 
 

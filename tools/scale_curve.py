@@ -110,7 +110,26 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_flagships(spark, sf_dir: str, k_clusters: int) -> dict[str, float]:
+def run_flagships(spark, sf_dir: str, k_clusters: int,
+                  ) -> tuple[dict[str, float], dict[str, bool],
+                             dict[str, float]]:
+    """(walls, checks, metrics): timings PLUS per-point correctness
+    invariants (VERDICT r4 #5 - a wrong-at-scale answer must not hide
+    behind a good wall time). Each check is ONE extra aggregation pass
+    over the flagship's recomputed lineage, run AFTER the timed consume
+    so walls stay comparable with the earlier series:
+      * kmeans: every row assigned exactly once, cluster ids in [0, k);
+      * semdedup flat/two-level: every nonempty cluster keeps >= 1
+        member (the most-peripheral survivor) and kept <= n (funnel
+        monotonicity); two-level additionally covers all rows (leaf
+        coverage);
+      * training mix: output docs <= input docs, and every shard's
+        token sum respects the greedy bound sum <= budget + max_doc;
+      * substring spans: per-doc span coverage <= token count,
+        spans <= windows, fraction in [0, 1];
+      * ann: per-query <= top_k results, no self-match, ranks dense
+        from 1, plus measured recall@5 vs one brute-force cosine pass
+        (5 queries x corpus - linear, so affordable at every point)."""
     from etl_pipeline_mini_project_01_spark.plans.dedup import (
         substring_spans,
     )
@@ -120,38 +139,119 @@ def run_flagships(spark, sf_dir: str, k_clusters: int) -> dict[str, float]:
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
+    n_docs = docs.count()
     walls: dict[str, float] = {}
+    checks: dict[str, bool] = {}
+    metrics: dict[str, float] = {}
 
+    km = kmeans_assign(emb, k=8, iters=2, kernel=KERNEL)
     t0 = time.perf_counter()
-    _consume(kmeans_assign(emb, k=8, iters=2, kernel=KERNEL))
+    _consume(km)
     walls["kmeans_k8_i2"] = round(time.perf_counter() - t0, 3)
+    r = km.agg(F.count(F.lit(1)).alias("n"),
+               F.min("cluster").alias("lo"),
+               F.max("cluster").alias("hi")).collect()[0]
+    checks["kmeans_all_assigned_in_range"] = bool(
+        r["n"] == n_emb and r["lo"] >= 0 and r["hi"] < 8)
 
+    def _semdedup_check(df, label: str) -> None:
+        per = df.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("kept").cast("long")).alias("k"))
+        r = per.agg(F.sum("n").alias("rows"),
+                    F.sum("k").alias("kept"),
+                    F.min("k").alias("min_kept")).collect()[0]
+        checks[f"{label}_every_cluster_keeps_one"] = bool(
+            r["rows"] == n_emb and r["min_kept"] >= 1
+            and 0 < r["kept"] <= n_emb)
+        metrics[f"{label}_kept_frac"] = round(r["kept"] / n_emb, 4)
+
+    sd = semdedup(emb, k=k_clusters, iters=2, threshold=0.35,
+                  kernel=KERNEL)
     t0 = time.perf_counter()
-    _consume(semdedup(emb, k=k_clusters, iters=2, threshold=0.35,
-                      kernel=KERNEL))
+    _consume(sd)
     walls[f"semdedup_k{k_clusters}"] = round(time.perf_counter() - t0, 3)
+    _semdedup_check(sd, "semdedup")
 
     # The hierarchical bounding device at the same leaf count - the
     # operating rule past k ~ 1e3 (SCALE.md flat-vs-two-level note).
     side = max(2, int(round(k_clusters ** 0.5)))
+    sd2 = semdedup_twolevel(emb, k1=side, k2=side, iters1=2, iters2=2,
+                            threshold=0.35, kernel=KERNEL)
     t0 = time.perf_counter()
-    _consume(semdedup_twolevel(emb, k1=side, k2=side, iters1=2, iters2=2,
-                               threshold=0.35, kernel=KERNEL))
+    _consume(sd2)
     walls[f"semdedup2_{side}x{side}"] = round(time.perf_counter() - t0, 3)
+    _semdedup_check(sd2, "semdedup2")
 
+    mix = assemble_training_shards(docs, benchmark=None, budget=2048,
+                                   num_partitions=8)
     t0 = time.perf_counter()
-    _consume(assemble_training_shards(docs, benchmark=None, budget=2048,
-                                      num_partitions=8))
+    _consume(mix)
     walls["training_mix"] = round(time.perf_counter() - t0, 3)
+    shard_sums = mix.groupBy("split", "shard").agg(
+        F.sum("n_tokens").alias("tok"))
+    r = mix.agg(F.count(F.lit(1)).alias("rows"),
+                F.max("n_tokens").alias("max_doc")).collect()[0]
+    worst = shard_sums.agg(F.max("tok").alias("m")).collect()[0]["m"]
+    checks["mix_funnel_and_shard_budget"] = bool(
+        0 < r["rows"] <= n_docs
+        and worst <= 2048 + int(r["max_doc"]))
 
+    ss = substring_spans(docs)
     t0 = time.perf_counter()
-    _consume(substring_spans(docs))
+    _consume(ss)
     walls["substring_spans"] = round(time.perf_counter() - t0, 3)
+    r = ss.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.min(F.col("n_tokens") - F.col("dup_tokens_covered")).alias("slack"),
+        F.min(F.col("dup_window_count") - F.col("dup_span_count"))
+        .alias("wminus"),
+        F.max("dup_fraction").alias("fmax"),
+        F.min("dup_fraction").alias("fmin")).collect()[0]
+    checks["spans_coverage_within_tokens"] = bool(
+        r["rows"] == n_docs and r["slack"] >= 0 and r["wminus"] >= 0
+        and 0.0 <= r["fmin"] and r["fmax"] <= 1.0)
 
+    ann = ann_multitable_topk(emb)
     t0 = time.perf_counter()
-    _consume(ann_multitable_topk(emb))
+    _consume(ann)
     walls["ann_topk"] = round(time.perf_counter() - t0, 3)
-    return walls
+    per_q = ann.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("rank").alias("maxr"),
+        F.sum((F.col("vec_id") == F.col("query_id")).cast("long"))
+        .alias("selfhits"))
+    r = per_q.agg(F.max("n").alias("n"), F.max("maxr").alias("maxr"),
+                  F.sum("selfhits").alias("selfhits"),
+                  F.min((F.col("n") == F.col("maxr")).cast("long"))
+                  .alias("dense")).collect()[0]
+    checks["ann_topk_shape"] = bool(
+        r["n"] <= 5 and r["maxr"] <= 5 and r["selfhits"] == 0
+        and r["dense"] == 1)
+    # Measured recall@5 vs ONE brute-force pass (5 queries x corpus).
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+        normalized_vectors,
+    )
+    from pyspark.sql import Window as W_
+    nv = normalized_vectors(emb)
+    q = F.broadcast(nv.filter(F.col("vec_id") < 5)
+                    .select(F.col("vec_id").alias("query_id"),
+                            F.col("nv").alias("qv")))
+    dot = F.aggregate(F.zip_with("qv", "nv", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, v: a + v)
+    w = W_.partitionBy("query_id").orderBy(F.desc("_cos"), "vec_id")
+    brute = (nv.join(q, F.col("vec_id") != F.col("query_id"))
+             .withColumn("_cos", dot)
+             .withColumn("_r", F.row_number().over(w))
+             .where(F.col("_r") <= 5)
+             .select("query_id", "vec_id"))
+    hits = brute.join(ann.select("query_id", "vec_id"),
+                      ["query_id", "vec_id"], "left_semi").count()
+    recall = hits / max(1, brute.count())
+    metrics["ann_recall_at_5"] = round(recall, 4)
+    checks["ann_recall_floor"] = recall >= 0.2
+    return walls, checks, metrics
 
 
 def main() -> None:
@@ -170,8 +270,10 @@ def main() -> None:
     kmeans_assign(load_table(spark, BASE_SF, "embeddings"),
                   k=2, iters=1).count()
 
-    base = run_flagships(spark, BASE_SF, k_clusters=8)
-    big = run_flagships(spark, big_dir, k_clusters=8 * n)
+    base, base_checks, base_metrics = run_flagships(spark, BASE_SF,
+                                                    k_clusters=8)
+    big, big_checks, big_metrics = run_flagships(spark, big_dir,
+                                                 k_clusters=8 * n)
 
     def _pair(key_base, key_big):
         ratio = round(big[key_big] / base[key_base], 2)
@@ -180,6 +282,10 @@ def main() -> None:
 
     result = {
         "scale_factor": n,
+        # Per-unit ratios are comparable ONLY within a same-kernel
+        # series (ADVICE r4: matmul and vectorized points must not be
+        # mixed when reading round-over-round trends) - consumers key
+        # series by this field.
         "kernel": KERNEL,
         "base_dir": BASE_SF,
         "big_dir": big_dir,
@@ -192,6 +298,14 @@ def main() -> None:
         "training_mix": _pair("training_mix", "training_mix"),
         "substring_spans": _pair("substring_spans", "substring_spans"),
         "ann_topk": _pair("ann_topk", "ann_topk"),
+        # VERDICT r4 #5: every point carries its own pass flag - the
+        # invariants above ran against BOTH scales' actual outputs.
+        "checks_pass": all(base_checks.values()) and all(
+            big_checks.values()),
+        "base_checks": base_checks,
+        "big_checks": big_checks,
+        "base_metrics": base_metrics,
+        "big_metrics": big_metrics,
     }
     spark.stop()
     sys.stdout.flush()
