@@ -187,3 +187,45 @@ def test_twolevel_semdedup_matches_rule_replay(spark, emb):
            for r in semdedup_twolevel(emb, k1=k1, k2=k2,
                                       threshold=TAU).collect()}
     assert got == expect
+
+
+def test_miss_audit_blind_spot_is_exactly_cross_cluster(spark, emb):
+    """Cross-operator consistency between SemDeDup (E33) and the miss
+    audit (E42), at the registered-query operating point (k=8, iters=2,
+    tau=0.35): for every ground-truth pair (brute-force cosine >= tau),
+    if both members share a cluster the dominance rule MUST have
+    dropped at least one of them (the more-peripheral member always
+    dominates the other), while pairs that straddle clusters can keep
+    both members - and on the fixture some do, which is precisely the
+    blind-spot fraction semdedup_miss_audit reports."""
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+        normalized_vectors,
+        pair_dot,
+    )
+
+    k, iters, tau = 8, 2, 0.35
+    sd = semdedup(emb, k=k, iters=iters, threshold=tau)
+    nv = normalized_vectors(emb)
+    a = nv.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("nv_a"))
+    b = nv.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("nv_b"))
+    pairs = (a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("_dot", pair_dot("nv_a", "nv_b"))
+             .filter(F.col("_dot") >= tau)
+             .select("id_a", "id_b"))
+    j = (pairs
+         .join(sd.select(F.col("vec_id").alias("id_a"),
+                         F.col("cluster").alias("cl_a"),
+                         F.col("kept").alias("kept_a")), "id_a")
+         .join(sd.select(F.col("vec_id").alias("id_b"),
+                         F.col("cluster").alias("cl_b"),
+                         F.col("kept").alias("kept_b")), "id_b"))
+    same_both_kept = j.filter(
+        (F.col("cl_a") == F.col("cl_b"))
+        & F.col("kept_a") & F.col("kept_b")).count()
+    assert same_both_kept == 0
+    # The blind spot is real on the fixture: straddling near-dup pairs
+    # survive whole (else the audit would be measuring nothing).
+    straddle_both_kept = j.filter(
+        (F.col("cl_a") != F.col("cl_b"))
+        & F.col("kept_a") & F.col("kept_b")).count()
+    assert straddle_both_kept > 0
