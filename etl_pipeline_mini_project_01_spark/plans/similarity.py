@@ -1133,14 +1133,45 @@ def semdedup_miss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary, with a ceiling verdict computed identically on both sides
     (the `ann_multitable_recall` pattern). Quadratic BY DESIGN - ground
     truth requires it - so at 100 TB this runs on a ~1e5-row QA sample,
-    not the corpus; here the fixture is the sample. One flat model fit
-    + one two-level fit + a broadcast-NLJ pair scan with the
-    Arrow-batched pair-dot kernel - no pair relation is ever shuffled."""
+    not the corpus (:func:`miss_audit_sampled` is that mode - a
+    deterministic md5-threshold vector sample; here the fixture is the
+    sample, sample_frac=1.0). One flat model fit + one two-level fit +
+    a broadcast-NLJ pair scan with the Arrow-batched pair-dot kernel -
+    no pair relation is ever shuffled."""
+    return miss_audit_frame(load_table(spark, sf_dir, "embeddings"))
+
+
+def miss_audit_sampled(spark: SparkSession, sf_dir: str,
+                       sample_frac: float) -> DataFrame:
+    """The 100 TB mode of the miss audit: the pair ground truth is
+    quadratic, so run it on a DETERMINISTIC md5-threshold sample of the
+    corpus vectors (same salted-hash device as the curation splits - no
+    RNG state, reproducible across engines/retries/partitionings). Both
+    members of every counted pair come from the sample, so the straddle
+    FRACTION is an unbiased estimate of the full audit's; model fits
+    stay corpus-wide (sampling the QA measurement, not the models).
+    The registered `semdedup_miss_audit` row is this with
+    sample_frac=1.0 (the fixture IS the sample)."""
+    from .curation import md5_32
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sample_frac < 1.0:
+        bound = int(sample_frac * (1 << 32))
+        keep = md5_32(F.concat(F.lit("miss|"),
+                               F.col("vec_id").cast("string"))) < bound
+        return miss_audit_frame(emb, pair_pred=keep)
+    return miss_audit_frame(emb)
+
+
+def miss_audit_frame(emb: DataFrame, pair_pred=None) -> DataFrame:
+    """Shared audit body over an embeddings relation; `pair_pred`
+    restricts which vectors enter the PAIR ground truth (the sampled
+    mode) while both cluster models are always fit on the full input."""
     from ..operators.kmeans import kmeans_assign, kmeans_assign_twolevel
     from ..operators.semdedup import normalized_vectors, pair_dot
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    nv = normalized_vectors(emb)
+    pool = emb.filter(pair_pred) if pair_pred is not None else emb
+    nv = normalized_vectors(pool)
     a = nv.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("nv_a"))
     b = nv.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("nv_b"))
     pairs = (a.join(b, F.col("id_a") < F.col("id_b"))

@@ -229,3 +229,30 @@ def test_miss_audit_blind_spot_is_exactly_cross_cluster(spark, emb):
         (F.col("cl_a") != F.col("cl_b"))
         & F.col("kept_a") & F.col("kept_b")).count()
     assert straddle_both_kept > 0
+
+
+def test_miss_audit_sampled_mode_is_deterministic_subset(spark):
+    """The 100 TB QA-sample mode (plans/similarity.miss_audit_sampled):
+    md5-threshold vector sampling is deterministic (same rows across
+    partitionings), the sampled pair count can only shrink, the output
+    contract is unchanged, and sample_frac=1.0 reproduces the
+    registered row exactly."""
+    from etl_pipeline_mini_project_01_spark.plans.similarity import (
+        miss_audit_sampled,
+        semdedup_miss_audit,
+    )
+
+    full = {r.model: r for r in semdedup_miss_audit(spark, SF_DIR).collect()}
+    again = {r.model: tuple(r)
+             for r in miss_audit_sampled(spark, SF_DIR, 1.0).collect()}
+    assert again == {m: tuple(r) for m, r in full.items()}
+
+    half = {r.model: r
+            for r in miss_audit_sampled(spark, SF_DIR, 0.5).collect()}
+    rerun = {r.model: tuple(r)
+             for r in miss_audit_sampled(spark, SF_DIR, 0.5).collect()}
+    assert rerun == {m: tuple(r) for m, r in half.items()}  # deterministic
+    for m in ("flat", "twolevel"):
+        assert half[m].n_pairs <= full[m].n_pairs
+        assert half[m].n_straddle <= half[m].n_pairs
+        assert set(half[m].asDict()) == set(full[m].asDict())
