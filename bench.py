@@ -60,6 +60,10 @@ HEADLINE = [
     # regressions in the newest heavyweights surface round-over-round
     # instead of only in the ad-hoc scale curve.
     "dedup_substring_spans",
+    # NOTE (ADVICE r5): the registered decontamination_bloom row runs
+    # audit=True, so this headline times the full exact-join AUDIT, not
+    # the survivor-only prefilter speedup (that is audit=False, measured
+    # on the scale curve - tools/scale_curve.py decontamination series).
     "decontamination_bloom",
     "kmeans_twolevel_clusters",
     "ann_ivf_kmeans_recall",

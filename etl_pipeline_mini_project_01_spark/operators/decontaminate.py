@@ -109,7 +109,8 @@ def bloom_contamination_scores(docs: DataFrame, benchmark: DataFrame,
                                bits: int = BLOOM_BITS,
                                k: int = BLOOM_K,
                                audit: bool = True,
-                               bitmap: np.ndarray | None = None) -> DataFrame:
+                               bitmap: np.ndarray | None = None,
+                               cache_handles: list | None = None) -> DataFrame:
     """Two-phase decontamination, the 100 TB shape: phase 1 probes every
     corpus n-gram against a BROADCAST Bloom bitmap of the benchmark - an
     Arrow-batched numpy gather evaluated during the scan - and phase 2
@@ -135,6 +136,11 @@ def bloom_contamination_scores(docs: DataFrame, benchmark: DataFrame,
     proved. In that mode the probed relation feeds two consumers
     (per-doc counts + the survivor join), so it is persist()ed rather
     than recomputed (at cluster scale: DISK-backed or a staged table).
+    Because the returned DataFrame is lazy, the cache cannot be
+    released inside this function - the CALLER owns its lifetime: pass
+    `cache_handles` (a list) and the persisted relation is appended to
+    it; unpersist each handle once the output is materialized. Without
+    the list, the cache lives until the session evicts it.
 
     `bitmap` lets a caller reuse a persisted benchmark bitmap artifact
     (the production shape: build once, decontaminate many corpora) -
@@ -189,6 +195,8 @@ def bloom_contamination_scores(docs: DataFrame, benchmark: DataFrame,
                    .alias("_no_miss")))
     else:
         probed = probed.persist()
+        if cache_handles is not None:
+            cache_handles.append(probed)
         per_doc = probed.groupBy(id_col).agg(
             F.count(F.lit(1)).alias("doc_ngrams"))
         hits = (probed.filter(F.col("_bloom"))

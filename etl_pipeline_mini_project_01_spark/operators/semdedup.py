@@ -170,6 +170,121 @@ def _semdedup_grouped(assigned_emb: DataFrame, threshold: float,
                                   f"kept boolean"))
 
 
+def _semdedup_incremental_grouped(pool_emb: DataFrame, threshold: float,
+                                  id_col: str, vec_col: str,
+                                  dim: int) -> DataFrame:
+    """Per-cluster applyInPandas kernel for the INCREMENTAL stage:
+    `pool_emb` carries (id_col, cluster, centroid_dist, vec_col,
+    is_delta) where is_delta=False rows are the standing corpus's
+    surviving keepers and is_delta=True rows are the incoming batch.
+    Only delta-rows-x-pool dots are computed (blockwise numpy, block x
+    group - never group^2), so per-cluster work is O(|delta| *
+    cluster_size):
+      * a delta row is dropped when ANY near neighbor in the pool
+        (keeper or fellow delta row) dominates it (farther from the
+        frozen centroid; ties -> lower id) - the batch SemDeDup rule
+        verbatim;
+      * a standing keeper is evicted (kept=False) only when a near
+        delta row dominates IT - the transpose of the same dot block.
+    Because no keeper dominates another keeper (it would have been
+    dropped in the standing pass), this equals _semdedup_grouped over
+    (keepers UNION delta) under the frozen assignment - the equivalence
+    tests/test_semdedup_incremental.py pins. Arithmetic is bit-identical
+    to _semdedup_grouped: fold-order norms, one IEEE division per
+    component, fold-order outer-product dots."""
+    def verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64,
+                                                     copy=False)
+        m = x.shape[0]
+        n2 = np.zeros(m, dtype=np.float64)
+        for i in range(dim):                 # fold order: dims ascending
+            n2 = n2 + x[:, i] * x[:, i]
+        nv = x / np.sqrt(n2)[:, None]
+        dist = pdf["centroid_dist"].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        is_delta = pdf["is_delta"].to_numpy().astype(bool)
+        kept = np.ones(m, dtype=bool)
+        didx = np.flatnonzero(is_delta)
+        for s in range(0, didx.size, PAIR_BLOCK):
+            bi = didx[s:s + PAIR_BLOCK]
+            dots = np.zeros((bi.size, m), dtype=np.float64)
+            for i in range(dim):             # fold order per pair
+                dots = dots + np.outer(nv[bi, i], nv[:, i])
+            near = dots >= threshold
+            other = ids[None, :] != ids[bi, None]
+            # pool member y (cols) dominates delta row x (block rows)
+            dom_y = ((dist[None, :] > dist[bi, None])
+                     | ((dist[None, :] == dist[bi, None])
+                        & (ids[None, :] < ids[bi, None])))
+            kept[bi] = kept[bi] & ~np.any(near & dom_y & other, axis=1)
+            # delta row x (block rows) dominates standing keeper y (cols)
+            dom_x = ((dist[bi, None] > dist[None, :])
+                     | ((dist[bi, None] == dist[None, :])
+                        & (ids[bi, None] < ids[None, :])))
+            evicted = np.any(near & dom_x & other, axis=0) & ~is_delta
+            kept = kept & ~evicted
+        return pd.DataFrame({id_col: ids,
+                             "cluster": pdf["cluster"].to_numpy(),
+                             "is_delta": is_delta,
+                             "kept": kept})
+
+    return (pool_emb
+            .groupBy("cluster")
+            .applyInPandas(verdicts,
+                           schema=f"{id_col} bigint, cluster bigint, "
+                                  f"is_delta boolean, kept boolean"))
+
+
+def semdedup_incremental(standing: DataFrame, delta: DataFrame,
+                         k: int = 8, iters: int = 2,
+                         threshold: float = 0.35,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         kernel: str | None = None,
+                         standing_verdicts: DataFrame | None = None
+                         ) -> DataFrame:
+    """E43: incremental SemDeDup - the semantic sibling of the
+    MinHash-family `dedup_incremental` and the model-reuse sibling of
+    `kmeans_incremental_assign`. The k-means model is FIT on the
+    standing corpus only and FROZEN; the incoming `delta` batch is
+    assigned map-side with that model and deduped CLUSTER-LOCALLY
+    against the pool of standing keepers + fellow delta rows, so daily
+    cost is O(|delta| * cluster_size * dim) - independent of corpus
+    size, like the exact-hash incremental path.
+
+    `standing_verdicts` is the persisted standing state
+    ((id_col, cluster, kept) - a prior semdedup() output over
+    `standing`); at 100 TB it is a stored artifact read back each day,
+    NOT recomputed. When None (fixture/driver-row mode) it is derived
+    here with the same frozen model, which is the batch-sized
+    bootstrap, not the steady-state cost.
+
+    Output: one row per standing KEEPER (is_delta=False; kept=False
+    means a dominating near-dup delta row evicted it) plus one row per
+    delta member (is_delta=True; the batch rule verbatim). Dropped
+    standing rows are not re-emitted - they left the corpus when the
+    standing state was built."""
+    cents, dim = kmeans_fit(standing, k, iters, id_col, vec_col, kernel)
+    s_assigned = kmeans_transform(standing, cents, dim, id_col, vec_col,
+                                  kernel)
+    if standing_verdicts is None:
+        standing_verdicts = _semdedup_grouped(
+            s_assigned.join(standing.select(id_col, vec_col), id_col),
+            threshold, id_col, vec_col, dim)
+    keepers = (standing_verdicts.filter(F.col("kept"))
+               .select(id_col)
+               .join(s_assigned, id_col)
+               .join(standing.select(id_col, vec_col), id_col)
+               .withColumn("is_delta", F.lit(False)))
+    d_pool = (kmeans_transform(delta, cents, dim, id_col, vec_col, kernel)
+              .join(delta.select(id_col, vec_col), id_col)
+              .withColumn("is_delta", F.lit(True)))
+    cols = [id_col, "cluster", "centroid_dist", vec_col, "is_delta"]
+    pool = keepers.select(*cols).unionByName(d_pool.select(*cols))
+    return _semdedup_incremental_grouped(pool, threshold, id_col,
+                                         vec_col, dim)
+
+
 def semdedup_twolevel(emb: DataFrame, k1: int = 8, k2: int = 8,
                       iters1: int = 1, iters2: int = 1,
                       threshold: float = 0.35, id_col: str = "vec_id",

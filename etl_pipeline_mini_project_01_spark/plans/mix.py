@@ -163,14 +163,17 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase Bloom-prefilter decontamination
     (operators/decontaminate.py bloom_contamination_scores): corpus
     grams probe a BROADCAST 512 KiB bitmap of the benchmark during the
-    scan, so the corpus-vs-benchmark JOIN shuffle disappears for the
-    ~99% clean gram majority; the exact hash join runs only on bloom
-    survivors. The oracle is the ONE-PHASE exact computation - the hash
-    match proves the prefilter lost nothing - and `bloom_no_miss` is now
-    a REAL per-doc equality check (bloom-gated hits == exact hits over
-    ALL grams, audit mode; ADVICE r4 replaced the by-construction
-    superset form), so a lossy bitmap fails twice: FALSE verdicts AND
-    an oracle hash mismatch."""
+    scan. NOTE (ADVICE r5): this registered row - and the bench
+    headline of the same name - runs the default audit=True mode, where
+    the exact left-join covers ALL grams so `bloom_no_miss` is a REAL
+    per-doc equality check (bloom-gated hits == exact hits); what is
+    timed here is the AUDIT cost, not the prefilter speedup. Only
+    audit=False exercises the survivor-only join that removes the
+    corpus-vs-benchmark shuffle for the ~99% clean gram majority (the
+    production shape; measured on the scale curve, not this row). The
+    oracle is the one-phase exact computation - the hash match proves
+    the prefilter lost nothing - and a lossy bitmap fails twice: FALSE
+    verdicts AND an oracle hash mismatch."""
     from ..operators.decontaminate import bloom_contamination_scores
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")

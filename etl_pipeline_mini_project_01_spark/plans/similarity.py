@@ -1047,11 +1047,15 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E42: SemDeDup cross-cluster miss audit (flat vs two-level)
 # ---------------------------------------------------------------------------
 
-#: Straddle-fraction ceiling for the verdict column: the fixture's
-#: measured fractions sit well below it at sf0.001/0.01/0.1 (computed
+#: Straddle-fraction ceiling for the verdict column (computed
 #: identically on both sides, so the row hash-matches regardless - the
-#: ceiling documents the acceptable quality cost, recall-floor style).
-_MISS_CEIL = 0.9
+#: ceiling DOCUMENTS the acceptable quality cost, recall-floor style;
+#: it is informational, not an oracle trip-wire). ADVICE r5 asked for a
+#: value the fixture MEANINGFULLY clears: measured straddle_frac on the
+#: driver fixtures is flat 0.654/0.694/0.700 and twolevel
+#: 0.700/0.720/0.773 at sf0.001/0.01/0.1, so 0.85 sits ~10% above the
+#: worst measured point instead of the former near-vacuous 0.9.
+_MISS_CEIL = 0.85
 
 
 def _miss_audit_oracle() -> str:
@@ -1073,7 +1077,12 @@ def _miss_audit_oracle() -> str:
     two_prefix = _km2_oracle(_KM2_ITERS1, _KM2_ITERS2).rsplit(
         "\nSELECT vec_id,\n", 1)[0]
     chain = "c0 AS (" + two_prefix.split("c0 AS (", 1)[1]
-    chain = re.sub(r"\b(c0|a1|s1|m1|c1|afinal)\b", r"tl_\1", chain)
+    # ADVICE r5: derive the rename targets from the chain's actual CTE
+    # grammar instead of hardcoding the iters1=1 set - _km_oracle emits
+    # c0 + a{i}/s{i}/m{i}/c{i} per iteration + afinal, so raising
+    # _KM2_ITERS1 adds a2/s2/m2/c2... and this pattern still catches
+    # them (the shared x/xd/dims head is deliberately NOT matched).
+    chain = re.sub(r"\b(afinal|[acsm]\d+|c0)\b", r"tl_\1", chain)
     dot = _SQL_DOT.format(a="a.nv", b="b.nv")
     return flat_prefix + ",\n" + chain + f""",
 nrm AS (
@@ -1208,3 +1217,108 @@ def miss_audit_frame(emb: DataFrame, pair_pred=None) -> DataFrame:
                     frac.alias("straddle_frac"),
                     (frac <= _MISS_CEIL).alias("within_ceiling"))
             .orderBy("model"))
+
+
+# ---------------------------------------------------------------------------
+# E43: incremental SemDeDup - frozen standing model + cluster-local
+# delta-vs-keepers dedup (VERDICT r5 #3)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_incr_oracle() -> str:
+    """Full replay of the incremental pipeline: the standing-only fit
+    (the `_km_oracle` fit_pred parametrization, exactly as the
+    kmeans_incremental_assign oracle), one frozen-model delta
+    assignment CTE, the standing batch prune (the semdedup_prune
+    dominance SQL restricted to standing rows), then the two
+    |delta|-sided verdicts - delta rows against the keeper+delta pool,
+    and keeper evictions by dominating delta rows."""
+    pred = _INCR_VEC_PRED
+    prefix = (_km_oracle(_KM_ITERS, fit_pred=f"NOT ({pred})")
+              .rsplit("SELECT vec_id, cluster,", 1)[0])
+    assign_delta = _KM_ASSIGN.format(dim1=_KM_DIM + 1,
+                                     cents=f"c{_KM_ITERS}", pred=pred)
+    dom = ("({y}.centroid_dist > {x}.centroid_dist"
+           " OR ({y}.centroid_dist = {x}.centroid_dist"
+           " AND {y}.vec_id < {x}.vec_id))")
+    return prefix + f""",
+adelta AS ({assign_delta}),
+nrm AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(x AS DOUBLE)
+                    / sqrt({_SQL_NORM2.format(a='embedding')})) AS nv
+    FROM embeddings
+),
+ssc AS (
+    SELECT a.vec_id, a.cluster, a.centroid_dist, n.nv
+    FROM afinal a JOIN nrm n USING (vec_id)
+),
+sdropped AS (
+    SELECT DISTINCT x.vec_id
+    FROM ssc x JOIN ssc y
+      ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+     AND {dom.format(x='x', y='y')}
+     AND {_SQL_DOT.format(a='x.nv', b='y.nv')} >= {_SEMDEDUP_TAU}
+),
+skeep AS (
+    SELECT s.vec_id, s.cluster, s.centroid_dist, s.nv
+    FROM ssc s LEFT JOIN sdropped d USING (vec_id)
+    WHERE d.vec_id IS NULL
+),
+dsc AS (
+    SELECT a.vec_id, a.cluster, a.centroid_dist, n.nv
+    FROM adelta a JOIN nrm n USING (vec_id)
+),
+pool AS (
+    SELECT * FROM skeep UNION ALL SELECT * FROM dsc
+),
+ddropped AS (
+    SELECT DISTINCT x.vec_id
+    FROM dsc x JOIN pool y
+      ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+     AND {dom.format(x='x', y='y')}
+     AND {_SQL_DOT.format(a='x.nv', b='y.nv')} >= {_SEMDEDUP_TAU}
+),
+evicted AS (
+    SELECT DISTINCT s.vec_id
+    FROM skeep s JOIN dsc y
+      ON s.cluster = y.cluster
+     AND {dom.format(x='s', y='y')}
+     AND {_SQL_DOT.format(a='s.nv', b='y.nv')} >= {_SEMDEDUP_TAU}
+)
+SELECT vec_id, cluster, is_delta, kept FROM (
+    SELECT s.vec_id, s.cluster, FALSE AS is_delta,
+           e.vec_id IS NULL AS kept
+    FROM skeep s LEFT JOIN evicted e USING (vec_id)
+    UNION ALL
+    SELECT x.vec_id, x.cluster, TRUE AS is_delta,
+           d.vec_id IS NULL AS kept
+    FROM dsc x LEFT JOIN ddropped d USING (vec_id))
+ORDER BY vec_id
+"""
+
+
+@register("semdedup_incremental", oracle=_semdedup_incr_oracle())
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E43 (VERDICT r5 #3): the daily-ingest shape of SemDeDup -
+    `kmeans_incremental_assign`'s frozen standing model composed with
+    `semdedup_prune`'s dominance rule (operators/semdedup.py
+    semdedup_incremental). The delta batch (every 5th vector, the
+    _INCR_VEC_PRED fixture convention shared with dedup_incremental)
+    is assigned map-side with the model fit on the standing corpus
+    only, then deduped cluster-locally against the standing KEEPERS +
+    fellow delta rows: |delta| x cluster_size work, corpus-size-
+    independent, and standing keepers are evicted ONLY when a near-dup
+    delta row dominates them (farther from the frozen centroid; ties ->
+    lower id). The oracle replays the standing-only fit, the delta
+    assignment, the standing prune, and both |delta|-sided verdict
+    sets in SQL."""
+    from ..operators.semdedup import semdedup_incremental as _incr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = emb.filter(f"NOT ({_INCR_VEC_PRED})")
+    delta = emb.filter(_INCR_VEC_PRED)
+    return (_incr(standing, delta, k=_KM_K, iters=_KM_ITERS,
+                  threshold=_SEMDEDUP_TAU)
+            .orderBy("vec_id"))

@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from .registry import register
 
+#: Per-process scratch tag for the sink roundtrip rows (VERDICT r5 #7):
+#: module-level so repeated in-process runs reuse one scratch dir while
+#: concurrent processes (driver vs pytest) stay isolated.
+_RUN_TAG = uuid.uuid4().hex[:8]
+
 # ---------------------------------------------------------------------------
 # S2: retry/backoff wrapper as a driver row
 # ---------------------------------------------------------------------------
@@ -106,10 +111,7 @@ def s4_csv_fallback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-run scratch dir, catalog-free (same isolation as s9)."""
     from ..sources.io import write_csv_fallback
 
-    if not hasattr(s4_csv_fallback_roundtrip, "_run_tag"):
-        s4_csv_fallback_roundtrip._run_tag = uuid.uuid4().hex[:8]
-    out = (f"/tmp/spark_graft_s4_"
-           f"{s4_csv_fallback_roundtrip._run_tag}/nation_by_region")
+    out = f"/tmp/spark_graft_s4_{_RUN_TAG}/nation_by_region"
 
     agg = (load_table(spark, sf_dir, "nation")
            .groupBy("n_regionkey")

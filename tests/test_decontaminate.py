@@ -154,10 +154,16 @@ def test_bloom_audit_off_returns_null_verdict(spark):
     docs, benchmark, _ = _fixture(spark)
     exact = {r.doc_id: (r.doc_ngrams, r.hit_ngrams)
              for r in contamination_scores(docs, benchmark, n=N).collect()}
-    rows = bloom_contamination_scores(docs, benchmark, n=N,
-                                      audit=False).collect()
+    handles: list = []
+    rows = bloom_contamination_scores(docs, benchmark, n=N, audit=False,
+                                      cache_handles=handles).collect()
     assert {r.doc_id: (r.doc_ngrams, r.hit_ngrams) for r in rows} == exact
     assert all(r.bloom_no_miss is None for r in rows)
+    # ADVICE r5: audit=False persist()s the probed relation; the caller
+    # owns the cache lifetime via cache_handles and must release it.
+    assert len(handles) == 1 and handles[0].is_cached
+    handles[0].unpersist()
+    assert not handles[0].is_cached
 
 
 def test_bloom_prefilter_actually_prunes(spark):
