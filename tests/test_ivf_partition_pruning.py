@@ -1,0 +1,137 @@
+"""VERDICT r5 #2: the IVF partition-pruning claim as a demonstrated
+layout. The corpus is WRITTEN partitioned by its coarse cluster id
+(operators/ivf_layout.py), and the probe scan is proven - via the
+FileSourceScan's PartitionFilters and its numPartitions metric - to
+read ONLY the nprobe probed partitions, both at planning time (literal
+IN) and at runtime (dynamic partition pruning through the candidate
+join). Referenced from SCALE.md's ANN section."""
+
+from __future__ import annotations
+
+import re
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from etl_pipeline_mini_project_01_spark.catalog import load_table
+from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+    ivf_probe_pruned,
+    probe_clusters,
+    write_ivf_layout,
+)
+from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+    kmeans_fit,
+    kmeans_transform,
+    kmeans_transform_topn,
+)
+
+K, ITERS, NPROBE, TOPK = 8, 1, 2, 5
+
+
+@pytest.fixture(scope="module")
+def layout(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents, dim = kmeans_fit(emb, k=K, iters=ITERS)
+    path = tempfile.mkdtemp(prefix="ivf_layout_") + "/embeddings"
+    write_ivf_layout(emb, cents, dim, path)
+    yield emb, cents, dim, path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _scan_metrics(df):
+    """Execute and return (metrics dict, plan string) of the parquet
+    FileSourceScan leaf."""
+    df.collect()
+    jplan = df._jdf.queryExecution().executedPlan()
+    leaves = jplan.collectLeaves()
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if "Scan" in node.nodeName():
+            out, it = {}, node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                out[kv._1()] = kv._2().value()
+            return out, jplan.toString()
+    raise AssertionError("no scan leaf found")
+
+
+def test_probe_scan_reads_only_nprobe_partitions(spark, layout):
+    """The serving path: literal IN on the probed ids -> the scan's
+    PartitionFilters carry the list and the executed scan's
+    numPartitions metric equals nprobe - the other k - nprobe
+    directories are never listed, which is the property that makes the
+    probe O(corpus/k * nprobe) I/O at 100 TB."""
+    emb, cents, dim, path = layout
+    qv = [float(v) for v in
+          emb.filter("vec_id = 1").select("embedding").first()[0]]
+    df = ivf_probe_pruned(spark, path, qv, cents, NPROBE, TOPK)
+    metrics, plan = _scan_metrics(df)
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "cluster" in m.group(0) and "IN" in m.group(0), plan
+    assert metrics["numPartitions"] == NPROBE
+    # and the plan's top-k is a heap merge, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_probe_results_match_unpartitioned_computation(spark, layout):
+    """Pruning must not change answers: the pruned top-k equals the
+    same cosine top-k computed from the original (unpartitioned)
+    relation restricted to the probed clusters."""
+    emb, cents, dim, path = layout
+    qv = [float(v) for v in
+          emb.filter("vec_id = 1").select("embedding").first()[0]]
+    got = [(r.vec_id, r.cluster, r.cosine)
+           for r in ivf_probe_pruned(spark, path, qv, cents,
+                                     NPROBE, TOPK).collect()]
+    probes = probe_clusters(qv, cents, NPROBE)
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        _cosine_to_literal,
+    )
+    import numpy as np
+    ref = (kmeans_transform(emb, cents, dim)
+           .join(emb.select("vec_id", "embedding"), "vec_id")
+           .filter(F.col("cluster").isin(probes))
+           .select("vec_id", "cluster",
+                   _cosine_to_literal(np.asarray(qv)).alias("cosine"))
+           .orderBy(F.desc("cosine"), "vec_id")
+           .limit(TOPK))
+    want = [(r.vec_id, r.cluster, r.cosine) for r in ref.collect()]
+    assert got == want and len(got) == TOPK
+
+
+def test_driver_probe_list_matches_distributed_kernel(spark, layout):
+    """probe_clusters (driver-side serving math) must rank exactly like
+    kmeans_transform_topn's distributed vectorized kernel - same fold
+    order, same stable ties."""
+    emb, cents, dim, path = layout
+    rows = emb.filter("vec_id < 8").select("vec_id", "embedding").collect()
+    dist = kmeans_transform_topn(emb.filter("vec_id < 8"), cents, dim,
+                                 n=NPROBE)
+    by_q = {}
+    for r in dist.collect():
+        by_q.setdefault(r.vec_id, {})[r.probe_rank] = r.cluster
+    for r in rows:
+        want = [by_q[r.vec_id][i] for i in range(NPROBE)]
+        assert probe_clusters(list(r.embedding), cents, NPROBE) == want
+
+
+def test_dynamic_partition_pruning_fires_on_candidate_join(spark, layout):
+    """The batch path when probe ids are a PLAN, not literals: joining
+    the layout against the broadcast (filtered) candidate relation on
+    the partition column plans a dynamicpruningexpression partition
+    filter - the scan prunes with the runtime broadcast values instead
+    of listing every cluster directory."""
+    emb, cents, dim, path = layout
+    corpus = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding")
+    cand = (kmeans_transform_topn(queries, cents, dim, n=NPROBE)
+            .select(F.col("vec_id").alias("query_id"), "cluster"))
+    j = corpus.join(F.broadcast(cand), "cluster")
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert any("dynamicpruning" in f for f in filters), plan
