@@ -68,6 +68,9 @@ HEADLINE = [
     "kmeans_twolevel_clusters",
     "ann_ivf_kmeans_recall",
     "kmeans_incremental_assign",
+    # round-6 flagship: incremental SemDeDup (E43) - frozen standing
+    # model + cluster-local delta-vs-keepers dedup.
+    "semdedup_incremental",
 ]
 
 

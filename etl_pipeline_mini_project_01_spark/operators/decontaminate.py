@@ -120,6 +120,12 @@ def bloom_contamination_scores(docs: DataFrame, benchmark: DataFrame,
     shuffles exist identically in the one-phase exact path); what the
     bitmap removes is the corpus-vs-benchmark JOIN shuffle for the
     ~99% clean gram majority, which at 100 TB is the dominant exchange.
+    MEASURED caveat (round-6 curve, SCALE.md): on local[32] the exact
+    JVM hash join beats this path at every scale up to 100x - even
+    forced to shuffle - because the probe's Arrow round-trip costs
+    more than a memory-speed shuffle saves; the bitmap's win condition
+    is a NETWORK-bound gram exchange. Size `bits` ~20x the benchmark's
+    distinct grams: the 512 KiB default saturates near ~700k grams.
 
     `audit=True` (the driver-row configuration) makes `bloom_no_miss` a
     REAL zero-false-negative check: per doc, the bloom-gated hit count

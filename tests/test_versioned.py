@@ -1,0 +1,96 @@
+"""Versioned tables + time travel (sources/versioned.py): dense
+version numbering, as-of reads, atomic _LATEST swap semantics, orphan
+cleanup, and the SCD2 history-replay use case the layer exists for."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from etl_pipeline_mini_project_01_spark.sources.versioned import (
+    latest_version,
+    list_versions,
+    read_version,
+    vacuum_versions,
+    write_version,
+)
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="vtbl_")
+    yield d + "/t"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_time_travel_reads_old_snapshots(spark, root):
+    v1 = write_version(spark.createDataFrame([(1, "a")], "k bigint, s string"),
+                       root)
+    v2 = write_version(spark.createDataFrame([(1, "b"), (2, "c")],
+                                             "k bigint, s string"), root)
+    assert (v1, v2) == (1, 2)
+    assert latest_version(root) == 2
+    assert sorted(map(tuple, read_version(spark, root).collect())) \
+        == [(1, "b"), (2, "c")]
+    assert sorted(map(tuple, read_version(spark, root, 1).collect())) \
+        == [(1, "a")]
+    with pytest.raises(FileNotFoundError, match="version 9"):
+        read_version(spark, root, 9)
+
+
+def test_scd2_replay_use_case(spark, root):
+    """The reason the layer exists: each merge commits a version, so
+    'the dim as the pipeline saw it N runs ago' is one read - the
+    time-travel half of the Delta TODO."""
+    from etl_pipeline_mini_project_01_spark.operators.scd import (
+        scd2_initial,
+        scd2_merge,
+    )
+    dim = scd2_initial(
+        spark.createDataFrame([(1, "basic")], "account_id bigint, tier string"),
+        "2024-01-01 00:00:00")
+    write_version(dim, root)
+    dim2 = scd2_merge(
+        read_version(spark, root),
+        spark.createDataFrame([(1, "pro")], "account_id bigint, tier string"),
+        "account_id", ["tier"], "2024-01-15 00:00:00")
+    write_version(dim2, root)
+    old = read_version(spark, root, 1)
+    new = read_version(spark, root, 2)
+    assert old.count() == 1 and new.count() == 2
+    assert [r.tier for r in new.filter("is_current").collect()] == ["pro"]
+
+
+def test_latest_swap_is_atomic_file(spark, root):
+    """_LATEST is a complete JSON manifest (os.replace target), and a
+    reader that resolved a version BEFORE a new commit still reads its
+    immutable snapshot afterwards - no rename-out-from-under."""
+    write_version(spark.createDataFrame([(1,)], "k bigint"), root)
+    pinned = read_version(spark, root, 1)
+    with open(os.path.join(root, "_LATEST"), encoding="utf-8") as fh:
+        m = json.load(fh)
+    assert m == {"version": 1, "dir": "v00000001"}
+    write_version(spark.createDataFrame([(2,)], "k bigint"), root)
+    # the pinned plan still reads snapshot 1's directory
+    assert [tuple(r) for r in pinned.collect()] == [(1,)]
+    assert not [f for f in os.listdir(root) if f.startswith("._latest_")]
+
+
+def test_vacuum_keeps_recent_and_sweeps_orphans(spark, root):
+    for i in range(4):
+        write_version(spark.createDataFrame([(i,)], "k bigint"), root)
+    # a crashed writer's orphan: directory without a manifest
+    os.makedirs(os.path.join(root, "v00000099"))
+    removed = vacuum_versions(root, keep_last=2)
+    assert removed == [1, 2]
+    assert list_versions(root) == [3, 4]
+    assert not os.path.exists(os.path.join(root, "v00000001"))
+    assert not os.path.exists(os.path.join(root, "v00000099"))
+    assert [tuple(r) for r in read_version(spark, root, 3).collect()] \
+        == [(2,)]
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, root, 1)

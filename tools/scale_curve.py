@@ -254,6 +254,130 @@ def run_flagships(spark, sf_dir: str, k_clusters: int,
     return walls, checks, metrics
 
 
+def run_decontamination(spark, sf_dir: str
+                        ) -> tuple[dict[str, float], dict[str, bool]]:
+    """VERDICT r5 #5: the bloom-vs-exact crossover measured ON THE
+    CURVE, with the same evidence discipline as semdedup's two-level -
+    both phases run at every point and the per-point invariant is full
+    per-doc equality (two-phase hit counts == one-phase), one extra
+    join pass after the timed consumes. The bloom point runs
+    audit=False (the production survivor-only join - the registered
+    driver row times audit mode instead; see plans/mix.py), releasing
+    its persisted probe relation through the cache_handles seam.
+
+    Walls here are session-warm and sensitive to cache/shuffle state
+    left by the flagship series (the first r6 run measured exact at
+    10x 4x slower in-curve than standalone), so the cache is cleared
+    up front and the recorded r6 verdict rests on the STANDALONE
+    re-measures in SCALE_CURVE.json - which refuted the local
+    "bloom wins at scale" claim; see SCALE.md round-6 notes."""
+    spark.catalog.clearCache()
+    from etl_pipeline_mini_project_01_spark.operators.decontaminate import (
+        bloom_contamination_scores,
+        contamination_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    walls: dict[str, float] = {}
+    checks: dict[str, bool] = {}
+
+    exact = contamination_scores(docs, bench, n=3)
+    t0 = time.perf_counter()
+    _consume(exact)
+    walls["decon_exact"] = round(time.perf_counter() - t0, 3)
+
+    handles: list = []
+    bloom = bloom_contamination_scores(docs, bench, n=3, audit=False,
+                                       cache_handles=handles)
+    t0 = time.perf_counter()
+    _consume(bloom)
+    walls["decon_bloom"] = round(time.perf_counter() - t0, 3)
+
+    mismatches = (bloom.select("doc_id",
+                               F.col("doc_ngrams").alias("bg"),
+                               F.col("hit_ngrams").alias("bh"))
+                  .join(exact.select("doc_id",
+                                     F.col("doc_ngrams").alias("eg"),
+                                     F.col("hit_ngrams").alias("eh")),
+                        "doc_id", "full")
+                  .filter((F.col("bg") != F.col("eg"))
+                          | (F.col("bh") != F.col("eh"))
+                          | F.col("bg").isNull() | F.col("eg").isNull())
+                  .count())
+    checks["decon_two_phase_equals_one_phase"] = mismatches == 0
+    for h in handles:
+        h.unpersist()
+    return walls, checks
+
+
+#: Unbiasedness tolerance for the sampled miss audit at the base point
+#: (measured base deltas: flat 0.0004, twolevel 0.016 at frac=0.3).
+AUDIT_TOL = 0.1
+
+
+def run_miss_audit(spark, base_dir: str, big_dir: str, n: int
+                   ) -> tuple[dict[str, float], dict[str, bool],
+                              dict[str, float]]:
+    """VERDICT r5 #6: exercise E42's sampled mode at a real fraction on
+    the curve. At the BASE point both the full audit and a frac=0.3
+    sample are affordable, so the sampled straddle fraction is checked
+    against the full one per model (|delta| <= AUDIT_TOL - the
+    unbiasedness evidence). At the BIG point only the sampled mode runs
+    (the 100 TB shape: the pair scan is quadratic in the SAMPLE, so the
+    fraction is chosen to hold the sampled pool at ~base size and the
+    wall roughly CONSTANT while the corpus grows Nx)."""
+    from etl_pipeline_mini_project_01_spark.plans.curation import md5_32
+    from etl_pipeline_mini_project_01_spark.plans.similarity import (
+        miss_audit_frame,
+    )
+
+    walls: dict[str, float] = {}
+    checks: dict[str, bool] = {}
+    metrics: dict[str, float] = {}
+
+    def _sample_pred(frac: float):
+        bound = int(frac * (1 << 32))
+        return md5_32(F.concat(F.lit("miss|"),
+                               F.col("vec_id").cast("string"))) < bound
+
+    base_emb = load_table(spark, base_dir, "embeddings")
+    t0 = time.perf_counter()
+    full = {r["model"]: r for r in miss_audit_frame(base_emb).collect()}
+    walls["audit_full_base"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    samp = {r["model"]: r
+            for r in miss_audit_frame(base_emb,
+                                      pair_pred=_sample_pred(0.3)).collect()}
+    walls["audit_sampled_base"] = round(time.perf_counter() - t0, 3)
+    for m in ("flat", "twolevel"):
+        delta = abs(samp[m]["straddle_frac"] - full[m]["straddle_frac"])
+        metrics[f"audit_{m}_full_frac"] = round(full[m]["straddle_frac"], 4)
+        metrics[f"audit_{m}_sampled_frac"] = round(
+            samp[m]["straddle_frac"], 4)
+        checks[f"audit_{m}_sampled_within_tol"] = bool(
+            delta <= AUDIT_TOL
+            and 0 < samp[m]["n_pairs"] < full[m]["n_pairs"])
+
+    big_emb = load_table(spark, big_dir, "embeddings")
+    n_big = big_emb.count()
+    frac = min(1.0, 2000.0 / n_big)
+    t0 = time.perf_counter()
+    big = {r["model"]: r
+           for r in miss_audit_frame(
+               big_emb, pair_pred=_sample_pred(frac)).collect()}
+    walls["audit_sampled_big"] = round(time.perf_counter() - t0, 3)
+    metrics["audit_big_sample_frac"] = round(frac, 4)
+    for m in ("flat", "twolevel"):
+        metrics[f"audit_{m}_big_sampled_frac"] = round(
+            big[m]["straddle_frac"], 4)
+    checks["audit_big_sampled_shape"] = bool(all(
+        big[m]["n_pairs"] > 0
+        and 0.0 <= big[m]["straddle_frac"] <= 1.0
+        for m in ("flat", "twolevel")))
+    return walls, checks, metrics
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     # Driver memory must be set BEFORE the local JVM launches (this
@@ -274,6 +398,16 @@ def main() -> None:
                                                     k_clusters=8)
     big, big_checks, big_metrics = run_flagships(spark, big_dir,
                                                  k_clusters=8 * n)
+    dbase, dbase_checks = run_decontamination(spark, BASE_SF)
+    dbig, dbig_checks = run_decontamination(spark, big_dir)
+    base.update(dbase)
+    big.update(dbig)
+    base_checks.update(dbase_checks)
+    big_checks.update(dbig_checks)
+    audit_walls, audit_checks, audit_metrics = run_miss_audit(
+        spark, BASE_SF, big_dir, n)
+    base_checks.update(audit_checks)
+    base_metrics.update(audit_metrics)
 
     def _pair(key_base, key_big):
         ratio = round(big[key_big] / base[key_base], 2)
@@ -298,6 +432,12 @@ def main() -> None:
         "training_mix": _pair("training_mix", "training_mix"),
         "substring_spans": _pair("substring_spans", "substring_spans"),
         "ann_topk": _pair("ann_topk", "ann_topk"),
+        "decon_exact": _pair("decon_exact", "decon_exact"),
+        "decon_bloom": _pair("decon_bloom", "decon_bloom"),
+        # audit walls are not base/big pairs: the sampled big point is
+        # DESIGNED to stay ~constant (the fraction shrinks as the
+        # corpus grows), so report raw walls + fractions instead.
+        "miss_audit": audit_walls,
         # VERDICT r4 #5: every point carries its own pass flag - the
         # invariants above ran against BOTH scales' actual outputs.
         "checks_pass": all(base_checks.values()) and all(
