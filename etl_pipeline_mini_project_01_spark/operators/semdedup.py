@@ -241,7 +241,8 @@ def semdedup_incremental(standing: DataFrame, delta: DataFrame,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          kernel: str | None = None,
-                         standing_verdicts: DataFrame | None = None
+                         standing_verdicts: DataFrame | None = None,
+                         model: tuple[list[list[float]], int] | None = None
                          ) -> DataFrame:
     """E43: incremental SemDeDup - the semantic sibling of the
     MinHash-family `dedup_incremental` and the model-reuse sibling of
@@ -257,14 +258,21 @@ def semdedup_incremental(standing: DataFrame, delta: DataFrame,
     `standing`); at 100 TB it is a stored artifact read back each day,
     NOT recomputed. When None (fixture/driver-row mode) it is derived
     here with the same frozen model, which is the batch-sized
-    bootstrap, not the steady-state cost.
+    bootstrap, not the steady-state cost. `model` is the matching
+    (centroids, dim) artifact: pass BOTH and the remaining cost is one
+    map-side scan of the keeper corpus (re-attaching assignment +
+    vector to keepers - at 100 TB, read from the stored enriched
+    artifact instead) plus the |delta| x cluster_size kernel; no fit
+    collect-loop, no quadratic standing component (the shape the scale
+    curve times; see tools/scale_curve.py).
 
     Output: one row per standing KEEPER (is_delta=False; kept=False
     means a dominating near-dup delta row evicted it) plus one row per
     delta member (is_delta=True; the batch rule verbatim). Dropped
     standing rows are not re-emitted - they left the corpus when the
     standing state was built."""
-    cents, dim = kmeans_fit(standing, k, iters, id_col, vec_col, kernel)
+    cents, dim = model if model is not None else kmeans_fit(
+        standing, k, iters, id_col, vec_col, kernel)
     s_assigned = kmeans_transform(standing, cents, dim, id_col, vec_col,
                                   kernel)
     if standing_verdicts is None:

@@ -311,6 +311,82 @@ def run_decontamination(spark, sf_dir: str
     return walls, checks
 
 
+def run_incremental_semdedup(spark, sf_dir: str, k_clusters: int
+                             ) -> tuple[dict[str, float],
+                                        dict[str, bool]]:
+    """E43 on the curve: the STEADY-STATE incremental stage (standing
+    verdicts + frozen model passed as artifacts, localCheckpoint-ed
+    OUTSIDE the timed window) against the full batch re-run a
+    non-incremental pipeline would pay daily. The per-point invariant
+    is the operator's own structural theorem, checked at scale: the
+    incremental verdicts must EQUAL a batch grouped pass over
+    (keepers UNION delta) under the frozen assignment - zero
+    disagreement rows - plus count conservation (one row per keeper +
+    one per delta member)."""
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_transform,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+        _semdedup_grouped,
+        semdedup_incremental,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = emb.filter("NOT (vec_id % 5 = 0)")
+    delta = emb.filter("vec_id % 5 = 0")
+    walls: dict[str, float] = {}
+    checks: dict[str, bool] = {}
+
+    # untimed bootstrap: the persisted artifacts of the standing corpus
+    cents, dim = kmeans_fit(standing, k=k_clusters, iters=2,
+                            kernel=KERNEL)
+    s_asg = kmeans_transform(standing, cents, dim, kernel=KERNEL)
+    s_verd = _semdedup_grouped(
+        s_asg.join(standing.select("vec_id", "embedding"), "vec_id"),
+        0.35, "vec_id", "embedding", dim).localCheckpoint()
+
+    inc = semdedup_incremental(standing, delta, threshold=0.35,
+                               kernel=KERNEL, standing_verdicts=s_verd,
+                               model=(cents, dim))
+    t0 = time.perf_counter()
+    _consume(inc)
+    walls["semdedup_incr_stage"] = round(time.perf_counter() - t0, 3)
+
+    full = semdedup(emb, k=k_clusters, iters=2, threshold=0.35,
+                    kernel=KERNEL)
+    t0 = time.perf_counter()
+    _consume(full)
+    walls["semdedup_full_rerun"] = round(time.perf_counter() - t0, 3)
+
+    n_delta = delta.count()
+    n_keep = s_verd.filter("kept").count()
+    inc_ck = inc.localCheckpoint()
+    rows = inc_ck.count()
+    keepers = (s_verd.filter("kept").select("vec_id")
+               .join(s_asg, "vec_id")
+               .join(standing.select("vec_id", "embedding"), "vec_id")
+               .withColumn("is_delta", F.lit(False)))
+    d_pool = (kmeans_transform(delta, cents, dim, kernel=KERNEL)
+              .join(delta.select("vec_id", "embedding"), "vec_id")
+              .withColumn("is_delta", F.lit(True)))
+    cols = ["vec_id", "cluster", "centroid_dist", "embedding", "is_delta"]
+    batch = _semdedup_grouped(
+        keepers.select(*cols).unionByName(d_pool.select(*cols)),
+        0.35, "vec_id", "embedding", dim)
+    disagree = (inc_ck.select("vec_id", "cluster", "kept")
+                .join(batch.select("vec_id", "cluster",
+                                   F.col("kept").alias("bkept")),
+                      ["vec_id", "cluster"], "full")
+                .filter((F.col("kept") != F.col("bkept"))
+                        | F.col("kept").isNull()
+                        | F.col("bkept").isNull())
+                .count())
+    checks["incr_equals_batch_over_pool"] = disagree == 0
+    checks["incr_count_conservation"] = rows == n_keep + n_delta
+    return walls, checks
+
+
 #: Unbiasedness tolerance for the sampled miss audit at the base point
 #: (measured base deltas: flat 0.0004, twolevel 0.016 at frac=0.3).
 AUDIT_TOL = 0.1
@@ -404,6 +480,12 @@ def main() -> None:
     big.update(dbig)
     base_checks.update(dbase_checks)
     big_checks.update(dbig_checks)
+    ibase, ibase_checks = run_incremental_semdedup(spark, BASE_SF, 8)
+    ibig, ibig_checks = run_incremental_semdedup(spark, big_dir, 8 * n)
+    base.update(ibase)
+    big.update(ibig)
+    base_checks.update(ibase_checks)
+    big_checks.update(ibig_checks)
     audit_walls, audit_checks, audit_metrics = run_miss_audit(
         spark, BASE_SF, big_dir, n)
     base_checks.update(audit_checks)
@@ -434,6 +516,10 @@ def main() -> None:
         "ann_topk": _pair("ann_topk", "ann_topk"),
         "decon_exact": _pair("decon_exact", "decon_exact"),
         "decon_bloom": _pair("decon_bloom", "decon_bloom"),
+        "semdedup_incr_stage": _pair("semdedup_incr_stage",
+                                     "semdedup_incr_stage"),
+        "semdedup_full_rerun": _pair("semdedup_full_rerun",
+                                     "semdedup_full_rerun"),
         # audit walls are not base/big pairs: the sampled big point is
         # DESIGNED to stay ~constant (the fraction shrinks as the
         # corpus grows), so report raw walls + fractions instead.
