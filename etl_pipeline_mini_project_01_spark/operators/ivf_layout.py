@@ -85,6 +85,53 @@ def _cosine_to_literal(q: np.ndarray):
     return dot / F.sqrt(n2)
 
 
+def ivf_probe_pruned_batch(spark: SparkSession, path: str,
+                           queries: DataFrame,
+                           cents: list[list[float]], dim: int,
+                           nprobe: int, k: int,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           kernel: str | None = None) -> DataFrame:
+    """Batch probe over the layout: probe lists come from the
+    DISTRIBUTED `kmeans_transform_topn` kernel (a plan, not literals),
+    so partition pruning happens at RUNTIME - the broadcast candidate
+    relation feeds a dynamicpruningexpression partition filter on the
+    layout scan (plan-guarded in tests/test_ivf_partition_pruning.py).
+    Per-query top-k via window over the probed candidates only.
+
+    `queries` carries (id_col, vec_col); its rows need not be in the
+    corpus. Results exclude self-matches by id."""
+    from pyspark.sql import Window
+
+    from .kmeans import kmeans_transform_topn
+    from .semdedup import normalized_vectors, pair_dot
+
+    cand = (kmeans_transform_topn(queries, cents, dim, n=nprobe,
+                                  id_col=id_col, vec_col=vec_col,
+                                  kernel=kernel)
+            .select(F.col(id_col).alias("query_id"), "cluster"))
+    qv = (normalized_vectors(queries, id_col, vec_col)
+          .select(F.col(id_col).alias("query_id"),
+                  F.col("nv").alias("qnv")))
+    # ONE layout scan, candidate-joined BEFORE any per-row math so the
+    # dynamic partition filter gates the read; normalization runs on
+    # probed rows only (the _n2-first projection, per normalized_vectors).
+    lay = spark.read.parquet(path).select(id_col, "cluster", vec_col)
+    probed = (lay.join(F.broadcast(cand), "cluster")
+              .filter(F.col(id_col) != F.col("query_id"))
+              .withColumn("_n2", F.aggregate(
+                  vec_col, F.lit(0.0),
+                  lambda a, v: a + v.cast("double") * v.cast("double")))
+              .withColumn("nv", F.transform(
+                  vec_col, lambda x: x.cast("double") / F.sqrt("_n2")))
+              .join(F.broadcast(qv), "query_id")
+              .withColumn("cosine", pair_dot("qnv", "nv", kernel)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), id_col)
+    return (probed.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "cluster", "cosine", "rank"))
+
+
 def ivf_probe_pruned(spark: SparkSession, path: str,
                      query_vec: list[float], cents: list[list[float]],
                      nprobe: int, k: int,

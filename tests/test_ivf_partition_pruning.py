@@ -119,6 +119,37 @@ def test_driver_probe_list_matches_distributed_kernel(spark, layout):
         assert probe_clusters(list(r.embedding), cents, NPROBE) == want
 
 
+def test_batch_probe_matches_serving_probe(spark, layout):
+    """ivf_probe_pruned_batch (DPP path) must rank exactly like the
+    serving path for the same query - same probed clusters, same
+    (vec_id, rank) lists - and its plan must carry the runtime
+    partition filter with no cartesian fallback."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        ivf_probe_pruned_batch,
+    )
+    emb, cents, dim, path = layout
+    queries = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+    batch = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
+                                   NPROBE, TOPK)
+    batch.collect()
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert any("dynamicpruning" in f for f in
+               re.findall(r"PartitionFilters: \[[^\]]*\]", plan)), plan
+    assert "CartesianProduct" not in plan
+    got = {(r.query_id, r.rank): r.vec_id for r in batch.collect()}
+    for q in (0, 1, 2):
+        qv = [float(v) for v in
+              emb.filter(f"vec_id = {q}").select("embedding").first()[0]]
+        # Serving takes a raw vector (no id), so its top-k includes the
+        # query row itself; the batch path excludes self by id. Probe
+        # one deeper and drop the self row before comparing.
+        serving = ivf_probe_pruned(spark, path, qv, cents, NPROBE,
+                                   TOPK + 1)
+        want = [r.vec_id for r in serving.collect()
+                if r.vec_id != q][:TOPK]
+        assert [got[(q, i + 1)] for i in range(len(want))] == want
+
+
 def test_dynamic_partition_pruning_fires_on_candidate_join(spark, layout):
     """The batch path when probe ids are a PLAN, not literals: joining
     the layout against the broadcast (filtered) candidate relation on
