@@ -68,17 +68,20 @@ WINDOW_ROUND = 6
 #: the 29 round-3-only greens (the precomputed r6 rotation debt - at
 #: WINDOW_ROUND=6 the staleness guard tests/test_entry.py::test_no_
 #: query_staler_than_two_rounds fails without every one of them), (b)
-#: the ONE new r6 registration (E43 incremental SemDeDup), (c) the
-#: three queries whose implementing code changed this round (the E42
-#: ceiling/rename nits, the bloom cache_handles seam, the s4 module-
-#: level _RUN_TAG), and (d) 17 round-4-only greens rotated proactively
-#: - all 46 remaining r4 names fall due at r7, so prefilling the
-#: E43-adjacent kmeans/semdedup/dedup family, the delta-spike-adjacent
-#: SCD row, and the heavyweight flagships now leaves r7 with 29 debt
-#: names + 21 free slots instead of 46 + 4.
+#: the TWO new r6 registrations (E43 incremental SemDeDup; the IVF
+#: layout probe row that makes the VERDICT-r5-#2 partitioned serving
+#: path oracle-checked end-to-end), (c) the three queries whose
+#: implementing code changed this round (the E42 ceiling/rename nits,
+#: the bloom cache_handles seam, the s4 module-level _RUN_TAG), and
+#: (d) 16 round-4-only greens rotated proactively - all 46 remaining
+#: r4 names fall due at r7, so prefilling the E43-adjacent
+#: kmeans/semdedup/dedup family, the delta-spike-adjacent SCD row, and
+#: the heavyweight flagships now leaves r7 with 30 debt names + 20
+#: free slots instead of 46 + 4.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- new this round (needs a FIRST driver row) -----------------------
     "semdedup_incremental",           # E43: delta-vs-corpus semantic dedup
+    "ann_ivf_layout_probe",           # cluster-partitioned IVF serving path
     # -- code changed this round (old rows stopped vouching) -------------
     "semdedup_miss_audit",            # _MISS_CEIL 0.85 + derived CTE rename
     "decontamination_bloom",          # cache_handles ownership seam
@@ -106,12 +109,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "m1_scd2_account_dim", "sim_cosine_topk", "sample_cluster_balanced",
     "cluster_split_audit", "dedup_exact", "dedup_minhash_lsh",
     "dedup_clusters", "g1_daily_engagement_summary",
-    "g2_top_performing_content", "q1_pricing_summary",
+    "q1_pricing_summary",
 )
 
-#: Round-7 rotation debt, precomputed: after the r6 driver run the 29
+#: Round-7 rotation debt, precomputed: after the r6 driver run the 30
 #: round-4-only greens NOT in the r6 window fall due (at WINDOW_ROUND=7
-#: every one of them needs a slot, leaving 21 for r7's new/changed
+#: every one of them needs a slot, leaving 20 for r7's new/changed
 #: code):
 #:   a12_daily_modal_event_type, a14_table_stats,
 #:   a1_language_distribution, a2_event_type_distribution,
@@ -120,7 +123,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
 #:   dedup_editdistance_pairs, dedup_ngram_jaccard,
 #:   f11_user_activity_age, f12_engagement_ratio, f1_html_clean,
 #:   f2_json_array_ops, f4_json_field_extraction, f5_json_roundtrip,
-#:   f9_date_dimension, o1_global_sort, o2_top_events,
+#:   f9_date_dimension, g2_top_performing_content, o1_global_sort,
+#:   o2_top_events,
 #:   p2_time_window_cutoff, p6_normalized_documents, p_clean_documents,
 #:   p_clean_events, s10_dynamic_ddl, s2_retry_backoff,
 #:   stats_quantile_sketch, x1_token_frequencies.

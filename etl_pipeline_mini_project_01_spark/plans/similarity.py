@@ -21,6 +21,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import uuid
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -826,6 +828,92 @@ def ivf_kmeans_recall(spark: SparkSession, sf_dir: str,
         recall.alias("recall_at_5"),
         (recall >= _IVF_FLOOR).alias("meets_floor"))
         .orderBy("query_id"))
+
+
+# ---------------------------------------------------------------------------
+# IVF layout probe: the cluster-partitioned parquet serving path as a
+# driver row (operators/ivf_layout.py; VERDICT r5 #2 made the layout and
+# the plan guards - this row makes the END-TO-END path oracle-checked)
+# ---------------------------------------------------------------------------
+
+_IVF_RUN_TAG = uuid.uuid4().hex[:8]
+
+
+def _ivf_layout_probe_oracle() -> str:
+    """Full replay of the layout serving path: the flat k-means chain
+    (the layout's frozen model == kmeans_embedding_clusters' model), the
+    per-query top-nprobe probe lists by the same fold distance, then
+    cosine-of-normalized-vectors rank restricted to the probed clusters
+    - the dot/normalization twins are the SemDeDup oracle's (`nrm` +
+    `_SQL_DOT` on nv), so ulp-level agreement is already proven."""
+    dim1, npb, k = _KM_DIM + 1, _IVF_NPROBE, _ANN_TOP_K
+    prefix = _km_oracle(_KM_ITERS).rsplit("SELECT vec_id, cluster,", 1)[0]
+    return prefix + f""",
+qp AS (
+    SELECT query_id, cid FROM (
+        SELECT query_id, cid, dist,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY dist, cid) AS rn
+        FROM (
+            SELECT x.vec_id AS query_id, c.cid,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(range(1, {dim1}),
+                           i -> (x.xd[i] - c.c[i]) * (x.xd[i] - c.c[i]))),
+                       (p, q) -> p + q) AS dist
+            FROM xd x, c{_KM_ITERS} c
+            WHERE x.vec_id < {N_QUERIES}))
+    WHERE rn <= {npb}),
+nrm AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(x AS DOUBLE)
+                    / sqrt({_SQL_NORM2.format(a='embedding')})) AS nv
+    FROM embeddings),
+probed AS (
+    SELECT p.query_id, a.vec_id, a.cluster,
+           {_SQL_DOT.format(a='qn.nv', b='cn.nv')} AS cosine
+    FROM qp p
+    JOIN afinal a ON a.cluster = p.cid
+    JOIN nrm qn ON qn.vec_id = p.query_id
+    JOIN nrm cn ON cn.vec_id = a.vec_id
+    WHERE a.vec_id <> p.query_id),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM probed)
+SELECT query_id, vec_id, CAST(cluster AS BIGINT) AS cluster, cosine, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_ivf_layout_probe", oracle=_ivf_layout_probe_oracle())
+def ann_ivf_layout_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF STORAGE layout end-to-end (operators/ivf_layout.py): the
+    corpus is written as cluster-id-partitioned parquet under the frozen
+    k-means model, then a query batch probes it - probe lists from the
+    distributed kmeans_transform_topn kernel, the layout scan gated by a
+    runtime (dynamic-partition-pruning) filter so only nprobe of the k
+    directories are read, cosine ranked within the probed candidates.
+    At 100 TB this IS the ANN serving path: the scan cost is
+    |probed partitions|, not |corpus| (pruning plan-guarded in
+    tests/test_ivf_partition_pruning.py; this row proves the VALUES).
+    Per-run scratch layout dir, overwrite mode, catalog-free (the s4
+    isolation convention)."""
+    from ..operators.ivf_layout import (ivf_probe_pruned_batch,
+                                        write_ivf_layout)
+    from ..operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, dim = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    path = f"/tmp/spark_graft_ivf_{_IVF_RUN_TAG}/embeddings_by_cluster"
+    write_ivf_layout(emb, cents, dim, path)
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select("vec_id", "embedding"))
+    out = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
+                                 nprobe=_IVF_NPROBE, k=_ANN_TOP_K)
+    return (out.withColumn("cluster", F.col("cluster").cast("bigint"))
+            .orderBy("query_id", "rank"))
 
 
 # ---------------------------------------------------------------------------
