@@ -71,6 +71,10 @@ HEADLINE = [
     # round-6 flagship: incremental SemDeDup (E43) - frozen standing
     # model + cluster-local delta-vs-keepers dedup.
     "semdedup_incremental",
+    # round-6 flagship: E44 IVF layout serving path (write the
+    # cluster-partitioned layout + DPP-pruned batch probe end-to-end;
+    # the scan-pruning win itself is measured on the scale curve).
+    "ann_ivf_layout_probe",
 ]
 
 

@@ -7,8 +7,10 @@ driver_mimic canon) must be bit-identical: the portability property a
 1000-executor cluster needs, since the driver's own partition count is
 whatever its cluster happens to size.
 
-Usage: python tools/partition_sweep.py [sf_dir] [parts_a] [parts_b]
-       (defaults: /root/testdata/sf0.001, 3, 32)
+Usage: python tools/partition_sweep.py [sf_dir] [parts_a] [parts_b] [names]
+       (defaults: /root/testdata/sf0.001, 3, 32, all registered queries;
+       `names` is a comma-separated registry subset for incremental
+       re-checks of new/changed queries)
 Prints one JSON line {"queries": N, "mismatches": [...], "errors":
 [...]}; exit code 0 only when both lists are empty.
 """
@@ -24,7 +26,8 @@ sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
 
-def run_all(sf_dir: str, parts: int) -> dict[str, object]:
+def run_all(sf_dir: str, parts: int,
+            only: frozenset[str] = frozenset()) -> dict[str, object]:
     """One fresh session at `parts` shuffle partitions -> {name: canon}."""
     from pyspark.sql import SparkSession
 
@@ -41,6 +44,8 @@ def run_all(sf_dir: str, parts: int) -> dict[str, object]:
     registry.load_all_plans()
     out: dict[str, object] = {}
     for name, fn in registry.QUERIES.items():
+        if only and name not in only:
+            continue
         try:
             pdf = fn(spark, sf_dir).toPandas()
             pdf = pdf[sorted(pdf.columns)]
@@ -57,8 +62,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     pa = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     pb = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    ra = run_all(sf_dir, pa)
-    rb = run_all(sf_dir, pb)
+    only = (frozenset(sys.argv[4].split(","))
+            if len(sys.argv) > 4 else frozenset())
+    ra = run_all(sf_dir, pa, only)
+    rb = run_all(sf_dir, pb, only)
     errors = sorted(n for n in ra
                     if isinstance(ra[n], str) or isinstance(rb.get(n), str))
     mismatches = sorted(n for n in ra

@@ -387,6 +387,138 @@ def run_incremental_semdedup(spark, sf_dir: str, k_clusters: int
     return walls, checks
 
 
+#: IVF serving-path operating point (E44): fixed query batch, fixed
+#: probe width, fixed top-k - the 100 TB shape is "k lists grow with
+#: the corpus, nprobe stays fixed", so the pruned probe reads a
+#: ~constant row count while the full-scan control grows Nx.
+IVF_N_QUERIES = 20
+IVF_NPROBE = 4
+IVF_TOP_K = 10
+#: Mean recall@10 floor vs full-scan truth (same spirit as the ANN
+#: flagship's recall verdict: IVF is approximate BY DESIGN - the floor
+#: asserts the approximation stays useful at scale, not exact).
+IVF_RECALL_FLOOR = 0.6
+
+
+def run_ivf_layout(spark, sf_dir: str, k_lists: int,
+                   check_equality: bool
+                   ) -> tuple[dict[str, float], dict[str, bool],
+                              dict[str, float]]:
+    """E44 on the curve: the cluster-partitioned IVF layout serving
+    path. Untimed bootstrap = model fit + the partitionBy(cluster)
+    layout write (the one-time index build; its wall is reported as a
+    metric, not a pair). Timed series: (a) `ivf_probe_pruned_batch`
+    over the layout - the DPP-pruned scan - and (b) the full-scan
+    brute-force top-k a layout-less engine would pay for the same
+    query batch. Per-point invariants: every query returns exactly
+    IVF_TOP_K rows from <= IVF_NPROBE distinct clusters; mean
+    recall@k vs the full-scan truth >= IVF_RECALL_FLOOR; and (at the
+    base point) the layout probe's rows EQUAL the identical probe math
+    over the never-written in-memory frame - the parquet round-trip
+    through the partitioned layout preserves every float."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        ivf_probe_pruned_batch,
+        write_ivf_layout,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_transform,
+        kmeans_transform_topn,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+        normalized_vectors,
+        pair_dot,
+    )
+    from pyspark.sql import Window
+
+    walls: dict[str, float] = {}
+    checks: dict[str, bool] = {}
+    metrics: dict[str, float] = {}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.select("vec_id", "embedding")
+               .orderBy("vec_id").limit(IVF_N_QUERIES).localCheckpoint())
+
+    t0 = time.perf_counter()
+    cents, dim = kmeans_fit(emb, k=k_lists, iters=1, kernel=KERNEL)
+    path = os.path.join(REPO, ".scratch",
+                        f"ivf_layout_{os.path.basename(sf_dir)}_{k_lists}")
+    write_ivf_layout(emb, cents, dim, path, kernel=KERNEL)
+    metrics["ivf_index_build_sec"] = round(time.perf_counter() - t0, 3)
+
+    pruned = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
+                                    nprobe=IVF_NPROBE, k=IVF_TOP_K,
+                                    kernel=KERNEL)
+    t0 = time.perf_counter()
+    _consume(pruned)
+    walls["ivf_probe_layout"] = round(time.perf_counter() - t0, 3)
+
+    qv = (normalized_vectors(queries, "vec_id", "embedding")
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("nv").alias("qnv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    fullscan = (normalized_vectors(emb, "vec_id", "embedding")
+                .crossJoin(F.broadcast(qv))
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .withColumn("cosine", pair_dot("qnv", "nv", KERNEL))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= IVF_TOP_K)
+                .select("query_id", "vec_id", "cosine", "rank"))
+    t0 = time.perf_counter()
+    _consume(fullscan)
+    walls["ivf_probe_fullscan"] = round(time.perf_counter() - t0, 3)
+
+    # ---- invariants (control-plane sized: N_QUERIES * TOP_K rows) ----
+    prows = pruned.collect()
+    trows = fullscan.collect()
+    by_q: dict[int, set[int]] = {}
+    clus: dict[int, set[int]] = {}
+    for r in prows:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        clus.setdefault(r["query_id"], set()).add(r["cluster"])
+    truth: dict[int, set[int]] = {}
+    for r in trows:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    checks["ivf_rowcount_structure"] = bool(
+        len(by_q) == IVF_N_QUERIES
+        and all(len(v) == IVF_TOP_K for v in by_q.values())
+        and all(len(c) <= IVF_NPROBE for c in clus.values()))
+    recall = (sum(len(by_q[q] & truth[q]) / IVF_TOP_K for q in by_q)
+              / len(by_q)) if by_q else 0.0
+    metrics["ivf_recall_at_k"] = round(recall, 4)
+    checks["ivf_recall_floor"] = recall >= IVF_RECALL_FLOOR
+
+    if check_equality:
+        cand = (kmeans_transform_topn(queries, cents, dim, n=IVF_NPROBE,
+                                      kernel=KERNEL)
+                .select(F.col("vec_id").alias("query_id"), "cluster"))
+        mem = (kmeans_transform(emb, cents, dim, kernel=KERNEL)
+               .select("vec_id", "cluster")
+               .join(emb.select("vec_id", "embedding"), "vec_id")
+               .join(F.broadcast(cand), "cluster")
+               .filter(F.col("vec_id") != F.col("query_id"))
+               .withColumn("_n2", F.aggregate(
+                   "embedding", F.lit(0.0),
+                   lambda a, v: a + v.cast("double") * v.cast("double")))
+               .withColumn("nv", F.transform(
+                   "embedding",
+                   lambda x: x.cast("double") / F.sqrt("_n2")))
+               .join(F.broadcast(qv), "query_id")
+               .withColumn("cosine", pair_dot("qnv", "nv", KERNEL))
+               .withColumn("rank", F.row_number().over(
+                   Window.partitionBy("query_id")
+                   .orderBy(F.desc("cosine"), "vec_id")))
+               .filter(F.col("rank") <= IVF_TOP_K)
+               .select("query_id", "vec_id", "cluster", "cosine", "rank"))
+        a = sorted(((r["query_id"], r["vec_id"], int(r["cluster"]),
+                     repr(r["cosine"]), r["rank"]) for r in prows))
+        b = sorted(((r["query_id"], r["vec_id"], int(r["cluster"]),
+                     repr(r["cosine"]), r["rank"])
+                    for r in mem.collect()))
+        checks["ivf_layout_equals_inmemory"] = a == b
+    return walls, checks, metrics
+
+
 #: Unbiasedness tolerance for the sampled miss audit at the base point
 #: (measured base deltas: flat 0.0004, twolevel 0.016 at frac=0.3).
 AUDIT_TOL = 0.1
@@ -490,6 +622,17 @@ def main() -> None:
         spark, BASE_SF, big_dir, n)
     base_checks.update(audit_checks)
     base_metrics.update(audit_metrics)
+    vbase, vbase_checks, vbase_metrics = run_ivf_layout(
+        spark, BASE_SF, 8, check_equality=True)
+    vbig, vbig_checks, vbig_metrics = run_ivf_layout(
+        spark, big_dir, 8 * n, check_equality=False)
+    base.update(vbase)
+    big.update(vbig)
+    base_checks.update(vbase_checks)
+    big_checks.update(vbig_checks)
+    base_metrics.update({f"ivf_base_{k}": v
+                         for k, v in vbase_metrics.items()})
+    big_metrics.update({f"ivf_big_{k}": v for k, v in vbig_metrics.items()})
 
     def _pair(key_base, key_big):
         ratio = round(big[key_big] / base[key_base], 2)
@@ -520,6 +663,13 @@ def main() -> None:
                                      "semdedup_incr_stage"),
         "semdedup_full_rerun": _pair("semdedup_full_rerun",
                                      "semdedup_full_rerun"),
+        # E44 serving path: expectation is ivf_probe_layout per_unit ->
+        # ~1/n (wall ~constant: fixed nprobe over constant-size lists)
+        # while ivf_probe_fullscan tracks ~n (the layout's win is the
+        # widening gap between the two series).
+        "ivf_probe_layout": _pair("ivf_probe_layout", "ivf_probe_layout"),
+        "ivf_probe_fullscan": _pair("ivf_probe_fullscan",
+                                    "ivf_probe_fullscan"),
         # audit walls are not base/big pairs: the sampled big point is
         # DESIGNED to stay ~constant (the fraction shrinks as the
         # corpus grows), so report raw walls + fractions instead.
