@@ -597,50 +597,75 @@ def main() -> None:
                                   "spark.driver.memory": "24g"})
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Stage filter (comma list): re-measuring ONE series at a big N no
+    # longer pays for every other series' walls. Default = everything
+    # (the self-verified full run); subset runs say so in the output so
+    # a consumer can't mistake them for a full-curve checks_pass.
+    stages = set(filter(None, os.environ.get(
+        "SPARK_GRAFT_CURVE_STAGES",
+        "flagships,decon,incr,audit,ivf").split(",")))
+
     big_dir = synthesize(spark, n)
     # Warm the JVM/codegen path once so 1x doesn't absorb cold cost.
     kmeans_assign(load_table(spark, BASE_SF, "embeddings"),
                   k=2, iters=1).count()
 
-    base, base_checks, base_metrics = run_flagships(spark, BASE_SF,
-                                                    k_clusters=8)
-    big, big_checks, big_metrics = run_flagships(spark, big_dir,
-                                                 k_clusters=8 * n)
-    dbase, dbase_checks = run_decontamination(spark, BASE_SF)
-    dbig, dbig_checks = run_decontamination(spark, big_dir)
-    base.update(dbase)
-    big.update(dbig)
-    base_checks.update(dbase_checks)
-    big_checks.update(dbig_checks)
-    ibase, ibase_checks = run_incremental_semdedup(spark, BASE_SF, 8)
-    ibig, ibig_checks = run_incremental_semdedup(spark, big_dir, 8 * n)
-    base.update(ibase)
-    big.update(ibig)
-    base_checks.update(ibase_checks)
-    big_checks.update(ibig_checks)
-    audit_walls, audit_checks, audit_metrics = run_miss_audit(
-        spark, BASE_SF, big_dir, n)
-    base_checks.update(audit_checks)
-    base_metrics.update(audit_metrics)
-    vbase, vbase_checks, vbase_metrics = run_ivf_layout(
-        spark, BASE_SF, 8, check_equality=True)
-    vbig, vbig_checks, vbig_metrics = run_ivf_layout(
-        spark, big_dir, 8 * n, check_equality=False)
-    base.update(vbase)
-    big.update(vbig)
-    base_checks.update(vbase_checks)
-    big_checks.update(vbig_checks)
-    base_metrics.update({f"ivf_base_{k}": v
-                         for k, v in vbase_metrics.items()})
-    big_metrics.update({f"ivf_big_{k}": v for k, v in vbig_metrics.items()})
+    base: dict[str, float] = {}
+    big: dict[str, float] = {}
+    base_checks: dict[str, bool] = {}
+    big_checks: dict[str, bool] = {}
+    base_metrics: dict[str, float] = {}
+    big_metrics: dict[str, float] = {}
+    audit_walls: dict[str, float] = {}
+    if "flagships" in stages:
+        base, base_checks, base_metrics = run_flagships(spark, BASE_SF,
+                                                        k_clusters=8)
+        big, big_checks, big_metrics = run_flagships(spark, big_dir,
+                                                     k_clusters=8 * n)
+    if "decon" in stages:
+        dbase, dbase_checks = run_decontamination(spark, BASE_SF)
+        dbig, dbig_checks = run_decontamination(spark, big_dir)
+        base.update(dbase)
+        big.update(dbig)
+        base_checks.update(dbase_checks)
+        big_checks.update(dbig_checks)
+    if "incr" in stages:
+        ibase, ibase_checks = run_incremental_semdedup(spark, BASE_SF, 8)
+        ibig, ibig_checks = run_incremental_semdedup(spark, big_dir, 8 * n)
+        base.update(ibase)
+        big.update(ibig)
+        base_checks.update(ibase_checks)
+        big_checks.update(ibig_checks)
+    if "audit" in stages:
+        audit_walls, audit_checks, audit_metrics = run_miss_audit(
+            spark, BASE_SF, big_dir, n)
+        base_checks.update(audit_checks)
+        base_metrics.update(audit_metrics)
+    if "ivf" in stages:
+        vbase, vbase_checks, vbase_metrics = run_ivf_layout(
+            spark, BASE_SF, 8, check_equality=True)
+        vbig, vbig_checks, vbig_metrics = run_ivf_layout(
+            spark, big_dir, 8 * n, check_equality=False)
+        base.update(vbase)
+        big.update(vbig)
+        base_checks.update(vbase_checks)
+        big_checks.update(vbig_checks)
+        base_metrics.update({f"ivf_base_{k}": v
+                             for k, v in vbase_metrics.items()})
+        big_metrics.update({f"ivf_big_{k}": v
+                            for k, v in vbig_metrics.items()})
 
     def _pair(key_base, key_big):
+        if key_base not in base or key_big not in big:
+            return None
         ratio = round(big[key_big] / base[key_base], 2)
         return {"base_sec": base[key_base], "big_sec": big[key_big],
                 "wall_ratio": ratio, "per_unit": round(ratio / n, 2)}
 
     result = {
         "scale_factor": n,
+        # Which stage subset ran: checks_pass covers ONLY these series.
+        "stages": sorted(stages),
         # Per-unit ratios are comparable ONLY within a same-kernel
         # series (ADVICE r4: matmul and vectorized points must not be
         # mixed when reading round-over-round trends) - consumers key
@@ -683,6 +708,7 @@ def main() -> None:
         "base_metrics": base_metrics,
         "big_metrics": big_metrics,
     }
+    result = {k: v for k, v in result.items() if v is not None}
     spark.stop()
     sys.stdout.flush()
     print(json.dumps(result))
