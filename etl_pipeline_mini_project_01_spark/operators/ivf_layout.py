@@ -91,14 +91,37 @@ def ivf_probe_pruned_batch(spark: SparkSession, path: str,
                            nprobe: int, k: int,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           kernel: str | None = None) -> DataFrame:
-    """Batch probe over the layout: probe lists come from the
-    DISTRIBUTED `kmeans_transform_topn` kernel (a plan, not literals),
-    so partition pruning happens at RUNTIME - the broadcast candidate
-    relation feeds a dynamicpruningexpression partition filter on the
-    layout scan (plan-guarded in tests/test_ivf_partition_pruning.py).
-    Per-query top-k via window over the probed candidates only.
+                           kernel: str | None = None,
+                           probe_lists: str = "plan") -> DataFrame:
+    """Batch probe over the layout. Two probe-list shapes, identical
+    results (equality pinned in tests/test_ivf_partition_pruning.py):
 
+    * probe_lists="plan" (default): the lists stay a PLAN from the
+      distributed `kmeans_transform_topn` kernel, so partition pruning
+      happens at RUNTIME - the broadcast candidate relation feeds a
+      dynamicpruningexpression partition filter on the layout scan.
+      The scale path: the query batch can be arbitrarily large (a
+      stream micro-batch, a whole eval split) and its assignment never
+      lands on the driver.
+    * probe_lists="literal": the QUERY VECTORS are collect()ed (one
+      narrow scan job - control-plane sized for a small batch) and the
+      probe lists computed driver-side by `probe_clusters` (pure
+      q x k x dim numpy, pinned bit-identical to the distributed
+      kernel by test) - so NO Arrow kernel job runs at all; the union
+      of probed cluster ids is pushed as a literal `IN` (planning-time
+      pruning: the scan's file index never lists the other
+      directories) and the candidate join runs against a local
+      relation. This is the interactive / small-batch serving shape:
+      probe planning becomes driver-local math instead of a
+      distributed job + runtime-pruning subquery. Measured honestly at
+      sf0.1 the two modes are wall-clock EQUIVALENT (~1.5-1.8 s, the
+      cosine-rank job dominates both); the structural win - no Spark
+      job before the scan can be planned - matters for per-batch
+      latency floors on a busy cluster, not for local throughput.
+      Switch to "plan" when the batch is big enough that its vectors
+      should not visit the driver.
+
+    Per-query top-k via window over the probed candidates only.
     `queries` carries (id_col, vec_col); its rows need not be in the
     corpus. Results exclude self-matches by id."""
     from pyspark.sql import Window
@@ -106,10 +129,24 @@ def ivf_probe_pruned_batch(spark: SparkSession, path: str,
     from .kmeans import kmeans_transform_topn
     from .semdedup import normalized_vectors, pair_dot
 
-    cand = (kmeans_transform_topn(queries, cents, dim, n=nprobe,
-                                  id_col=id_col, vec_col=vec_col,
-                                  kernel=kernel)
-            .select(F.col(id_col).alias("query_id"), "cluster"))
+    if probe_lists not in ("plan", "literal"):
+        raise ValueError(f"probe_lists must be 'plan' or 'literal', "
+                         f"got {probe_lists!r}")
+    literal_probes: list[int] | None = None
+    if probe_lists == "literal":
+        qrows = queries.select(id_col, vec_col).collect()
+        pairs = [(r[id_col], c) for r in qrows
+                 for c in probe_clusters(list(r[vec_col]), cents, nprobe)]
+        literal_probes = sorted({c for _, c in pairs})
+        from pyspark.sql.types import IntegerType, StructField, StructType
+        cand = spark.createDataFrame(pairs, schema=StructType([
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("cluster", IntegerType())]))
+    else:
+        cand = (kmeans_transform_topn(queries, cents, dim, n=nprobe,
+                                      id_col=id_col, vec_col=vec_col,
+                                      kernel=kernel)
+                .select(F.col(id_col).alias("query_id"), "cluster"))
     qv = (normalized_vectors(queries, id_col, vec_col)
           .select(F.col(id_col).alias("query_id"),
                   F.col("nv").alias("qnv")))
@@ -117,6 +154,8 @@ def ivf_probe_pruned_batch(spark: SparkSession, path: str,
     # dynamic partition filter gates the read; normalization runs on
     # probed rows only (the _n2-first projection, per normalized_vectors).
     lay = spark.read.parquet(path).select(id_col, "cluster", vec_col)
+    if literal_probes is not None:
+        lay = lay.filter(F.col("cluster").isin(literal_probes))
     probed = (lay.join(F.broadcast(cand), "cluster")
               .filter(F.col(id_col) != F.col("query_id"))
               .withColumn("_n2", F.aggregate(

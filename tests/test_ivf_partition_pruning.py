@@ -150,6 +150,41 @@ def test_batch_probe_matches_serving_probe(spark, layout):
         assert [got[(q, i + 1)] for i in range(len(want))] == want
 
 
+def test_batch_probe_literal_mode_equals_plan_mode(spark, layout):
+    """probe_lists='literal' (the small-batch serving shape: probe
+    lists collect()ed - control-plane, n_queries x nprobe - and pushed
+    as a literal IN) must return the EXACT rows of the default plan/DPP
+    mode, and its executed layout scan must show PLANNING-TIME pruning:
+    PartitionFilters carries `cluster IN (<exactly the probed union>)`,
+    so the file index never lists the other directories regardless of
+    any runtime pruning Spark chooses to stack on top."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        ivf_probe_pruned_batch,
+    )
+    emb, cents, dim, path = layout
+    queries = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+    plan_mode = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
+                                       NPROBE, TOPK)
+    lit_mode = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
+                                      NPROBE, TOPK, probe_lists="literal")
+
+    def _rows(df):
+        return sorted((r.query_id, r.vec_id, int(r.cluster),
+                       repr(r.cosine), r.rank) for r in df.collect())
+
+    assert _rows(lit_mode) == _rows(plan_mode)
+
+    union = {int(c) for q in (0, 1, 2)
+             for c in probe_clusters(
+                 [float(v) for v in emb.filter(f"vec_id = {q}")
+                  .select("embedding").first()[0]], cents, NPROBE)}
+    plan = lit_mode._jdf.queryExecution().executedPlan().toString()
+    pushed = re.search(r"PartitionFilters: \[cluster#\d+ IN \(([\d,]+)\)",
+                       plan)
+    assert pushed, plan
+    assert {int(x) for x in pushed.group(1).split(",")} == union
+
+
 def test_dynamic_partition_pruning_fires_on_candidate_join(spark, layout):
     """The batch path when probe ids are a PLAN, not literals: joining
     the layout against the broadcast (filtered) candidate relation on
