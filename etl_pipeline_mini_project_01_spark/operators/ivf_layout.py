@@ -52,6 +52,27 @@ def write_ivf_layout(emb: DataFrame, cents: list[list[float]], dim: int,
     assigned.write.partitionBy("cluster").mode(mode).parquet(path)
 
 
+def append_to_ivf_layout(delta: DataFrame, cents: list[list[float]],
+                         dim: int, path: str, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         kernel: str | None = None) -> None:
+    """Daily-ingest seam: assign a DELTA batch under the FROZEN model
+    (the E41 shape - one map-side pass, |delta|-sized, no refit) and
+    append the rows into their cluster directories. Probes see the
+    delta on their next scan with pruning intact, because parquet
+    partition appends only add files under existing/new `cluster=`
+    directories - the layout's file index stays the inverted file.
+    Standing rows are never rewritten (append touches only delta
+    files), so this composes with `semdedup_incremental`'s frozen-
+    model contract: cluster ids of standing rows cannot churn.
+    Re-clustering (a NEW model) is deliberately NOT this path - that
+    is a versioned rewrite via `write_ivf_layout` (see module
+    docstring), because a model swap moves standing rows between
+    directories."""
+    write_ivf_layout(delta, cents, dim, path, id_col, vec_col, kernel,
+                     mode="append")
+
+
 def probe_clusters(query_vec: list[float], cents: list[list[float]],
                    nprobe: int) -> list[int]:
     """Driver-side probe list for ONE query vector: the nprobe nearest

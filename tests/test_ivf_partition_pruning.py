@@ -201,3 +201,40 @@ def test_dynamic_partition_pruning_fires_on_candidate_join(spark, layout):
     plan = j._jdf.queryExecution().executedPlan().toString()
     filters = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
     assert any("dynamicpruning" in f for f in filters), plan
+
+
+def test_append_delta_visible_with_pruning_intact(spark):
+    """append_to_ivf_layout (the daily-ingest seam): delta rows land
+    in their frozen-model cluster directories via partition append,
+    standing rows' files and cluster ids are untouched, and a probe
+    for a delta vector still prunes AND finds the new row."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        append_to_ivf_layout,
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    standing = emb.filter("vec_id >= 10")
+    delta = emb.filter("vec_id < 10")
+    cents, dim = kmeans_fit(standing, k=K, iters=ITERS)
+    root = tempfile.mkdtemp(prefix="ivf_append_")
+    path = root + "/emb"
+    write_ivf_layout(standing, cents, dim, path)
+    before = {r.vec_id: int(r.cluster) for r in
+              spark.read.parquet(path)
+              .select("vec_id", "cluster").collect()}
+    append_to_ivf_layout(delta, cents, dim, path)
+    after = {r.vec_id: int(r.cluster) for r in
+             spark.read.parquet(path)
+             .select("vec_id", "cluster").collect()}
+
+    assert all(after[v] == c for v, c in before.items())
+    frozen = {r.vec_id: int(r.cluster) for r in
+              kmeans_transform(delta, cents, dim).collect()}
+    assert {v: after[v] for v in frozen} == frozen
+    assert len(after) == len(before) + len(frozen)
+
+    qv = [float(x) for x in
+          delta.filter("vec_id = 0").select("embedding").first()[0]]
+    hits = ivf_probe_pruned(spark, path, qv, cents, NPROBE, 1).collect()
+    # identical vector -> cosine 1.0, ties break to the lowest vec_id
+    assert hits and hits[0].vec_id == 0
+    shutil.rmtree(root, ignore_errors=True)
