@@ -130,7 +130,7 @@ def test_batch_probe_matches_serving_probe(spark, layout):
     emb, cents, dim, path = layout
     queries = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
     batch = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
-                                   NPROBE, TOPK)
+                                   NPROBE, TOPK, probe_lists="plan")
     batch.collect()
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert any("dynamicpruning" in f for f in
@@ -164,7 +164,7 @@ def test_batch_probe_literal_mode_equals_plan_mode(spark, layout):
     emb, cents, dim, path = layout
     queries = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
     plan_mode = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
-                                       NPROBE, TOPK)
+                                       NPROBE, TOPK, probe_lists="plan")
     lit_mode = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
                                       NPROBE, TOPK, probe_lists="literal")
 
@@ -183,6 +183,69 @@ def test_batch_probe_literal_mode_equals_plan_mode(spark, layout):
                        plan)
     assert pushed, plan
     assert {int(x) for x in pushed.group(1).split(",")} == union
+
+
+def test_auto_probe_mode_picks_by_batch_size(spark, layout):
+    """probe_lists='auto' (the default, VERDICT r6 #6): at or below
+    `literal_max` query rows the batch takes the literal path
+    (planning-time `cluster IN (...)` partition filter, no kernel job
+    before the scan); above it, the plan/DPP path. Same rows either
+    side of the threshold - the mode is a physical choice only."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        ivf_probe_pruned_batch,
+    )
+    emb, cents, dim, path = layout
+    queries = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+
+    def _rows(df):
+        return sorted((r.query_id, r.vec_id, int(r.cluster),
+                       repr(r.cosine), r.rank) for r in df.collect())
+
+    below = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
+                                   NPROBE, TOPK, literal_max=3)
+    above = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
+                                   NPROBE, TOPK, literal_max=2)
+    assert _rows(below) == _rows(above)
+
+    below.collect()
+    plan_b = below._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(", plan_b), \
+        plan_b                                  # literal mode fired
+    above.collect()
+    plan_a = above._jdf.queryExecution().executedPlan().toString()
+    assert any("dynamicpruning" in f for f in
+               re.findall(r"PartitionFilters: \[[^\]]*\]", plan_a)), \
+        plan_a                                  # plan/DPP mode fired
+
+
+def test_build_routes_one_file_per_cluster(spark, layout):
+    """The VERDICT-r6 build fix: `repartition` on the cluster id before
+    `partitionBy` routes each posting list to one write task, so each
+    cluster directory holds exactly ONE parquet file (the old build
+    emitted a file per task per cluster - W x k small files, and the
+    super-linear 300x wall). files_per_cluster=2 salts each list across
+    at most two files for the posting-list-exceeds-one-task scale."""
+    import glob
+    import os
+
+    emb, cents, dim, path = layout
+    for fpc, bound in ((1, 1), (2, 2)):
+        p = tempfile.mkdtemp(prefix="ivf_files_") + "/emb"
+        write_ivf_layout(emb, cents, dim, p, files_per_cluster=fpc)
+        dirs = glob.glob(p + "/cluster=*")
+        assert dirs
+        for d in dirs:
+            n = len(glob.glob(os.path.join(d, "*.parquet")))
+            assert 1 <= n <= bound, (d, n)
+        # same content as the fixture layout regardless of routing
+        got = sorted((r.vec_id, int(r.cluster))
+                     for r in spark.read.parquet(p)
+                     .select("vec_id", "cluster").collect())
+        want = sorted((r.vec_id, int(r.cluster))
+                      for r in spark.read.parquet(path)
+                      .select("vec_id", "cluster").collect())
+        assert got == want
+        shutil.rmtree(os.path.dirname(p), ignore_errors=True)
 
 
 def test_dynamic_partition_pruning_fires_on_candidate_join(spark, layout):
