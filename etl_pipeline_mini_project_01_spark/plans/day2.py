@@ -198,3 +198,91 @@ def s9_ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.createDataFrame(
         rows, "layer string, table_name string, n_columns bigint")
         .orderBy("layer", "table_name"))
+
+
+_VERSIONED_ORACLE = """
+WITH v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders
+            WHERE o_orderdate < DATE '1995-01-01'),
+v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders)
+SELECT s.step, s.value
+FROM v1, v2, LATERAL (VALUES
+    ('1_v1_rows', v1.c),
+    ('2_v2_rows', v2.c),
+    ('3_latest_version', CAST(2 AS BIGINT)),
+    ('4_asof_v1_rows', v1.c),
+    ('5_rows_added_v1_to_v2', v2.c - v1.c),
+    ('6_vacuum_removed', CAST(1 AS BIGINT)),
+    ('7_latest_rows_after_vacuum', v2.c),
+    ('8_v1_survives_vacuum', CAST(0 AS BIGINT))) s(step, value)
+ORDER BY s.step
+"""
+
+
+@register("versioned_time_travel", oracle=_VERSIONED_ORACLE)
+def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel as a driver row (VERDICT r6 #4;
+    sources/versioned.py was pytest-only). Two commits of the orders
+    table - v1 = pre-1995 orders, v2 = all orders - then the invariants
+    a versioned lakehouse table must uphold, each computed by RUNNING
+    the layer:
+      * as-of read: version 1 resolved AFTER v2 committed still returns
+        exactly v1's rows (immutable snapshot directories);
+      * diff: an anti-join of read_version(2) against read_version(1)
+        on the key finds exactly the rows v2 added - 'what changed
+        between runs' as one time-travel query, no CDC log needed;
+      * vacuum keep_last=1 removes exactly v1, the latest read is
+        untouched, and the vacuumed version is gone (read raises).
+    The oracle states every value from the input alone via the same
+    cutoff predicate. Scratch keyed on (input dir, per-process uuid);
+    the reference analogue is re-running its loader against a mutated
+    source (/root/reference/src/loader/bronze_loader.py:143-188), which
+    overwrites history - this layer is what makes 'the table as of the
+    previous run' a readable artifact instead."""
+    from ..catalog import load_table
+    from ..sources.versioned import (
+        latest_version,
+        read_version,
+        vacuum_versions,
+        write_version,
+    )
+
+    if not hasattr(versioned_time_travel, "_run_tag"):
+        versioned_time_travel._run_tag = uuid.uuid4().hex[:8]
+    tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+           + "_" + versioned_time_travel._run_tag)
+    root = f"/tmp/spark_graft_versioned_{tag}/orders"
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1_df = orders.where(F.col("o_orderdate") < F.lit("1995-01-01"))
+    write_version(v1_df, root)
+    write_version(orders, root)
+
+    v1_rows = read_version(spark, root, 1).count()
+    v2_rows = read_version(spark, root, 2).count()
+    latest = latest_version(root)
+    asof_v1 = read_version(spark, root, 1).count()     # after v2 landed
+    added = (read_version(spark, root, 2)
+             .join(read_version(spark, root, 1).select("o_orderkey"),
+                   "o_orderkey", "left_anti")
+             .count())
+    removed = vacuum_versions(root, keep_last=1)
+    latest_after = read_version(spark, root).count()
+    try:
+        read_version(spark, root, 1)
+        v1_survives = 1
+    except FileNotFoundError:
+        v1_survives = 0
+
+    steps = [
+        ("1_v1_rows", int(v1_rows)),
+        ("2_v2_rows", int(v2_rows)),
+        ("3_latest_version", int(latest)),
+        ("4_asof_v1_rows", int(asof_v1)),
+        ("5_rows_added_v1_to_v2", int(added)),
+        ("6_vacuum_removed", len(removed)),
+        ("7_latest_rows_after_vacuum", int(latest_after)),
+        ("8_v1_survives_vacuum", v1_survives),
+    ]
+    return (spark.createDataFrame(steps, "step string, value bigint")
+            .orderBy("step"))

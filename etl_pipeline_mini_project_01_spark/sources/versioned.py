@@ -72,7 +72,15 @@ def write_version(df: DataFrame, root: str,
     return its number. The snapshot directory is fully written before
     any manifest exists; the _LATEST swap is a single os.replace."""
     os.makedirs(_manifest_dir(root), exist_ok=True)
-    v = latest_version(root) + 1
+    # Next version from the MANIFEST LOG, not _LATEST (ADVICE r6): a
+    # writer that crashed after landing _versions/vN.json but before
+    # the _LATEST swap leaves _LATEST at N-1 while vN exists - deriving
+    # from _LATEST would recompute v=N and fail forever on
+    # errorifexists. The log is the allocation authority; _LATEST is
+    # only the readers' pointer (a crashed commit's snapshot stays
+    # invisible to `read_version(None)` until the next commit, but its
+    # fully-written dir+manifest remain readable by explicit version).
+    v = max(list_versions(root), default=0) + 1
     vdir = f"v{v:08d}"
     w = df.write.mode("errorifexists")
     if partition_by:
@@ -111,9 +119,18 @@ def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
     absent from the manifest log). Returns the removed version
     numbers. The manifest is removed BEFORE its directory so a crash
     mid-vacuum leaves an orphan (re-vacuumable), never a manifest
-    pointing at nothing."""
+    pointing at nothing.
+
+    keep_last must be >= 1 (ADVICE r6): retaining zero snapshots would
+    leave _LATEST referencing a deleted version, so latest_version()
+    would report a vacuumed table and read_version() would raise
+    FileNotFoundError instead of signaling emptiness - an empty table
+    is expressed by committing an empty DataFrame, not by vacuuming
+    everything."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     versions = list_versions(root)
-    drop = versions[:-keep_last] if keep_last > 0 else versions
+    drop = versions[:-keep_last]
     for v in drop:
         vdir = f"v{v:08d}"
         os.remove(os.path.join(_manifest_dir(root), f"{vdir}.json"))

@@ -80,6 +80,37 @@ def test_latest_swap_is_atomic_file(spark, root):
     assert not [f for f in os.listdir(root) if f.startswith("._latest_")]
 
 
+def test_crashed_commit_does_not_wedge_future_writes(spark, root):
+    """ADVICE r6: a writer that died after landing _versions/vN.json
+    but BEFORE the _LATEST swap must not block the next commit. Version
+    allocation reads the manifest log (max+1), so the next write lands
+    N+1 and swaps _LATEST forward; the crashed snapshot stays readable
+    by explicit version (it was fully written before its manifest)."""
+    write_version(spark.createDataFrame([(1,)], "k bigint"), root)
+    with open(os.path.join(root, "_LATEST"), encoding="utf-8") as fh:
+        latest_v1 = fh.read()
+    write_version(spark.createDataFrame([(2,)], "k bigint"), root)
+    # simulate the crash window: roll _LATEST back to v1 while v2's
+    # manifest + directory remain on disk
+    with open(os.path.join(root, "_LATEST"), "w", encoding="utf-8") as fh:
+        fh.write(latest_v1)
+    assert latest_version(root) == 1          # readers: consistent v1
+    v3 = write_version(spark.createDataFrame([(3,)], "k bigint"), root)
+    assert v3 == 3                            # not a re-collision on 2
+    assert latest_version(root) == 3
+    assert [tuple(r) for r in read_version(spark, root, 2).collect()] \
+        == [(2,)]
+
+
+def test_vacuum_rejects_keep_last_below_one(spark, root):
+    """ADVICE r6: keep_last=0 would leave _LATEST pointing at a deleted
+    snapshot; the call is rejected instead."""
+    write_version(spark.createDataFrame([(1,)], "k bigint"), root)
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_versions(root, keep_last=0)
+    assert list_versions(root) == [1]
+
+
 def test_vacuum_keeps_recent_and_sweeps_orphans(spark, root):
     for i in range(4):
         write_version(spark.createDataFrame([(i,)], "k bigint"), root)
