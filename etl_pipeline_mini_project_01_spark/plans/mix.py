@@ -173,12 +173,19 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape; measured on the scale curve, not this row). The
     oracle is the one-phase exact computation - the hash match proves
     the prefilter lost nothing - and a lossy bitmap fails twice: FALSE
-    verdicts AND an oracle hash mismatch."""
+    verdicts AND an oracle hash mismatch.
+
+    r7 (VERDICT r6 #3): the row runs probe='jvm' - phase 1 is Spark's
+    own BloomFilterAggregate/BloomFilterMightContain, a codegen-inlined
+    JVM membership test with zero Arrow transfer - so the driver
+    oracle-checks the new kernel; jvm==arrow row equality is separately
+    pinned in tests/test_decontaminate.py, and the exact-vs-bloom race
+    for BOTH probes is measured on the scale curve."""
     from ..operators.decontaminate import bloom_contamination_scores
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
     return (
-        bloom_contamination_scores(docs, bench, n=_DECON_N)
+        bloom_contamination_scores(docs, bench, n=_DECON_N, probe="jvm")
         .select("doc_id",
                 F.col("doc_ngrams").cast("bigint").alias("doc_ngrams"),
                 F.col("hit_ngrams").cast("bigint").alias("hit_ngrams"),

@@ -197,3 +197,65 @@ def test_bloom_prefilter_actually_prunes(spark):
     # hence the FP tax) is well under 1%.
     assert fill < 0.01
     assert survivor_share < 0.5, (fill, survivor_share)
+
+
+def test_bloom_jvm_probe_equals_arrow_probe(spark):
+    """probe='jvm' (BloomFilterAggregate/BloomFilterMightContain - the
+    VERDICT r6 #3 pure-JVM path) must produce IDENTICAL rows to the
+    Arrow bitmap path in both audit modes: no false negatives either
+    way, and FP-rate differences between the two filters may only ever
+    change phase-2 work, never a reported count."""
+    from etl_pipeline_mini_project_01_spark.operators.decontaminate import (
+        bloom_contamination_scores,
+    )
+    docs, benchmark, planted = _fixture(spark)
+    for audit in (True, False):
+        arrow = sorted(map(tuple, bloom_contamination_scores(
+            docs, benchmark, n=N, audit=audit).collect()))
+        jvm = sorted(map(tuple, bloom_contamination_scores(
+            docs, benchmark, n=N, audit=audit, probe="jvm").collect()))
+        assert jvm == arrow, audit
+    flagged = {r[0] for r in jvm if r[2] > 0}
+    assert planted <= flagged
+
+
+def test_bloom_jvm_audit_catches_lossy_filter(spark):
+    """The audit must stay a real check under probe='jvm': a dead
+    filter (structurally valid, zero bits set - every gram wrongly
+    'clean') must flip bloom_no_miss to FALSE exactly for docs with
+    nonzero exact hits."""
+    from etl_pipeline_mini_project_01_spark.operators.decontaminate import (
+        BLOOM_BITS,
+        bloom_contamination_scores,
+    )
+    docs, benchmark, _ = _fixture(spark)
+    exact = {r.doc_id: r.hit_ngrams
+             for r in contamination_scores(docs, benchmark, n=N).collect()}
+    jvm = spark._jvm
+    empty = jvm.org.apache.spark.util.sketch.BloomFilter.create(
+        BLOOM_BITS // 10, BLOOM_BITS)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    empty.writeTo(baos)
+    dead = bytes(baos.toByteArray())
+    rows = bloom_contamination_scores(docs, benchmark, n=N,
+                                      bitmap=dead, probe="jvm").collect()
+    assert any(h > 0 for h in exact.values())
+    for r in rows:
+        assert r.hit_ngrams == 0
+        assert r.bloom_no_miss == (exact[r.doc_id] == 0), r
+
+
+def test_bloom_jvm_filter_empty_benchmark(spark):
+    """Zero-gram benchmark: bloom_filter_jvm returns None and the jvm
+    probe treats it as nothing-matches (all docs clean, audit TRUE)."""
+    from etl_pipeline_mini_project_01_spark.operators.decontaminate import (
+        bloom_contamination_scores,
+        bloom_filter_jvm,
+    )
+    docs, _, _ = _fixture(spark)
+    empty = spark.createDataFrame([("tiny",)], "text string")  # < N words
+    assert bloom_filter_jvm(empty, n=N) is None
+    rows = bloom_contamination_scores(docs, empty, n=N,
+                                      probe="jvm").collect()
+    assert rows and all(r.hit_ngrams == 0 and r.bloom_no_miss
+                        for r in rows)
