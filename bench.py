@@ -79,8 +79,27 @@ HEADLINE = [
 
 
 def _consume(df) -> int:
-    """Force full execution; small (top-k/agg) results via collect, else noop write."""
-    return len(df.collect())
+    """Force full execution via the `noop` datasource (a real write
+    job: every operator runs, rows are materialized and discarded
+    executor-side) and return the row count from an attached
+    Observation - so the timing measures the ENGINE for every result
+    size, never driver-side row serialization (VERDICT r6 #7).
+
+    Why not "collect below a row-count bound": knowing the count first
+    needs either a second execution or a limit() probe, and a limit
+    CHANGES the physical plan (orderBy+limit becomes TakeOrdered,
+    scans early-exit) - it would under-time exactly the queries it
+    gated. The observation is free (an aggregate piggybacked on the
+    write) and plan-neutral. r7 note: switching from collect() removes
+    the (small, uniform) driver-serialization term from every headline
+    wall - round-over-round deltas across r6->r7 include that shift."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    (df.observe(obs, F.count(F.lit(1)).alias("rows"))
+       .write.format("noop").mode("overwrite").save())
+    return int(obs.get["rows"])
 
 
 def main() -> None:
