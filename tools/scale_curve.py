@@ -294,19 +294,35 @@ def run_decontamination(spark, sf_dir: str
     _consume(bloom)
     walls["decon_bloom"] = round(time.perf_counter() - t0, 3)
 
-    mismatches = (bloom.select("doc_id",
-                               F.col("doc_ngrams").alias("bg"),
-                               F.col("hit_ngrams").alias("bh"))
-                  .join(exact.select("doc_id",
-                                     F.col("doc_ngrams").alias("eg"),
-                                     F.col("hit_ngrams").alias("eh")),
-                        "doc_id", "full")
-                  .filter((F.col("bg") != F.col("eg"))
-                          | (F.col("bh") != F.col("eh"))
-                          | F.col("bg").isNull() | F.col("eg").isNull())
-                  .count())
-    checks["decon_two_phase_equals_one_phase"] = mismatches == 0
-    for h in handles:
+    # r7 (VERDICT r6 #3): the same survivor-only two-phase pipeline
+    # with the PURE-JVM probe - BloomFilterAggregate build +
+    # BloomFilterMightContain inlined into the scan, zero Arrow
+    # transfer - so the race isolates the Python round-trip from the
+    # bitmap idea itself.
+    jhandles: list = []
+    bloom_jvm = bloom_contamination_scores(docs, bench, n=3, audit=False,
+                                           cache_handles=jhandles,
+                                           probe="jvm")
+    t0 = time.perf_counter()
+    _consume(bloom_jvm)
+    walls["decon_bloom_jvm"] = round(time.perf_counter() - t0, 3)
+
+    def _equals_exact(two_phase) -> bool:
+        return (two_phase.select("doc_id",
+                                 F.col("doc_ngrams").alias("bg"),
+                                 F.col("hit_ngrams").alias("bh"))
+                .join(exact.select("doc_id",
+                                   F.col("doc_ngrams").alias("eg"),
+                                   F.col("hit_ngrams").alias("eh")),
+                      "doc_id", "full")
+                .filter((F.col("bg") != F.col("eg"))
+                        | (F.col("bh") != F.col("eh"))
+                        | F.col("bg").isNull() | F.col("eg").isNull())
+                .count()) == 0
+
+    checks["decon_two_phase_equals_one_phase"] = _equals_exact(bloom)
+    checks["decon_jvm_equals_one_phase"] = _equals_exact(bloom_jvm)
+    for h in handles + jhandles:
         h.unpersist()
     return walls, checks
 
@@ -516,7 +532,223 @@ def run_ivf_layout(spark, sf_dir: str, k_lists: int,
                      repr(r["cosine"]), r["rank"])
                     for r in mem.collect()))
         checks["ivf_layout_equals_inmemory"] = a == b
+    # ADVICE r6: the layout duplicates the corpus on disk (at 300x,
+    # ~600k vectors per (sf, k) key) and the build wall is already
+    # captured as a metric - drop the directory instead of accumulating
+    # one copy per curve configuration across rounds.
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
     return walls, checks, metrics
+
+
+def run_daily_ingest(spark, sf_dir: str, k_clusters: int
+                     ) -> tuple[dict[str, float], dict[str, bool]]:
+    """VERDICT r6 #5: the daily-ingest steady state COMPOSED, not as
+    separate series. Untimed bootstrap = the standing state a
+    production pipeline holds between days (frozen k-means model, the
+    cluster-partitioned IVF layout of the standing corpus, standing
+    SemDeDup verdicts, standing LSH buckets - all persisted
+    artifacts). The timed stage is ONE incoming batch (the vec_id/
+    doc_id % 5 == 0 fifth of the corpus) flowing through all four
+    day-2 operators:
+      1. `append_to_ivf_layout` - delta rows land in their frozen-
+         model cluster directories (|delta|-sized assignment pass);
+      2. a pruned batch probe over the just-appended layout (DPP
+         path - serving sees the delta immediately);
+      3. `semdedup_incremental` - cluster-local delta-vs-keepers
+         semantic verdicts under the frozen model;
+      4. incremental hash near-dup - ONLY the delta is shingled/
+         minhashed; its buckets join the PERSISTED standing buckets
+         (cross-set pairs, Jaccard-verified), the dedup_incremental
+         production shape.
+    Per-point invariants (the batch-equivalence discipline): layout
+    counts + frozen delta cluster ids intact; a probe for a delta
+    vector finds it through the pruned scan; incremental semantic
+    verdicts EQUAL the batch pass over (keepers UNION delta); and the
+    persisted-bucket hash flags EQUAL a from-scratch full-corpus
+    recompute (whose wall is also recorded - the cost a
+    non-incremental pipeline would pay daily)."""
+    import shutil
+
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        append_to_ivf_layout,
+        ivf_probe_pruned_batch,
+        write_ivf_layout,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_transform,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+        _semdedup_grouped,
+        semdedup_incremental,
+    )
+    from etl_pipeline_mini_project_01_spark.plans.dedup import (
+        lsh_buckets,
+        lsh_candidates,
+    )
+    from etl_pipeline_mini_project_01_spark.functions.text import word_array
+
+    walls: dict[str, float] = {}
+    checks: dict[str, bool] = {}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    s_emb = emb.filter("NOT (vec_id % 5 = 0)")
+    d_emb = emb.filter("vec_id % 5 = 0")
+    s_docs = docs.filter("NOT (doc_id % 5 = 0)")
+    d_docs = docs.filter("doc_id % 5 = 0")
+
+    # ---- untimed bootstrap: yesterday's persisted artifacts ----
+    cents, dim = kmeans_fit(s_emb, k=k_clusters, iters=2, kernel=KERNEL)
+    path = os.path.join(REPO, ".scratch",
+                        f"ingest_layout_{os.path.basename(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_layout(s_emb, cents, dim, path, kernel=KERNEL)
+    s_asg = kmeans_transform(s_emb, cents, dim, kernel=KERNEL)
+    s_verd = _semdedup_grouped(
+        s_asg.join(s_emb.select("vec_id", "embedding"), "vec_id"),
+        0.35, "vec_id", "embedding", dim).localCheckpoint()
+    s_buckets = lsh_buckets(s_docs, hash_fn="xxhash64").localCheckpoint()
+    n_standing, n_delta = s_emb.count(), d_emb.count()
+    queries = (d_emb.select("vec_id", "embedding")
+               .orderBy("vec_id").limit(IVF_N_QUERIES).localCheckpoint())
+
+    # ---- timed: one incoming batch through the composed stage ----
+    t0 = time.perf_counter()
+    append_to_ivf_layout(d_emb, cents, dim, path, kernel=KERNEL)
+    walls["ingest_append"] = round(time.perf_counter() - t0, 3)
+
+    probe = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
+                                   nprobe=IVF_NPROBE, k=IVF_TOP_K,
+                                   kernel=KERNEL, probe_lists="plan")
+    t0 = time.perf_counter()
+    _consume(probe)
+    walls["ingest_probe"] = round(time.perf_counter() - t0, 3)
+
+    inc = semdedup_incremental(s_emb, d_emb, threshold=0.35,
+                               kernel=KERNEL, standing_verdicts=s_verd,
+                               model=(cents, dim))
+    t0 = time.perf_counter()
+    _consume(inc)
+    walls["ingest_semdedup_incr"] = round(time.perf_counter() - t0, 3)
+
+    def _cross_hash_flags(buckets):
+        cands = lsh_candidates(buckets)
+        cross = cands.where(
+            (F.col("doc_a") % 5 == 0) != (F.col("doc_b") % 5 == 0))
+        toksets = docs.select(
+            "doc_id", F.array_distinct(word_array("text")).alias("ts"))
+        ts_a = toksets.select(F.col("doc_id").alias("doc_a"),
+                              F.col("ts").alias("ts_a"))
+        ts_b = toksets.select(F.col("doc_id").alias("doc_b"),
+                              F.col("ts").alias("ts_b"))
+        inter = F.size(F.array_intersect("ts_a", "ts_b"))
+        union_sz = F.size("ts_a") + F.size("ts_b") - inter
+        hits = (cross.join(ts_a, "doc_a").join(ts_b, "doc_b")
+                .where(inter >= 0.5 * union_sz)
+                .select(F.when(F.col("doc_a") % 5 == 0, F.col("doc_a"))
+                        .otherwise(F.col("doc_b")).alias("doc_id"))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_matches")))
+        return (d_docs.select("doc_id")
+                .join(hits, "doc_id", "left")
+                .select("doc_id",
+                        (F.coalesce("n_matches", F.lit(0)) > 0)
+                        .alias("is_duplicate"),
+                        F.coalesce("n_matches", F.lit(0))
+                        .alias("n_matches")))
+
+    d_buckets = lsh_buckets(d_docs, hash_fn="xxhash64")
+    inc_flags = _cross_hash_flags(s_buckets.unionByName(d_buckets))
+    t0 = time.perf_counter()
+    _consume(inc_flags)
+    walls["ingest_hashdedup"] = round(time.perf_counter() - t0, 3)
+    walls["ingest_total"] = round(
+        walls["ingest_append"] + walls["ingest_probe"]
+        + walls["ingest_semdedup_incr"] + walls["ingest_hashdedup"], 3)
+
+    # the daily cost a NON-incremental hash pipeline would pay: full
+    # corpus re-shingled/minhashed from scratch (comparison series,
+    # outside ingest_total)
+    full_flags = _cross_hash_flags(lsh_buckets(docs, hash_fn="xxhash64"))
+    t0 = time.perf_counter()
+    _consume(full_flags)
+    walls["ingest_hashdedup_full_rerun"] = round(
+        time.perf_counter() - t0, 3)
+
+    # ---- invariants ----
+    lay = spark.read.parquet(path)
+    checks["ingest_layout_counts"] = (
+        lay.count() == n_standing + n_delta)
+    frozen_mismatch = (lay.filter("vec_id % 5 = 0")
+                       .select("vec_id",
+                               F.col("cluster").cast("bigint")
+                               .alias("lc"))
+                       .join(kmeans_transform(d_emb, cents, dim,
+                                              kernel=KERNEL)
+                             .select("vec_id", "cluster"), "vec_id",
+                             "full")
+                       .filter((F.col("lc") != F.col("cluster"))
+                               | F.col("lc").isNull()
+                               | F.col("cluster").isNull())
+                       .count())
+    checks["ingest_delta_frozen_ids"] = frozen_mismatch == 0
+
+    # a probe FOR a delta vector (query id -1, so self-exclusion
+    # cannot hide it) must surface that delta row as its top hit
+    # through the pruned scan: cosine 1.0, ties -> lowest vec_id, and
+    # vec_id 0 is a delta member by the fixture split
+    probe_q = spark.createDataFrame(
+        [(-1, [float(v) for v in
+               d_emb.filter("vec_id = 0").select("embedding")
+               .first()[0]])],
+        "vec_id bigint, embedding array<float>")
+    top = ivf_probe_pruned_batch(spark, path, probe_q, cents, dim,
+                                 nprobe=IVF_NPROBE, k=1,
+                                 kernel=KERNEL).collect()
+    checks["ingest_probe_sees_delta"] = bool(
+        top and top[0]["vec_id"] == 0)
+
+    # semantic batch equivalence (the E43 theorem, at this point's scale)
+    inc_ck = inc.localCheckpoint()
+    keepers = (s_verd.filter("kept").select("vec_id")
+               .join(s_asg, "vec_id")
+               .join(s_emb.select("vec_id", "embedding"), "vec_id")
+               .withColumn("is_delta", F.lit(False)))
+    d_pool = (kmeans_transform(d_emb, cents, dim, kernel=KERNEL)
+              .join(d_emb.select("vec_id", "embedding"), "vec_id")
+              .withColumn("is_delta", F.lit(True)))
+    cols = ["vec_id", "cluster", "centroid_dist", "embedding", "is_delta"]
+    batch = _semdedup_grouped(
+        keepers.select(*cols).unionByName(d_pool.select(*cols)),
+        0.35, "vec_id", "embedding", dim)
+    sem_disagree = (inc_ck.select("vec_id", "cluster", "kept")
+                    .join(batch.select("vec_id", "cluster",
+                                       F.col("kept").alias("bkept")),
+                          ["vec_id", "cluster"], "full")
+                    .filter((F.col("kept") != F.col("bkept"))
+                            | F.col("kept").isNull()
+                            | F.col("bkept").isNull())
+                    .count())
+    checks["ingest_semdedup_equals_batch"] = sem_disagree == 0
+
+    # hash-axis equivalence: persisted standing buckets + fresh delta
+    # buckets == full from-scratch recompute, flag for flag
+    hash_disagree = (inc_flags
+                     .join(full_flags
+                           .select("doc_id",
+                                   F.col("is_duplicate").alias("fdup"),
+                                   F.col("n_matches").alias("fm")),
+                           "doc_id", "full")
+                     .filter((F.col("is_duplicate") != F.col("fdup"))
+                             | (F.col("n_matches") != F.col("fm"))
+                             | F.col("is_duplicate").isNull()
+                             | F.col("fdup").isNull())
+                     .count())
+    checks["ingest_hash_equals_full_recompute"] = hash_disagree == 0
+    shutil.rmtree(path, ignore_errors=True)
+    return walls, checks
 
 
 #: Unbiasedness tolerance for the sampled miss audit at the base point
@@ -603,7 +835,7 @@ def main() -> None:
     # a consumer can't mistake them for a full-curve checks_pass.
     stages = set(filter(None, os.environ.get(
         "SPARK_GRAFT_CURVE_STAGES",
-        "flagships,decon,incr,audit,ivf").split(",")))
+        "flagships,decon,incr,audit,ivf,ingest").split(",")))
 
     big_dir = synthesize(spark, n)
     # Warm the JVM/codegen path once so 1x doesn't absorb cold cost.
@@ -641,6 +873,13 @@ def main() -> None:
             spark, BASE_SF, big_dir, n)
         base_checks.update(audit_checks)
         base_metrics.update(audit_metrics)
+    if "ingest" in stages:
+        gbase, gbase_checks = run_daily_ingest(spark, BASE_SF, 8)
+        gbig, gbig_checks = run_daily_ingest(spark, big_dir, 8 * n)
+        base.update(gbase)
+        big.update(gbig)
+        base_checks.update(gbase_checks)
+        big_checks.update(gbig_checks)
     if "ivf" in stages:
         vbase, vbase_checks, vbase_metrics = run_ivf_layout(
             spark, BASE_SF, 8, check_equality=True)
@@ -684,6 +923,19 @@ def main() -> None:
         "ann_topk": _pair("ann_topk", "ann_topk"),
         "decon_exact": _pair("decon_exact", "decon_exact"),
         "decon_bloom": _pair("decon_bloom", "decon_bloom"),
+        "decon_bloom_jvm": _pair("decon_bloom_jvm", "decon_bloom_jvm"),
+        # r7 composed daily-ingest steady state (VERDICT r6 #5):
+        # ingest_total is |delta|-dominated, so per_unit ~1 on a
+        # proportional delta; the two *_full_rerun walls are the
+        # non-incremental daily cost for comparison.
+        "ingest_append": _pair("ingest_append", "ingest_append"),
+        "ingest_probe": _pair("ingest_probe", "ingest_probe"),
+        "ingest_semdedup_incr": _pair("ingest_semdedup_incr",
+                                      "ingest_semdedup_incr"),
+        "ingest_hashdedup": _pair("ingest_hashdedup", "ingest_hashdedup"),
+        "ingest_hashdedup_full_rerun": _pair(
+            "ingest_hashdedup_full_rerun", "ingest_hashdedup_full_rerun"),
+        "ingest_total": _pair("ingest_total", "ingest_total"),
         "semdedup_incr_stage": _pair("semdedup_incr_stage",
                                      "semdedup_incr_stage"),
         "semdedup_full_rerun": _pair("semdedup_full_rerun",
