@@ -589,6 +589,11 @@ def run_daily_ingest(spark, sf_dir: str, k_clusters: int
     )
     from etl_pipeline_mini_project_01_spark.functions.text import word_array
 
+    # same session-state discipline as run_decontamination (the r6
+    # lesson: in-curve walls inflate 4x under leftover cache/shuffle
+    # state) - start the composed stage from a clean cache.
+    spark.catalog.clearCache()
+
     walls: dict[str, float] = {}
     checks: dict[str, bool] = {}
 
