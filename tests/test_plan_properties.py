@@ -302,13 +302,25 @@ def test_quantile_sketch_single_partial_final_aggregate(spark):
     assert len(agg_exchanges) == 1, plan
 
 
-def test_bloom_probe_is_arrow_batched_scan_before_join(spark):
-    """decontamination_bloom: the bitmap probe must run as ArrowEvalPython
-    (pandas_udf batch gathers) and the exact join must consume the
-    FILTERED survivor relation - the bloom filter appears upstream of the
-    hash join in the plan."""
-    plan = _plan(spark, "decontamination_bloom")
-    assert "ArrowEvalPython" in plan
+def test_bloom_probe_is_pure_jvm_no_python_eval(spark):
+    """decontamination_bloom (probe='jvm', VERDICT r6 #3): the bitmap
+    probe is a BloomFilterMightContain catalyst expression evaluated
+    inline during the gram aggregate - ZERO Python evaluation nodes
+    anywhere in the physical plan (the r6 Arrow path's per-batch
+    round-trip was the measured reason bloom lost to the exact join
+    locally). The expression itself is only visible in the logical
+    plan (physical HashAggregate prints output attribute names, not
+    result expressions), so the probe presence check reads the
+    optimized plan while the no-Python/no-cartesian checks read the
+    executed plan."""
+    from etl_pipeline_mini_project_01_spark.plans.registry import QUERIES
+
+    df = QUERIES["decontamination_bloom"](spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    optimized = qe.optimizedPlan().toString()
+    assert "might_contain" in optimized
+    plan = qe.executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
