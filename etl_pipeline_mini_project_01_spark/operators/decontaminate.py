@@ -239,6 +239,13 @@ def bloom_contamination_scores(docs: DataFrame, benchmark: DataFrame,
         the probe is a codegen-inlined JVM expression during the scan,
         zero Python/Arrow transfer - the variant that isolates whether
         the Arrow hop or the bitmap idea itself was losing the race.
+        ANSWERED (r7 curve, SCALE_CURVE.json r7 decon_isolated): the
+        Arrow hop was the entire gap - at 100x the JVM probe ties the
+        exact join (85.3 vs 86.7 s) where the Arrow probe lost 2.2x
+        (184.8 s). Locally the race is a dead heat because the join
+        shuffle the bitmap avoids is memory-speed; the win condition
+        remains a network-bound gram exchange, now with a measured
+        ~zero-overhead probe kernel on this side of it.
     Verdicts are IDENTICAL across probes (no false negatives either
     way; FP-rate differences only change phase-2 work, never a count) -
     pinned in tests/test_decontaminate.py.

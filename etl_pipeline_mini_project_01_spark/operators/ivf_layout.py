@@ -58,7 +58,14 @@ def write_ivf_layout(emb: DataFrame, cents: list[list[float]], dim: int,
         which also made the 300x build 6x the 100x one on 3x the data).
     Total cost: one map-side assignment pass + one hash shuffle on the
     (low-cardinality, near-uniform: k-means balances by construction)
-    cluster key - linear in the corpus.
+    cluster key - linear in the corpus FOR A FIXED k. Honest r7
+    re-measure: with both r6 causes fixed the flat build still walled
+    2.3/20.0/136.9 s at 10x/100x/300x, because under the cluster-size-
+    constant rule k grows with the corpus and the assignment kernel is
+    O(n*k*dim) by definition - the fix helped the constant, not the
+    exponent. At corpus-scaled k use `write_ivf_layout_twolevel`
+    (hierarchical quantizer, O(n*sqrt(k)*dim) build, same layout
+    contract and probe machinery).
 
     `files_per_cluster` > 1 splits each cluster across that many write
     tasks/files via a hash salt on `id_col` - the knob for the cluster
@@ -194,10 +201,7 @@ def ivf_probe_pruned_batch(spark: SparkSession, path: str,
     Per-query top-k via window over the probed candidates only.
     `queries` carries (id_col, vec_col); its rows need not be in the
     corpus. Results exclude self-matches by id."""
-    from pyspark.sql import Window
-
     from .kmeans import kmeans_transform_topn
-    from .semdedup import normalized_vectors, pair_dot
 
     if probe_lists not in ("auto", "plan", "literal"):
         raise ValueError(f"probe_lists must be 'auto', 'plan' or "
@@ -220,12 +224,29 @@ def ivf_probe_pruned_batch(spark: SparkSession, path: str,
                                       id_col=id_col, vec_col=vec_col,
                                       kernel=kernel)
                 .select(F.col(id_col).alias("query_id"), "cluster"))
+    return _ranked_candidate_scan(spark, path, cand, literal_probes,
+                                  queries, k, id_col, vec_col, kernel)
+
+
+def _ranked_candidate_scan(spark: SparkSession, path: str,
+                           cand: DataFrame,
+                           literal_probes: list[int] | None,
+                           queries: DataFrame, k: int,
+                           id_col: str, vec_col: str,
+                           kernel: str | None) -> DataFrame:
+    """Shared probe tail (flat and two-level probes differ ONLY in how
+    the (query_id, cluster) candidate relation is produced): one layout
+    scan, candidate-joined BEFORE any per-row math so the partition
+    filter - literal `IN` or the runtime dynamicpruning subquery -
+    gates the read; normalization runs on probed rows only; per-query
+    top-k via window over the probed candidates."""
+    from pyspark.sql import Window
+
+    from .semdedup import normalized_vectors, pair_dot
+
     qv = (normalized_vectors(queries, id_col, vec_col)
           .select(F.col(id_col).alias("query_id"),
                   F.col("nv").alias("qnv")))
-    # ONE layout scan, candidate-joined BEFORE any per-row math so the
-    # dynamic partition filter gates the read; normalization runs on
-    # probed rows only (the _n2-first projection, per normalized_vectors).
     lay = spark.read.parquet(path).select(id_col, "cluster", vec_col)
     if literal_probes is not None:
         lay = lay.filter(F.col("cluster").isin(literal_probes))
@@ -262,3 +283,150 @@ def ivf_probe_pruned(spark: SparkSession, path: str,
                     _cosine_to_literal(q).alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))
+
+
+# ---------------------------------------------------------------------
+# Hierarchical (two-level / IMI-style) layout: the index-BUILD scale fix
+# ---------------------------------------------------------------------
+# The r7 curve re-measure showed the r6 weak's named causes (corpus
+# self-join + partitionBy small-file routing) were real but MINOR: with
+# both fixed the flat build still walled 2.3/20.0/136.9 s at
+# 10x/100x/300x, because under the cluster-size-constant rule (k grows
+# with the corpus) BOTH build passes - the fit's assignment and the
+# write's assignment - are O(n*k*dim) kernels, i.e. O(n^2) when k ~ n.
+# No join or file-routing fix changes that term; the quantizer itself
+# must get cheaper. The standard answer (faiss's IVF coarse quantizer /
+# inverted multi-index) is hierarchical: k1 coarse cells, k2 fine cells
+# per coarse, k = k1*k2 lists, per-row assignment cost (k1 + k2)*dim.
+# At k1 = k2 = sqrt(k) the build drops from O(n*k*dim) to
+# O(n*sqrt(k)*dim) - n^1.5 instead of n^2 when k ~ n - while the
+# SERVING side is unchanged: the layout is still one flat `cluster=`
+# partition key (leaf = coarse*k2 + fine), so every probe mechanism
+# (literal IN planning-time pruning, the plan-guard suite) applies
+# as-is. Probe planning stays control-plane: coarse distances (k1*dim)
+# then fine distances within the visited coarse cells
+# (nprobe_coarse*k2*dim) - never the full k*dim scan the flat probe
+# pays driver-side.
+
+
+def write_ivf_layout_twolevel(emb: DataFrame,
+                              coarse_cents: list[list[float]],
+                              fine: list[list[list[float]]],
+                              k2: int, dim: int, path: str,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              kernel: str | None = None,
+                              mode: str = "overwrite",
+                              files_per_cluster: int = 1) -> None:
+    """Materialize the corpus partitioned by its LEAF id
+    (cluster = coarse*k2 + fine) under a frozen two-level model from
+    `kmeans_fit_twolevel`. Build shape: one k1-cell coarse pass + one
+    partition-constrained k2-cell fine pass (both map-side, both carry
+    the payload columns through - no self-join), then the same
+    single-shuffle cluster routing as the flat build. `k2` is the
+    NOMINAL fine fan-out the leaf numbering uses; ragged fine lists
+    (coarse cells with < k2 rows at fit time) simply leave leaf ids
+    unoccupied - directories are only created for non-empty lists, and
+    rows routed to a fit-time-empty coarse cell take its fine=0 leaf
+    with the coarse centroid as representative (the `_assign_fine`
+    coarse_cents fallback, the IVF empty-list convention)."""
+    from .kmeans import _assign, _assign_fine, _scaled
+
+    if files_per_cluster < 1:
+        raise ValueError(f"files_per_cluster must be >= 1, "
+                         f"got {files_per_cluster}")
+    if any(len(fl) > k2 for fl in fine):
+        raise ValueError("a fine list exceeds the nominal k2 "
+                         f"({max(len(fl) for fl in fine)} > {k2})")
+    assigned = (_assign(_scaled(emb, vec_col), coarse_cents, dim, kernel)
+                .withColumnRenamed("cluster", "coarse")
+                .drop("centroid_dist"))
+    fined = _assign_fine(assigned, fine, dim, kernel,
+                         coarse_cents=coarse_cents)
+    routed = (fined
+              .withColumn("cluster",
+                          F.col("coarse") * k2 + F.col("fine"))
+              .drop("xi", "xd", "coarse", "fine", "fine_dist"))
+    if files_per_cluster == 1:
+        routed = routed.repartition("cluster")
+    else:
+        routed = routed.repartition(
+            F.col("cluster"),
+            F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
+    routed.write.partitionBy("cluster").mode(mode).parquet(path)
+
+
+def probe_clusters_twolevel(query_vec: list[float],
+                            coarse_cents: list[list[float]],
+                            fine: list[list[list[float]]],
+                            k2: int, nprobe: int,
+                            nprobe_coarse: int) -> list[int]:
+    """Driver-side probe list for ONE query under a two-level model:
+    the `nprobe_coarse` nearest coarse cells by the same fold-order
+    squared-euclidean arithmetic as `probe_clusters`, then the `nprobe`
+    nearest FINE centroids across those cells' lists (a fit-time-empty
+    coarse cell contributes its own centroid as a fine=0 leaf, matching
+    the build's fallback). Cost is (k1 + nprobe_coarse*k2)*dim numpy -
+    control-plane; the flat probe's k*dim scan is exactly what this
+    avoids at corpus-scaled k. Ties -> lowest leaf id (stable argsort
+    over leaves visited in ascending (coarse, fine) order)."""
+    q = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+
+    def _fold_dists(cmat: np.ndarray) -> np.ndarray:
+        acc = np.zeros(cmat.shape[0], dtype=np.float64)
+        for i in range(q.shape[0]):          # fold order: dims ascending
+            d = q[i] - cmat[:, i]
+            acc = acc + d * d
+        return acc
+
+    cmat = np.asarray([[float(v) for v in c] for c in coarse_cents],
+                      dtype=np.float64)
+    coarse_order = np.argsort(_fold_dists(cmat), kind="stable")
+    visit = [int(c) for c in coarse_order[:nprobe_coarse]]
+
+    leaves: list[int] = []
+    dists: list[np.ndarray] = []
+    for c in sorted(visit):                  # ascending coarse -> leaf order
+        fl = fine[c]
+        if fl:
+            leaves.extend(c * k2 + f for f in range(len(fl)))
+            dists.append(_fold_dists(np.asarray(
+                [[float(v) for v in fc] for fc in fl], dtype=np.float64)))
+        else:                                # empty list: coarse centroid
+            leaves.append(c * k2)
+            dists.append(_fold_dists(cmat[c:c + 1]))
+    order = np.argsort(np.concatenate(dists), kind="stable")
+    return [leaves[int(i)] for i in order[:nprobe]]
+
+
+def ivf_probe_pruned_batch_twolevel(spark: SparkSession, path: str,
+                                    queries: DataFrame,
+                                    coarse_cents: list[list[float]],
+                                    fine: list[list[list[float]]],
+                                    k2: int, dim: int,
+                                    nprobe: int, k: int,
+                                    nprobe_coarse: int = 4,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding",
+                                    kernel: str | None = None
+                                    ) -> DataFrame:
+    """Batch probe over a two-level layout. Probe planning is always
+    the LITERAL shape (probe_clusters_twolevel per query, union of leaf
+    ids pushed as a planning-time `IN` partition filter): the per-query
+    math is (k1 + nprobe_coarse*k2)*dim - control-plane even for large
+    batches, because the hierarchy already did the work the flat plan
+    mode's distributed kernel exists for (k*dim per row at corpus-
+    scaled k). The scan/rank tail is byte-identical to the flat probe
+    (`_ranked_candidate_scan`), so all its plan guards carry over."""
+    qrows = queries.select(id_col, vec_col).collect()
+    pairs = [(r[id_col], lf) for r in qrows
+             for lf in probe_clusters_twolevel(
+                 list(r[vec_col]), coarse_cents, fine, k2,
+                 nprobe, nprobe_coarse)]
+    literal_probes = sorted({lf for _, lf in pairs})
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    cand = spark.createDataFrame(pairs, schema=StructType([
+        StructField("query_id", queries.schema[id_col].dataType),
+        StructField("cluster", IntegerType())]))
+    return _ranked_candidate_scan(spark, path, cand, literal_probes,
+                                  queries, k, id_col, vec_col, kernel)

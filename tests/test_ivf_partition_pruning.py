@@ -301,3 +301,184 @@ def test_append_delta_visible_with_pruning_intact(spark):
     # identical vector -> cosine 1.0, ties break to the lowest vec_id
     assert hits and hits[0].vec_id == 0
     shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------
+# Two-level (hierarchical) layout - the r7 index-BUILD scale fix
+# ---------------------------------------------------------------------
+
+K1, K2 = 3, 3
+
+
+@pytest.fixture(scope="module")
+def hier_layout(spark):
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit_twolevel,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        write_ivf_layout_twolevel,
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cc, fi, dim = kmeans_fit_twolevel(emb, K1, K2, 1, 1)
+    path = tempfile.mkdtemp(prefix="ivf_hier_") + "/embeddings"
+    write_ivf_layout_twolevel(emb, cc, fi, K2, dim, path)
+    yield emb, cc, fi, dim, path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_hier_probe_prunes_with_literal_partition_filter(spark,
+                                                         hier_layout):
+    """The two-level probe pushes its leaf list as a planning-time
+    literal IN: the scan's PartitionFilters carry it, the executed
+    numPartitions equals the probed-leaf count, and the candidate join
+    never degenerates to a cartesian/BNLJ."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        ivf_probe_pruned_batch_twolevel,
+        probe_clusters_twolevel,
+    )
+    emb, cc, fi, dim, path = hier_layout
+    queries = (emb.filter("vec_id < 4")
+               .select("vec_id", "embedding").localCheckpoint())
+    # AQE wraps the executed plan in AdaptiveSparkPlan, hiding the scan
+    # leaf from collectLeaves; the pruning property under test is
+    # planning-time (the literal IN), so measure it non-adaptively.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = ivf_probe_pruned_batch_twolevel(
+            spark, path, queries, cc, fi, K2, dim,
+            nprobe=NPROBE, k=TOPK, nprobe_coarse=2)
+        metrics, plan = _scan_metrics(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "cluster" in m.group(0) and "IN" in m.group(0), plan
+    leaves = {lf for r in queries.collect()
+              for lf in probe_clusters_twolevel(
+                  list(r.embedding), cc, fi, K2, NPROBE, 2)}
+    assert metrics["numPartitions"] == len(leaves)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_hier_probe_equals_inmemory_twolevel_math(spark, hier_layout):
+    """Partitioned-parquet round-trip must not change answers: the
+    layout probe's (query, vec, cluster, cosine-repr, rank) rows equal
+    the identical probe math over the never-written two-level
+    assignment of the in-memory frame."""
+    from pyspark.sql import Window
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        ivf_probe_pruned_batch_twolevel,
+        probe_clusters_twolevel,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_transform_twolevel,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+        normalized_vectors,
+        pair_dot,
+    )
+    emb, cc, fi, dim, path = hier_layout
+    queries = (emb.filter("vec_id < 4")
+               .select("vec_id", "embedding").localCheckpoint())
+    got = sorted(
+        (r.query_id, r.vec_id, int(r.cluster), repr(r.cosine), r.rank)
+        for r in ivf_probe_pruned_batch_twolevel(
+            spark, path, queries, cc, fi, K2, dim,
+            nprobe=NPROBE, k=TOPK, nprobe_coarse=2).collect())
+
+    pairs = [(r.vec_id, lf) for r in queries.collect()
+             for lf in probe_clusters_twolevel(
+                 list(r.embedding), cc, fi, K2, NPROBE, 2)]
+    cand = spark.createDataFrame(pairs, "query_id bigint, cluster int")
+    qv = (normalized_vectors(queries, "vec_id", "embedding")
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("nv").alias("qnv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    mem = (kmeans_transform_twolevel(emb, cc, fi, dim)
+           .withColumn("cluster", F.col("coarse") * K2 + F.col("fine"))
+           .join(emb.select("vec_id", "embedding"), "vec_id")
+           .join(F.broadcast(cand.withColumn(
+               "cluster", F.col("cluster").cast("bigint"))), "cluster")
+           .filter(F.col("vec_id") != F.col("query_id"))
+           .withColumn("_n2", F.aggregate(
+               "embedding", F.lit(0.0),
+               lambda a, v: a + v.cast("double") * v.cast("double")))
+           .withColumn("nv", F.transform(
+               "embedding", lambda x: x.cast("double") / F.sqrt("_n2")))
+           .join(F.broadcast(qv), "query_id")
+           .withColumn("cosine", pair_dot("qnv", "nv"))
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= TOPK)
+           .select("query_id", "vec_id", "cluster", "cosine", "rank"))
+    want = sorted(
+        (r.query_id, r.vec_id, int(r.cluster), repr(r.cosine), r.rank)
+        for r in mem.collect())
+    assert got == want and got
+
+
+def test_hier_leaf_ids_match_twolevel_assignment(spark, hier_layout):
+    """Every stored row's leaf partition equals coarse*k2 + fine of the
+    frozen two-level model - the build's carried-through assignment is
+    the model's assignment (no drift between build kernel and
+    transform kernel)."""
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_transform_twolevel,
+    )
+    emb, cc, fi, dim, path = hier_layout
+    got = {r.vec_id: int(r.cluster) for r in
+           spark.read.parquet(path).select("vec_id", "cluster").collect()}
+    want = {r.vec_id: int(r.coarse) * K2 + int(r.fine) for r in
+            kmeans_transform_twolevel(emb, cc, fi, dim).collect()}
+    assert got == want
+
+
+def test_hier_probe_recall_floor_vs_flat_k(spark, hier_layout):
+    """The hierarchy trades probe freedom (leaves restricted to the
+    visited coarse cells) for the n*sqrt(k) build; on the fixture the
+    recall@5 vs exhaustive truth must stay a useful index
+    (nprobe_coarse=2 of 3 coarse cells, 4 of ~9 leaves)."""
+    from pyspark.sql import Window
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        ivf_probe_pruned_batch_twolevel,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+        normalized_vectors,
+        pair_dot,
+    )
+    emb, cc, fi, dim, path = hier_layout
+    queries = (emb.filter("vec_id < 10")
+               .select("vec_id", "embedding").localCheckpoint())
+    got = ivf_probe_pruned_batch_twolevel(
+        spark, path, queries, cc, fi, K2, dim,
+        nprobe=4, k=TOPK, nprobe_coarse=2).collect()
+    qv = (normalized_vectors(queries, "vec_id", "embedding")
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("nv").alias("qnv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    truth = (normalized_vectors(emb, "vec_id", "embedding")
+             .crossJoin(F.broadcast(qv))
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .withColumn("cosine", pair_dot("qnv", "nv"))
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= TOPK)
+             .select("query_id", "vec_id").collect())
+    by_q, tr_q = {}, {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in truth:
+        tr_q.setdefault(r.query_id, set()).add(r.vec_id)
+    recall = sum(len(by_q.get(q, set()) & tr_q[q]) / TOPK
+                 for q in tr_q) / len(tr_q)
+    assert recall >= 0.4, recall
+
+
+def test_hier_build_rejects_oversized_fine_list(spark):
+    """The nominal k2 is the leaf-numbering stride; a fine list longer
+    than it would alias another coarse cell's leaves."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        write_ivf_layout_twolevel,
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="exceeds the nominal k2"):
+        write_ivf_layout_twolevel(
+            emb, [[0.0] * 64], [[[0.0] * 64] * 3], 2, 64, "/tmp/never")

@@ -462,6 +462,36 @@ def run_ivf_layout(spark, sf_dir: str, k_lists: int,
     write_ivf_layout(emb, cents, dim, path, kernel=KERNEL)
     metrics["ivf_index_build_sec"] = round(time.perf_counter() - t0, 3)
 
+    # r7: the hierarchical build - same leaf count (k1*k2 ~ k_lists),
+    # O(n*sqrt(k)) instead of O(n*k) - raced on the same corpus, plus
+    # its own probe wall and recall vs the SAME full-scan truth. This
+    # is the series that answers whether the flat build's super-
+    # linearity (unchanged by the r6 self-join/file-routing fix) is
+    # the quantizer's k ~ n term: the hier points should track ~n^1.5.
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        ivf_probe_pruned_batch_twolevel,
+        write_ivf_layout_twolevel,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit_twolevel,
+    )
+    k12 = max(2, int(round(k_lists ** 0.5)))
+    hpath = path + "_hier"
+    t0 = time.perf_counter()
+    cc, fi, hdim = kmeans_fit_twolevel(emb, k12, k12, 1, 1,
+                                       kernel=KERNEL)
+    write_ivf_layout_twolevel(emb, cc, fi, k12, hdim, hpath,
+                              kernel=KERNEL)
+    metrics["ivf_hier_build_sec"] = round(time.perf_counter() - t0, 3)
+
+    hier = ivf_probe_pruned_batch_twolevel(
+        spark, hpath, queries, cc, fi, k12, hdim,
+        nprobe=IVF_NPROBE, k=IVF_TOP_K, nprobe_coarse=IVF_NPROBE,
+        kernel=KERNEL)
+    t0 = time.perf_counter()
+    _consume(hier)
+    walls["ivf_probe_hier"] = round(time.perf_counter() - t0, 3)
+
     pruned = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
                                     nprobe=IVF_NPROBE, k=IVF_TOP_K,
                                     kernel=KERNEL)
@@ -487,6 +517,7 @@ def run_ivf_layout(spark, sf_dir: str, k_lists: int,
     # ---- invariants (control-plane sized: N_QUERIES * TOP_K rows) ----
     prows = pruned.collect()
     trows = fullscan.collect()
+    hrows = hier.collect()
     by_q: dict[int, set[int]] = {}
     clus: dict[int, set[int]] = {}
     for r in prows:
@@ -503,6 +534,20 @@ def run_ivf_layout(spark, sf_dir: str, k_lists: int,
               / len(by_q)) if by_q else 0.0
     metrics["ivf_recall_at_k"] = round(recall, 4)
     checks["ivf_recall_floor"] = recall >= IVF_RECALL_FLOOR
+
+    h_q: dict[int, set[int]] = {}
+    h_cl: dict[int, set[int]] = {}
+    for r in hrows:
+        h_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        h_cl.setdefault(r["query_id"], set()).add(r["cluster"])
+    checks["ivf_hier_rowcount_structure"] = bool(
+        len(h_q) == IVF_N_QUERIES
+        and all(len(v) == IVF_TOP_K for v in h_q.values())
+        and all(len(c) <= IVF_NPROBE for c in h_cl.values()))
+    h_recall = (sum(len(h_q[q] & truth[q]) / IVF_TOP_K for q in h_q)
+                / len(h_q)) if h_q else 0.0
+    metrics["ivf_hier_recall_at_k"] = round(h_recall, 4)
+    checks["ivf_hier_recall_floor"] = h_recall >= IVF_RECALL_FLOOR
 
     if check_equality:
         cand = (kmeans_transform_topn(queries, cents, dim, n=IVF_NPROBE,
@@ -538,6 +583,7 @@ def run_ivf_layout(spark, sf_dir: str, k_lists: int,
     # one copy per curve configuration across rounds.
     import shutil
     shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(hpath, ignore_errors=True)
     return walls, checks, metrics
 
 
@@ -952,6 +998,7 @@ def main() -> None:
         "ivf_probe_layout": _pair("ivf_probe_layout", "ivf_probe_layout"),
         "ivf_probe_fullscan": _pair("ivf_probe_fullscan",
                                     "ivf_probe_fullscan"),
+        "ivf_probe_hier": _pair("ivf_probe_hier", "ivf_probe_hier"),
         # audit walls are not base/big pairs: the sampled big point is
         # DESIGNED to stay ~constant (the fraction shrinks as the
         # corpus grows), so report raw walls + fractions instead.
