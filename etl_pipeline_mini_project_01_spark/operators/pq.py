@@ -1,0 +1,281 @@
+"""Product quantization (PQ) for ANN at corpus scale - the MEMORY half
+of the IVF story (ivf_layout.py is the I/O half).
+
+Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011): split the dim-d vector into m contiguous
+subspaces of d/m dims, k-means each subspace to `ksub` code centroids,
+and store each vector as m small integer codes. At dim=64 float32 and
+m=8/ksub=256 that is 8 bytes per vector instead of 256 - a 32x
+compression that turns a 25 TB embedding column into a ~780 GB code
+column an executor fleet can hold IN MEMORY. Scoring is ADC
+(asymmetric distance computation): per query, precompute an m x ksub
+lookup table of partial inner products against the UNquantized query,
+then a corpus row's approximate dot is m table lookups + a sum - no
+float multiply per dimension, and the scan reads 8-byte codes, not
+256-byte vectors.
+
+Spark mapping (all public API):
+  * training runs the m independent subspace k-means as ONE grouped
+    Lloyd's over the (id, subspace, subvector) explosion - one
+    assignment kernel + one groupBy(s, code) integer-sum shuffle per
+    iteration, 2 + iters jobs total (see pq_train); the model is
+    m x ksub x d/m floats, driver-resident control-plane
+    (m*ksub*dsub = 16k floats at the default shape);
+  * encoding is ONE map-side Arrow pass (argmin per subspace, the same
+    expanded-form dgemm trick as kmeans._assign_matmul);
+  * ADC scoring broadcasts the codebooks + the query batch, builds the
+    per-query LUTs inside the kernel once per Arrow batch, and scores
+    with numpy fancy-indexing - no shuffle until the per-query top-k;
+  * optional exact RE-RANK: take the PQ top `rerank` candidates per
+    query (a candidate set ~rerank/n of the corpus), join back to the
+    full-precision vectors, and re-score exactly - the standard
+    recall-restoring tail, and the join is candidate-sized, never
+    corpus-sized.
+
+Determinism: codebook training inherits kmeans_fit's contract
+(md5-seeded, integer-scaled sums, fixed iters); encoding/ADC use the
+expanded form with a fold-order winner recompute where exactness
+matters (encode), and plain expanded-form scores where they do not
+(ADC scores are approximations by construction - their VALUES are
+pinned by tests to the same-numpy-ops replay, not to a SQL oracle).
+
+Reference: /root/reference has no vector search at all; this extends
+SURVEY.md SS2-E (E47). Capacity policy: not a registry row - vouched
+by tests/test_pq.py + the scale-curve `pq` stage, like E46."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16,
+             iters: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> list[list[list[float]]]:
+    """m per-subspace codebooks, each ksub x (dim/m). The m k-means
+    problems are independent, so they train as ONE grouped Lloyd's:
+    the corpus explodes to (id, s, subvector) rows - m x the row
+    count, 1/m the row width, same total bytes - and every iteration
+    is a single assignment pass (per-subspace dgemm inside one Arrow
+    kernel, _assign_fine's grouping trick) plus a single
+    groupBy(s, code) integer-sum aggregation of m*ksub groups. Job
+    count is 2 + iters, NOT m*(1 + iters) - the per-subspace-
+    sequential formulation spent ~m job latencies training 16 KB of
+    model (measured 26 s at sf0.1 for m=16; grouped: ~2 s).
+
+    Determinism mirrors kmeans_fit exactly: seeds are the ksub rows
+    with the smallest md5('seed|'||id) digests (the SAME ids seed
+    every subspace - identical to what m independent kmeans_fit calls
+    over the slices would pick), components integer-scale through
+    SCALE, sums are exact bigints, empty codes keep their previous
+    centroid, fixed iteration count. dim must divide evenly by m
+    (PQ's standard constraint). ksub is FIXED (256 at production
+    shape), so training is linear in the corpus, unlike an IVF list
+    count that grows with it. At 100 TB: train on a bounded sample
+    (pass emb.sample(...) or a .limit() slice; the codebook does not
+    need the tail of the distribution)."""
+    from .kmeans import SCALE, _seed_key
+
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_train needs a non-empty corpus")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    subs = F.array(*[F.slice(vec_col, s * dsub + 1, dsub)
+                     for s in range(m)])
+    x = (emb.select(id_col, F.posexplode(subs).alias("s", "sv"))
+         .withColumn("xi", F.transform(
+             "sv", lambda v: F.floor(v.cast("double") * SCALE)
+             .cast("bigint")))
+         .withColumn("xd", F.transform(
+             "xi", lambda v: v.cast("double") / SCALE))
+         .select(id_col, "s", "xi", "xd"))
+
+    seed_rows = (emb.select(id_col, _seed_key(id_col).alias("_sk"))
+                 .orderBy("_sk", id_col).limit(ksub)
+                 .select(id_col).collect())
+    if len(seed_rows) != ksub:
+        raise ValueError(f"ksub={ksub} seeds need >= ksub rows, "
+                         f"got {len(seed_rows)}")
+    seed_ids = [r[id_col] for r in seed_rows]
+    pos = {v: i for i, v in enumerate(seed_ids)}
+    books: list[list[list[float]]] = [[None] * ksub for _ in range(m)]
+    for r in (x.filter(F.col(id_col).isin(seed_ids))
+              .select(id_col, "s", "xd").collect()):
+        books[int(r["s"])][pos[r[id_col]]] = list(r["xd"])
+
+    for _ in range(iters):
+        sums = (_assign_subspace(x, books, dsub)
+                .groupBy("s", "code").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.element_at("xi", i + 1)).alias(f"s{i}")
+                      for i in range(dsub)]))
+        got = {(int(r["s"]), int(r["code"])): r for r in sums.collect()}
+        books = [
+            [[int(r[f"s{i}"]) / (int(r["n"]) * SCALE)
+              for i in range(dsub)]
+             if (r := got.get((s, c))) is not None else books[s][c]
+             for c in range(ksub)]
+            for s in range(m)
+        ]
+    return books
+
+
+def _assign_subspace(x: DataFrame, books: list[list[list[float]]],
+                     dsub: int) -> DataFrame:
+    """Adds `code` (argmin codebook row OF THE ROW'S subspace, ties ->
+    lowest code) to an exploded (s, xd) frame - all m subspaces in one
+    Arrow kernel, one dgemm per (batch, subspace) group."""
+    mats = _book_mats(books)
+
+    @pandas_udf("bigint")
+    def assign(s: pd.Series, xd: pd.Series) -> pd.Series:
+        mat = np.stack(xd.to_numpy())
+        sv = s.to_numpy(dtype=np.int64)
+        out = np.zeros(len(sv), dtype=np.int64)
+        for g in np.unique(sv):
+            msk = sv == g
+            sub = mat[msk]
+            cm = mats[g]
+            d = ((sub * sub).sum(axis=1)[:, None]
+                 - 2.0 * (sub @ cm.T)
+                 + (cm * cm).sum(axis=1)[None, :])
+            out[msk] = np.argmin(d, axis=1)
+        return pd.Series(out)
+
+    return x.withColumn("code", assign("s", "xd"))
+
+
+def _book_mats(codebooks) -> list[np.ndarray]:
+    return [np.asarray([[float(v) for v in c] for c in book],
+                       dtype=np.float64) for book in codebooks]
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> DataFrame:
+    """(id_col, codes array<smallint>): one map-side Arrow pass; per
+    subspace the argmin code by expanded-form distances with the same
+    first-min==lowest-code tie rule as the k-means kernels. codes[s]
+    indexes codebooks[s]; the stored row costs m small ints (m bytes
+    at ksub<=256 in parquet's packed encoding) instead of dim floats."""
+    mats = _book_mats(codebooks)
+    m = len(mats)
+    dsub = mats[0].shape[1]
+
+    @pandas_udf("array<smallint>")
+    def encode(vec: pd.Series) -> pd.Series:
+        x = np.stack(vec.to_numpy()).astype(np.float64)
+        out = np.empty((x.shape[0], m), dtype=np.int16)
+        for s in range(m):
+            sub = x[:, s * dsub:(s + 1) * dsub]
+            cm = mats[s]
+            d = ((sub * sub).sum(axis=1)[:, None]
+                 - 2.0 * (sub @ cm.T)
+                 + (cm * cm).sum(axis=1)[None, :])
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return emb.select(id_col, encode(vec_col).alias("codes"))
+
+
+def pq_adc_topk(codes: DataFrame, queries: DataFrame,
+                codebooks: list[list[list[float]]], k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                rerank: int = 0, emb: DataFrame | None = None
+                ) -> DataFrame:
+    """Per-query approximate top-k over the CODES relation via ADC
+    inner product: (query_id, vec_id, score, rank). The kernel
+    broadcasts the query batch + codebooks, builds each query's
+    m x ksub partial-dot LUT once per Arrow batch, and scores every
+    corpus row with m fancy-indexed lookups - the scan reads m-byte
+    codes, never the float vectors. Scores are INNER PRODUCTS of the
+    quantized corpus row with the raw query (the ADC convention; on
+    normalized queries this ranks like cosine up to corpus-row norm
+    quantization).
+
+    `rerank` > 0 switches on the exact tail: the PQ top-`rerank`
+    candidates per query join back to the full-precision vectors
+    (`emb` required) and are re-scored with the exact fold-order
+    cosine, then the final top-k ranks those. The join is
+    candidate-sized (|queries| x rerank rows vs the corpus) - the
+    recall-restoring step costs a bounded lookup, not a scan."""
+    from pyspark.sql import Window
+
+    if rerank and emb is None:
+        raise ValueError("rerank > 0 needs the full-precision `emb`")
+    mats = _book_mats(codebooks)
+    m = len(mats)
+    dsub = mats[0].shape[1]
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("empty query batch")
+    q_ids = [r[id_col] for r in qrows]
+    q_mat = np.asarray([[float(v) for v in r[vec_col]] for r in qrows],
+                       dtype=np.float64)
+    # LUTs: luts[qi][s][code] = <query subvector, code centroid> -
+    # |Q| x m x ksub floats, control-plane sized, shipped to executors
+    # inside the kernel closure.
+    luts = np.stack([
+        np.stack([mats[s] @ q_mat[qi, s * dsub:(s + 1) * dsub]
+                  for s in range(m)])
+        for qi in range(len(q_ids))])
+
+    @pandas_udf("array<double>")
+    def adc(codes_col: pd.Series) -> pd.Series:
+        c = np.stack(codes_col.to_numpy()).astype(np.int64)   # n x m
+        n = c.shape[0]
+        scores = np.zeros((n, luts.shape[0]), dtype=np.float64)
+        for s in range(m):
+            # luts[:, s, :] is |Q| x ksub; index by this batch's codes
+            scores += luts[:, s, :][:, c[:, s]].T
+        return pd.Series(list(scores))
+
+    nq = len(q_ids)
+    scored = (codes
+              .withColumn("_s", adc("codes"))
+              .select(id_col, F.posexplode("_s").alias("_qi", "score")))
+    qmap = F.array(*[F.lit(q) for q in q_ids])
+    cand = (scored
+            .withColumn("query_id",
+                        F.element_at(qmap, F.col("_qi") + 1))
+            .filter(F.col(id_col) != F.col("query_id"))
+            .drop("_qi"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), id_col)
+    take = max(k, rerank)
+    top = (cand.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= take))
+    if not rerank:
+        return top.select("query_id", id_col, "score", "rank")
+
+    # exact re-rank tail: candidate-sized join back to full vectors.
+    # The candidate relation joins the raw corpus FIRST (a broadcast
+    # of |queries| x rerank ids - the corpus never shuffles) and the
+    # normalization expressions run on the surviving rows only; putting
+    # normalized_vectors upstream of the join would compute the
+    # per-row norm fold for the WHOLE corpus (measured 69 s vs 9 s at
+    # the 100x curve point).
+    from .semdedup import normalized_vectors, pair_dot
+
+    qv = (normalized_vectors(queries, id_col, vec_col)
+          .select(F.col(id_col).alias("query_id"),
+                  F.col("nv").alias("qnv")))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), id_col)
+    return (emb.select(id_col, vec_col)
+            .join(F.broadcast(top.select("query_id", id_col)), id_col)
+            .withColumn("_n2", F.aggregate(
+                vec_col, F.lit(0.0),
+                lambda a, v: a + v.cast("double") * v.cast("double")))
+            .withColumn("nv", F.transform(
+                vec_col, lambda x: x.cast("double") / F.sqrt("_n2")))
+            .join(F.broadcast(qv), "query_id")
+            .withColumn("score", pair_dot("qnv", "nv"))
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))

@@ -587,6 +587,124 @@ def run_ivf_layout(spark, sf_dir: str, k_lists: int,
     return walls, checks, metrics
 
 
+def run_pq(spark, sf_dir: str
+           ) -> tuple[dict[str, float], dict[str, bool],
+                      dict[str, float]]:
+    """E47 product quantization on the curve. Untimed-but-reported:
+    codebook training (m fits at FIXED ksub - linear in the corpus,
+    unlike an IVF list count) and the one-pass encode. Timed race: the
+    ADC top-k scan over the m-byte codes vs the full-precision cosine
+    scan over the float vectors, same query batch. Per-point
+    invariants: PQ recall@k vs the exact scan's truth above a floor
+    WITH the exact re-rank tail (the production shape), and the
+    on-disk code relation at least 4x smaller than the vectors (the
+    memory-residency argument). Operating point m=16/ksub=16 (the
+    fixture-measured shape; production m=8..16/ksub=256 compresses
+    harder and recalls higher - more codes, finer cells)."""
+    from etl_pipeline_mini_project_01_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+        normalized_vectors,
+        pair_dot,
+    )
+    from pyspark.sql import Window
+
+    spark.catalog.clearCache()
+    walls: dict[str, float] = {}
+    checks: dict[str, bool] = {}
+    metrics: dict[str, float] = {}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nemb = (emb
+            .withColumn("_n2", F.aggregate(
+                "embedding", F.lit(0.0),
+                lambda a, v: a + v.cast("double") * v.cast("double")))
+            .select("vec_id", F.transform(
+                "embedding",
+                lambda x: (x.cast("double") / F.sqrt("_n2"))
+                .cast("float")).alias("embedding")))
+    queries = (nemb.select("vec_id", "embedding")
+               .orderBy("vec_id").limit(IVF_N_QUERIES).localCheckpoint())
+
+    m, ksub = 16, 16
+    t0 = time.perf_counter()
+    books = pq_train(nemb, m=m, ksub=ksub, iters=1)
+    metrics["pq_train_sec"] = round(time.perf_counter() - t0, 3)
+
+    cpath = os.path.join(REPO, ".scratch",
+                         f"pq_codes_{os.path.basename(sf_dir)}")
+    vpath = os.path.join(REPO, ".scratch",
+                         f"pq_vecs_{os.path.basename(sf_dir)}")
+    import shutil
+    shutil.rmtree(cpath, ignore_errors=True)
+    shutil.rmtree(vpath, ignore_errors=True)
+    t0 = time.perf_counter()
+    pq_encode(nemb, books).write.parquet(cpath)
+    metrics["pq_encode_sec"] = round(time.perf_counter() - t0, 3)
+    nemb.write.parquet(vpath)
+
+    def _dirsize(d):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(d) for f in fs
+                   if f.endswith(".parquet"))
+
+    metrics["pq_compression_ratio"] = round(
+        _dirsize(vpath) / _dirsize(cpath), 2)
+
+    codes = spark.read.parquet(cpath)
+    vecs = spark.read.parquet(vpath)
+    adc = pq_adc_topk(codes, queries, books, k=IVF_TOP_K)
+    t0 = time.perf_counter()
+    _consume(adc)
+    walls["pq_adc_scan"] = round(time.perf_counter() - t0, 3)
+
+    rer = pq_adc_topk(codes, queries, books, k=IVF_TOP_K,
+                      rerank=10 * IVF_TOP_K, emb=vecs)
+    t0 = time.perf_counter()
+    _consume(rer)
+    walls["pq_adc_rerank_scan"] = round(time.perf_counter() - t0, 3)
+
+    qv = (normalized_vectors(queries, "vec_id", "embedding")
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("nv").alias("qnv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               "vec_id")
+    exact = (normalized_vectors(vecs, "vec_id", "embedding")
+             .crossJoin(F.broadcast(qv))
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .withColumn("cosine", pair_dot("qnv", "nv", KERNEL))
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= IVF_TOP_K)
+             .select("query_id", "vec_id"))
+    t0 = time.perf_counter()
+    _consume(exact)
+    walls["pq_fullprec_scan"] = round(time.perf_counter() - t0, 3)
+
+    truth: dict[int, set[int]] = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def _recall(df):
+        by_q: dict[int, set[int]] = {}
+        for r in df.collect():
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return (sum(len(by_q.get(q, set()) & truth[q]) / IVF_TOP_K
+                    for q in truth) / len(truth)) if truth else 0.0
+
+    metrics["pq_recall_at_k"] = round(_recall(adc), 4)
+    metrics["pq_rerank_recall_at_k"] = round(_recall(rer), 4)
+    checks["pq_rerank_recall_floor"] = (
+        metrics["pq_rerank_recall_at_k"] >= 0.6)
+    checks["pq_compression_at_least_4x"] = (
+        metrics["pq_compression_ratio"] >= 4)
+    shutil.rmtree(cpath, ignore_errors=True)
+    shutil.rmtree(vpath, ignore_errors=True)
+    return walls, checks, metrics
+
+
 def run_daily_ingest(spark, sf_dir: str, k_clusters: int
                      ) -> tuple[dict[str, float], dict[str, bool]]:
     """VERDICT r6 #5: the daily-ingest steady state COMPOSED, not as
@@ -886,7 +1004,7 @@ def main() -> None:
     # a consumer can't mistake them for a full-curve checks_pass.
     stages = set(filter(None, os.environ.get(
         "SPARK_GRAFT_CURVE_STAGES",
-        "flagships,decon,incr,audit,ivf,ingest").split(",")))
+        "flagships,decon,incr,audit,ivf,ingest,pq").split(",")))
 
     big_dir = synthesize(spark, n)
     # Warm the JVM/codegen path once so 1x doesn't absorb cold cost.
@@ -931,6 +1049,17 @@ def main() -> None:
         big.update(gbig)
         base_checks.update(gbase_checks)
         big_checks.update(gbig_checks)
+    if "pq" in stages:
+        pbase, pbase_checks, pbase_metrics = run_pq(spark, BASE_SF)
+        pbig, pbig_checks, pbig_metrics = run_pq(spark, big_dir)
+        base.update(pbase)
+        big.update(pbig)
+        base_checks.update(pbase_checks)
+        big_checks.update(pbig_checks)
+        base_metrics.update({f"pq_base_{k}": v
+                             for k, v in pbase_metrics.items()})
+        big_metrics.update({f"pq_big_{k}": v
+                            for k, v in pbig_metrics.items()})
     if "ivf" in stages:
         vbase, vbase_checks, vbase_metrics = run_ivf_layout(
             spark, BASE_SF, 8, check_equality=True)
@@ -999,6 +1128,14 @@ def main() -> None:
         "ivf_probe_fullscan": _pair("ivf_probe_fullscan",
                                     "ivf_probe_fullscan"),
         "ivf_probe_hier": _pair("ivf_probe_hier", "ivf_probe_hier"),
+        # E47: the ADC scan reads m-byte codes instead of dim*4-byte
+        # vectors; expectation is pq_adc_scan tracking well under the
+        # full-precision control as the corpus grows.
+        "pq_adc_scan": _pair("pq_adc_scan", "pq_adc_scan"),
+        "pq_adc_rerank_scan": _pair("pq_adc_rerank_scan",
+                                    "pq_adc_rerank_scan"),
+        "pq_fullprec_scan": _pair("pq_fullprec_scan",
+                                  "pq_fullprec_scan"),
         # audit walls are not base/big pairs: the sampled big point is
         # DESIGNED to stay ~constant (the fraction shrinks as the
         # corpus grows), so report raw walls + fractions instead.
