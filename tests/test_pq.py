@@ -207,3 +207,83 @@ def test_train_rejects_indivisible_m(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(emb, m=7, ksub=4, iters=1)
+
+
+def test_ivf_pq_composition_pruned_adc_rerank(spark, pq_model,
+                                              tmp_path):
+    """The standard IVF-PQ assembly from the three existing pieces:
+    the corpus (codes AND float vectors as payload columns) written
+    cluster-partitioned (E44), the probe scan pruned to the probed
+    partitions via literal IN, ADC ranking over the pruned CODE column
+    (E47), and the exact re-rank tail over the pruned float column.
+    With rerank = pool size the result must be BIT-EQUAL to the exact
+    cosine top-k over the probed pool - pruning and quantization
+    compose without changing the exact tail's answers - and the scan's
+    executed numPartitions must equal the probed-cluster union."""
+    import re
+
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        probe_clusters,
+        write_ivf_layout,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_transform,
+    )
+
+    emb, nemb, books, codes = pq_model
+    cents, dim = kmeans_fit(nemb, k=8, iters=1)
+    path = str(tmp_path / "ivfpq")
+    write_ivf_layout(nemb.join(codes, "vec_id"), cents, dim, path)
+
+    queries = (nemb.filter("vec_id < 5")
+               .select("vec_id", "embedding").localCheckpoint())
+    probed = sorted({c for r in queries.collect()
+                     for c in probe_clusters(list(r.embedding),
+                                             cents, 3)})
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        lay = (spark.read.parquet(path)
+               .filter(F.col("cluster").isin(probed)))
+        pool_n = lay.count()
+        got_df = pq_adc_topk(lay.select("vec_id", "codes"), queries,
+                             books, k=TOPK, rerank=pool_n,
+                             emb=lay.select("vec_id", "embedding"))
+        got_df.collect()
+        jplan = got_df._jdf.queryExecution().executedPlan()
+        plan = jplan.toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "IN" in m.group(0), plan
+
+    got = sorted((r.query_id, r.rank, r.vec_id, repr(r.score))
+                 for r in got_df.collect())
+    pool = (kmeans_transform(nemb, cents, dim)
+            .filter(F.col("cluster").isin(probed))
+            .select("vec_id").join(nemb, "vec_id"))
+    want = sorted((r.query_id, r.rank, r.vec_id, repr(r.cosine))
+                  for r in _exact_topk_ranked_scored(
+                      spark, pool, queries).collect())
+    assert got == want and len(got) == 5 * TOPK
+
+
+def _exact_topk_ranked_scored(spark, pool, queries):
+    from pyspark.sql import Window
+
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+        normalized_vectors,
+        pair_dot,
+    )
+    qv = (normalized_vectors(queries, "vec_id", "embedding")
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("nv").alias("qnv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (normalized_vectors(pool, "vec_id", "embedding")
+            .crossJoin(F.broadcast(qv))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cosine", pair_dot("qnv", "nv"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOPK)
+            .select("query_id", "vec_id", "cosine", "rank"))
