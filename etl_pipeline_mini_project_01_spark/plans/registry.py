@@ -126,6 +126,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
 #:   text_fingerprint, text_language_id, text_token_counts,
 #:   u2_sentiment_distribution, u3_udtf_tokenize, w_rank_family.
 #:
+#: Round-8 registration candidates (the r7 window was full, so these
+#: shipped as pytest+curve surfaces per the capacity policy): E46
+#: hierarchical IVF layout and E47 product quantization both have
+#: deterministic, SQL-replayable math (the same kmeans CTE recipe as
+#: ann_ivf_kmeans_recall; PQ's grouped train is kmeans over an
+#: exploded (s, subvector) relation) if a driver row is wanted.
+#:
 #: CAPACITY POLICY (VERDICT r4 #7): the 50-slot window and the 2-round
 #: staleness bound give a hard ceiling of 50 x 3 = 150 sustainable
 #: registrations (each name needs a slot at least every third round).
