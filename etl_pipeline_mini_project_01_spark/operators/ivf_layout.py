@@ -173,7 +173,8 @@ def ivf_probe_pruned_batch(spark: SparkSession, path: str,
     `literal_max` rows, "plan" above. Callers with out-of-band size
     knowledge pass the mode explicitly and skip the probe job.
 
-    * probe_lists="plan" (default): the lists stay a PLAN from the
+    * probe_lists="plan" (the auto fallback for large batches): the
+      lists stay a PLAN from the
       distributed `kmeans_transform_topn` kernel, so partition pruning
       happens at RUNTIME - the broadcast candidate relation feeds a
       dynamicpruningexpression partition filter on the layout scan.

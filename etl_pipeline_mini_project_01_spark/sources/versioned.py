@@ -26,9 +26,20 @@ commit protocol: deterministic, replayable).
 
 At 100 TB the same protocol works with a manifest service or object
 store (conditional PUT of _LATEST); the per-version directories are
-exactly Delta's data files, minus transaction arbitration - LAST
-WRITER WINS here, which is the documented contract (single-pipeline
-ownership, the reference's own operating model).
+exactly Delta's data files. Transaction arbitration comes in two
+grades (VERDICT r7 #7):
+
+  * `write_version` - LAST WRITER WINS on the version NUMBER only
+    (two racers can never corrupt each other's snapshots, but both
+    may believe they extended the same parent). The single-pipeline
+    ownership contract, the reference's own operating model.
+  * `write_version_cas` - optimistic concurrency: the caller names
+    the parent version it built on, and the commit succeeds only if
+    it can atomically claim parent+1 (O_CREAT|O_EXCL on the manifest
+    - the local-FS equivalent of an object store's conditional PUT).
+    Exactly one of N racing committers wins; the others get a
+    retryable `VersionConflict` and must re-read + re-stage, which is
+    Delta/Iceberg's commit loop verbatim.
 """
 
 from __future__ import annotations
@@ -42,6 +53,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 _VDIR = "_versions"
 _LATEST = "_LATEST"
+
+
+class VersionConflict(Exception):
+    """A CAS commit lost the race for its version number: another
+    writer committed the same parent's successor first. Retryable -
+    re-read the table, re-stage, commit against the new parent."""
 
 
 def _manifest_dir(root: str) -> str:
@@ -90,10 +107,82 @@ def write_version(df: DataFrame, root: str,
     mpath = os.path.join(_manifest_dir(root), f"{vdir}.json")
     with open(mpath, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
-    fd, tmp = tempfile.mkstemp(dir=root, prefix="._latest_")
+    _publish_latest(root, manifest)
+    return v
+
+
+def _publish_latest(root: str, manifest: dict) -> None:
+    """Monotonic pointer publish: replace _LATEST only if this
+    manifest is newer than the current pointer, under a short flock
+    critical section (the local-FS stand-in for an object store's
+    conditional PUT). A slow committer of version N can therefore
+    never regress the pointer past an already-published N+1."""
+    import fcntl
+
+    with open(os.path.join(root, "._ptr_lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            if latest_version(root) >= manifest["version"]:
+                return
+            fd, tmp = tempfile.mkstemp(dir=root, prefix="._latest_")
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, os.path.join(root, _LATEST))
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+
+
+def write_version_cas(df: DataFrame, root: str, expected_version: int,
+                      partition_by: list[str] | None = None) -> int:
+    """Optimistic-concurrency commit (VERDICT r7 #7): commit `df` as
+    `expected_version + 1` IFF no other writer got there first, else
+    raise the retryable :class:`VersionConflict`. The arbitration
+    point is an O_CREAT|O_EXCL create of the version's manifest file -
+    atomic on POSIX, the same shape as a conditional PUT against a
+    manifest service - so exactly one of N racing committers wins.
+
+    Commit order keeps every crash window recoverable:
+      1. the snapshot is FULLY staged under a `._stage_*` scratch dir
+         (a crash leaves an orphan, swept by vacuum - never a
+         half-readable version);
+      2. the manifest file is claimed with O_EXCL (losers conflict
+         HERE, before any destructive step);
+      3. the staged dir is renamed to its final `vNNNNNNNN` name;
+      4. the manifest content lands on the claimed fd (a crash between
+         3 and 4 leaves a zero-byte manifest: the version number is
+         burned but `read_version` reports it as a crashed commit and
+         the log keeps allocating past it);
+      5. _LATEST advances via the monotonic publish."""
+    import uuid
+
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    head = max(list_versions(root), default=0)
+    if head != expected_version:
+        raise VersionConflict(
+            f"expected to extend version {expected_version} of {root} "
+            f"but the log is at {head}")
+    v = expected_version + 1
+    vdir = f"v{v:08d}"
+    stage = os.path.join(root, f"._stage_{uuid.uuid4().hex}")
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(stage)
+    mpath = os.path.join(_manifest_dir(root), f"{vdir}.json")
+    try:
+        fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise VersionConflict(
+            f"version {v} of {root} was claimed by a concurrent "
+            "committer; re-read and retry") from None
+    manifest = {"version": v, "dir": vdir}
     with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        os.rename(stage, os.path.join(root, vdir))
         json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(root, _LATEST))
+        fh.flush()
+        os.fsync(fh.fileno())
+    _publish_latest(root, manifest)
     return v
 
 
@@ -108,6 +197,10 @@ def read_version(spark: SparkSession, root: str,
         raise FileNotFoundError(
             f"version {version} of {root} does not exist "
             f"(committed: {list_versions(root)})")
+    if os.path.getsize(mpath) == 0:
+        raise FileNotFoundError(
+            f"version {version} of {root} is a crashed CAS commit "
+            "(manifest claimed, never finalized)")
     with open(mpath, encoding="utf-8") as fh:
         manifest = json.load(fh)
     return spark.read.parquet(os.path.join(root, manifest["dir"]))
@@ -126,19 +219,30 @@ def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
     would report a vacuumed table and read_version() would raise
     FileNotFoundError instead of signaling emptiness - an empty table
     is expressed by committing an empty DataFrame, not by vacuuming
-    everything."""
+    everything.
+
+    The _LATEST version is always treated as live (ADVICE r7): after
+    a crashed commit the log can be AHEAD of _LATEST (vN.json exists,
+    _LATEST still at N-1), and keeping only the log tail would delete
+    the snapshot readers resolve - the exact wedge the keep_last>=1
+    guard exists to prevent."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     versions = list_versions(root)
-    drop = versions[:-keep_last]
+    keep = set(versions[-keep_last:]) | {latest_version(root)}
+    drop = [v for v in versions if v not in keep]
     for v in drop:
         vdir = f"v{v:08d}"
         os.remove(os.path.join(_manifest_dir(root), f"{vdir}.json"))
         shutil.rmtree(os.path.join(root, vdir), ignore_errors=True)
-    kept = {f"v{v:08d}" for v in list_versions(root)}
+    kept = ({f"v{v:08d}" for v in list_versions(root)}
+            | {f"v{latest_version(root):08d}"})
     for entry in os.listdir(root):
+        full = os.path.join(root, entry)
         if (entry.startswith("v") and entry not in kept
-                and os.path.isdir(os.path.join(root, entry))
-                and entry[1:].isdigit()):
-            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+                and os.path.isdir(full) and entry[1:].isdigit()):
+            shutil.rmtree(full, ignore_errors=True)
+        elif entry.startswith("._stage_") and os.path.isdir(full):
+            # crashed CAS commits stage here before claiming a version
+            shutil.rmtree(full, ignore_errors=True)
     return drop

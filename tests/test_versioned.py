@@ -125,3 +125,108 @@ def test_vacuum_keeps_recent_and_sweeps_orphans(spark, root):
         == [(2,)]
     with pytest.raises(FileNotFoundError):
         read_version(spark, root, 1)
+
+
+def test_vacuum_keeps_the_latest_pointer_live(spark, root):
+    """ADVICE r7: after a crashed commit the log can be AHEAD of
+    _LATEST (v2.json landed, _LATEST still at v1). vacuum(keep_last=1)
+    must then keep BOTH v2 (log tail) and v1 (the version readers
+    actually resolve) - dropping v1 would leave _LATEST pointing at a
+    deleted snapshot and read_version(root) raising."""
+    write_version(spark.createDataFrame([(1,)], "k bigint"), root)
+    with open(os.path.join(root, "_LATEST"), encoding="utf-8") as fh:
+        latest_v1 = fh.read()
+    write_version(spark.createDataFrame([(2,)], "k bigint"), root)
+    with open(os.path.join(root, "_LATEST"), "w", encoding="utf-8") as fh:
+        fh.write(latest_v1)                   # the crash window
+    removed = vacuum_versions(root, keep_last=1)
+    assert removed == []                      # v1 is _LATEST, v2 is tail
+    assert latest_version(root) == 1
+    assert [tuple(r) for r in read_version(spark, root).collect()] \
+        == [(1,)]
+    assert [tuple(r) for r in read_version(spark, root, 2).collect()] \
+        == [(2,)]
+
+
+def test_cas_racing_committers_exactly_one_wins(spark, root):
+    """VERDICT r7 #7: two committers stage against the same parent;
+    the one that claims the manifest first wins, the other gets the
+    retryable VersionConflict, and a retry against the NEW head
+    succeeds. The winner's data - never a torn mix - is what readers
+    see in between."""
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        VersionConflict,
+        write_version_cas,
+    )
+    v1 = write_version_cas(
+        spark.createDataFrame([(1, "base")], "k bigint, s string"),
+        root, expected_version=0)
+    assert v1 == 1
+    a = spark.createDataFrame([(2, "a")], "k bigint, s string")
+    b = spark.createDataFrame([(2, "b")], "k bigint, s string")
+    # racer A wins v2; racer B (staged against the same parent v1)
+    # must conflict, not overwrite
+    assert write_version_cas(a, root, expected_version=1) == 2
+    with pytest.raises(VersionConflict):
+        write_version_cas(b, root, expected_version=1)
+    assert latest_version(root) == 2
+    assert sorted(map(tuple, read_version(spark, root).collect())) \
+        == [(2, "a")]
+    # the loser's retry loop: re-read the head, re-stage, commit
+    assert write_version_cas(b, root, expected_version=2) == 3
+    assert sorted(map(tuple, read_version(spark, root).collect())) \
+        == [(2, "b")]
+    # no stage-dir litter from the conflicted attempt
+    assert not [e for e in os.listdir(root) if e.startswith("._stage_")]
+
+
+def test_cas_claim_race_on_manifest_file(spark, root):
+    """The arbitration point itself: when the loser passes the
+    fast-path head check but the winner lands the manifest first, the
+    O_EXCL claim - not the stale head read - must reject it."""
+    from unittest import mock
+
+    from etl_pipeline_mini_project_01_spark.sources import versioned
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        VersionConflict,
+        write_version_cas,
+    )
+    write_version_cas(spark.createDataFrame([(1,)], "k bigint"), root, 0)
+    df = spark.createDataFrame([(2,)], "k bigint")
+    real_open = os.open
+
+    def winner_lands_first(path, flags, *a, **kw):
+        if path.endswith("v00000002.json") and (flags & os.O_EXCL):
+            # simulate the concurrent winner claiming between the head
+            # check and our claim
+            fd = real_open(path, os.O_CREAT | os.O_WRONLY)
+            os.write(fd, b'{"version": 2, "dir": "v00000002"}')
+            os.close(fd)
+        return real_open(path, flags, *a, **kw)
+
+    with mock.patch.object(versioned.os, "open",
+                           side_effect=winner_lands_first):
+        with pytest.raises(VersionConflict, match="claimed by a concurrent"):
+            write_version_cas(df, root, expected_version=1)
+    assert not [e for e in os.listdir(root) if e.startswith("._stage_")]
+
+
+def test_cas_crashed_claim_burns_number_but_recovers(spark, root):
+    """Crash window between the manifest claim and its content: the
+    zero-byte manifest reads as a crashed commit, the version number
+    is burned (the log allocates past it), and vacuum sweeps any
+    staged orphan."""
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        write_version_cas,
+    )
+    write_version_cas(spark.createDataFrame([(1,)], "k bigint"), root, 0)
+    # simulate the crash: claimed manifest, no content, staged dir left
+    open(os.path.join(root, "_versions", "v00000002.json"), "w").close()
+    os.makedirs(os.path.join(root, "._stage_deadbeef"))
+    with pytest.raises(FileNotFoundError, match="crashed CAS commit"):
+        read_version(spark, root, 2)
+    assert latest_version(root) == 1          # readers undisturbed
+    v3 = write_version(spark.createDataFrame([(3,)], "k bigint"), root)
+    assert v3 == 3                            # allocation skips the burn
+    vacuum_versions(root, keep_last=3)
+    assert not os.path.exists(os.path.join(root, "._stage_deadbeef"))
