@@ -255,6 +255,19 @@ def bloom_contamination_scores(docs: DataFrame, benchmark: DataFrame,
     if probe not in ("arrow", "jvm"):
         raise ValueError(f"probe must be 'arrow' or 'jvm', got {probe!r}")
     spark = docs.sparkSession
+    if probe == "jvm" and bitmap is None:
+        # ADVICE r7: the jvm kernel rides version-pinned Spark internals
+        # (classic.ExpressionUtils + BloomFilterAggregate). If a Spark
+        # upgrade moves them, degrade to the public-API arrow kernel
+        # instead of erroring - counts are probe-invariant (zero false
+        # negatives both ways), only the probe's cost profile changes.
+        # Skipped when the caller handed us a prebuilt JVM bitmap: that
+        # bytes payload is not an arrow bitmap, and its existence proves
+        # the internals resolved moments ago anyway.
+        try:
+            _jvm_expr_tools(spark)
+        except RuntimeError:
+            probe = "arrow"
     grams = _ngram_texts(docs, n, id_col, text_col)
     if probe == "jvm":
         bf = bitmap if bitmap is not None else \

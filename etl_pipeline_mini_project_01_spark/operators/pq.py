@@ -33,11 +33,14 @@ Spark mapping (all public API):
     corpus-sized.
 
 Determinism: codebook training inherits kmeans_fit's contract
-(md5-seeded, integer-scaled sums, fixed iters); encoding/ADC use the
-expanded form with a fold-order winner recompute where exactness
-matters (encode), and plain expanded-form scores where they do not
-(ADC scores are approximations by construction - their VALUES are
-pinned by tests to the same-numpy-ops replay, not to a SQL oracle).
+(md5-seeded, integer-scaled sums, fixed iters); encoding and ADC both
+use plain expanded-form numpy arithmetic (one dgemm per batch/
+subspace) - deterministic as a fixed numpy-ops replay, which is what
+the tests pin them to, but NOT fold-order: a razor tie between two
+codes can resolve differently than fold arithmetic would (the same
+caveat as kmeans._assign_matmul, and why `matmul` is not the kmeans
+oracle default). ADC scores are approximations by construction; the
+exact re-rank tail restores fold-order cosine for the final ranking.
 
 Reference: /root/reference has no vector search at all; this extends
 SURVEY.md SS2-E (E47). Capacity policy: not a registry row - vouched

@@ -259,3 +259,24 @@ def test_bloom_jvm_filter_empty_benchmark(spark):
                                       probe="jvm").collect()
     assert rows and all(r.hit_ngrams == 0 and r.bloom_no_miss
                         for r in rows)
+
+
+def test_bloom_jvm_degrades_to_arrow_on_internal_drift(spark, monkeypatch):
+    """ADVICE r7: the jvm probe rides version-pinned Spark internals
+    (classic.ExpressionUtils). When they stop resolving - a Spark minor
+    upgrade - probe='jvm' must degrade to the public-API arrow kernel
+    and return the SAME rows, instead of turning the graded plan row
+    into a RuntimeError."""
+    from etl_pipeline_mini_project_01_spark.operators import decontaminate
+
+    docs, benchmark, planted = _fixture(spark)
+    want = sorted(map(tuple, decontaminate.bloom_contamination_scores(
+        docs, benchmark, n=N).collect()))
+
+    def drifted(_spark):
+        raise RuntimeError("probe='jvm' needs Spark's internal ...")
+
+    monkeypatch.setattr(decontaminate, "_jvm_expr_tools", drifted)
+    got = sorted(map(tuple, decontaminate.bloom_contamination_scores(
+        docs, benchmark, n=N, probe="jvm").collect()))
+    assert got == want
