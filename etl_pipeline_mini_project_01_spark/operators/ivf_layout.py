@@ -409,25 +409,58 @@ def ivf_probe_pruned_batch_twolevel(spark: SparkSession, path: str,
                                     nprobe_coarse: int = 4,
                                     id_col: str = "vec_id",
                                     vec_col: str = "embedding",
-                                    kernel: str | None = None
+                                    kernel: str | None = None,
+                                    probe_lists: str = "auto",
+                                    literal_max: int = LITERAL_PROBE_MAX
                                     ) -> DataFrame:
-    """Batch probe over a two-level layout. Probe planning is always
-    the LITERAL shape (probe_clusters_twolevel per query, union of leaf
-    ids pushed as a planning-time `IN` partition filter): the per-query
-    math is (k1 + nprobe_coarse*k2)*dim - control-plane even for large
-    batches, because the hierarchy already did the work the flat plan
-    mode's distributed kernel exists for (k*dim per row at corpus-
-    scaled k). The scan/rank tail is byte-identical to the flat probe
+    """Batch probe over a two-level layout. Probe-list planning mirrors
+    the flat probe's contract exactly (VERDICT r7 #4 - previously this
+    path unconditionally collect()ed the query vectors, so a whole-
+    eval-split batch landed on the driver):
+
+    * probe_lists="literal": query vectors visit the driver (one
+      narrow collect - control-plane for a small batch) and
+      `probe_clusters_twolevel` picks each query's leaves with
+      (k1 + nprobe_coarse*k2)*dim numpy; the leaf union is pushed as a
+      planning-time `IN` partition filter. The interactive serving
+      shape.
+    * probe_lists="plan": the leaf lists stay a PLAN from the
+      distributed `kmeans_transform_topn_twolevel` kernel (same
+      fold-order arithmetic, batched in Arrow), so the batch can be
+      arbitrarily large - its vectors never land on the driver - and
+      the layout scan prunes at runtime via dynamic partition pruning.
+    * probe_lists="auto" (default): one narrow limit(literal_max+1)
+      count picks literal at or below the threshold, plan above -
+      identical results either way (equality pinned in
+      tests/test_ivf_partition_pruning.py across the threshold).
+
+    The scan/rank tail is byte-identical to the flat probe
     (`_ranked_candidate_scan`), so all its plan guards carry over."""
-    qrows = queries.select(id_col, vec_col).collect()
-    pairs = [(r[id_col], lf) for r in qrows
-             for lf in probe_clusters_twolevel(
-                 list(r[vec_col]), coarse_cents, fine, k2,
-                 nprobe, nprobe_coarse)]
-    literal_probes = sorted({lf for _, lf in pairs})
-    from pyspark.sql.types import IntegerType, StructField, StructType
-    cand = spark.createDataFrame(pairs, schema=StructType([
-        StructField("query_id", queries.schema[id_col].dataType),
-        StructField("cluster", IntegerType())]))
+    from .kmeans import kmeans_transform_topn_twolevel
+
+    if probe_lists not in ("auto", "plan", "literal"):
+        raise ValueError(f"probe_lists must be 'auto', 'plan' or "
+                         f"'literal', got {probe_lists!r}")
+    if probe_lists == "auto":
+        n_q = queries.select(id_col).limit(literal_max + 1).count()
+        probe_lists = "literal" if n_q <= literal_max else "plan"
+    literal_probes: list[int] | None = None
+    if probe_lists == "literal":
+        qrows = queries.select(id_col, vec_col).collect()
+        pairs = [(r[id_col], lf) for r in qrows
+                 for lf in probe_clusters_twolevel(
+                     list(r[vec_col]), coarse_cents, fine, k2,
+                     nprobe, nprobe_coarse)]
+        literal_probes = sorted({lf for _, lf in pairs})
+        from pyspark.sql.types import IntegerType, StructField, StructType
+        cand = spark.createDataFrame(pairs, schema=StructType([
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("cluster", IntegerType())]))
+    else:
+        cand = (kmeans_transform_topn_twolevel(
+            queries, coarse_cents, fine, k2, dim, n=nprobe,
+            nprobe_coarse=nprobe_coarse, id_col=id_col, vec_col=vec_col)
+            .select(F.col(id_col).alias("query_id"),
+                    F.col("cluster").cast("int").alias("cluster")))
     return _ranked_candidate_scan(spark, path, cand, literal_probes,
                                   queries, k, id_col, vec_col, kernel)

@@ -482,3 +482,75 @@ def test_hier_build_rejects_oversized_fine_list(spark):
     with pytest.raises(ValueError, match="exceeds the nominal k2"):
         write_ivf_layout_twolevel(
             emb, [[0.0] * 64], [[[0.0] * 64] * 3], 2, 64, "/tmp/never")
+
+
+def test_hier_distributed_probe_kernel_matches_driver_math(spark,
+                                                           hier_layout):
+    """kmeans_transform_topn_twolevel (the VERDICT r7 #4 distributed
+    planning path) must pick exactly the leaves probe_clusters_twolevel
+    picks, in the same order - same fold arithmetic, same stable ties,
+    same empty-cell fallback."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        probe_clusters_twolevel,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_transform_topn_twolevel,
+    )
+    emb, cc, fi, dim, path = hier_layout
+    qs = emb.filter("vec_id < 8").select("vec_id", "embedding")
+    dist = kmeans_transform_topn_twolevel(qs, cc, fi, K2, dim,
+                                          n=NPROBE, nprobe_coarse=2)
+    by_q = {}
+    for r in dist.collect():
+        by_q.setdefault(r.vec_id, {})[r.probe_rank] = int(r.cluster)
+    for r in qs.collect():
+        want = probe_clusters_twolevel(list(r.embedding), cc, fi, K2,
+                                       NPROBE, 2)
+        got = [by_q[r.vec_id][i] for i in sorted(by_q[r.vec_id])]
+        assert got == want, r.vec_id
+
+
+def test_hier_batch_probe_literal_equals_plan_across_threshold(
+        spark, hier_layout):
+    """The flat probe's guard, re-instantiated for the two-level path
+    (VERDICT r7 #4): probe_lists='literal' and the new distributed
+    'plan' mode must return EXACT same rows, auto must flip between
+    them at literal_max, and the plan mode's executed scan must carry
+    a runtime (dynamicpruning) partition filter - no unconditional
+    query-vector collect anywhere in the plan path."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        ivf_probe_pruned_batch_twolevel,
+    )
+    emb, cc, fi, dim, path = hier_layout
+    queries = (emb.filter("vec_id < 3")
+               .select("vec_id", "embedding").localCheckpoint())
+
+    def _rows(df):
+        return sorted((r.query_id, r.vec_id, int(r.cluster),
+                       repr(r.cosine), r.rank) for r in df.collect())
+
+    lit = ivf_probe_pruned_batch_twolevel(
+        spark, path, queries, cc, fi, K2, dim, NPROBE, TOPK,
+        nprobe_coarse=2, probe_lists="literal")
+    pln = ivf_probe_pruned_batch_twolevel(
+        spark, path, queries, cc, fi, K2, dim, NPROBE, TOPK,
+        nprobe_coarse=2, probe_lists="plan")
+    assert _rows(lit) == _rows(pln) and _rows(lit)
+
+    # auto: below threshold -> literal IN; above -> plan/DPP
+    below = ivf_probe_pruned_batch_twolevel(
+        spark, path, queries, cc, fi, K2, dim, NPROBE, TOPK,
+        nprobe_coarse=2, literal_max=3)
+    above = ivf_probe_pruned_batch_twolevel(
+        spark, path, queries, cc, fi, K2, dim, NPROBE, TOPK,
+        nprobe_coarse=2, literal_max=2)
+    assert _rows(below) == _rows(above) == _rows(lit)
+    below.collect()
+    plan_b = below._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(", plan_b), \
+        plan_b
+    above.collect()
+    plan_a = above._jdf.queryExecution().executedPlan().toString()
+    assert any("dynamicpruning" in f for f in
+               re.findall(r"PartitionFilters: \[[^\]]*\]", plan_a)), \
+        plan_a
