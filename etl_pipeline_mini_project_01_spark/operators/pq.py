@@ -208,8 +208,19 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
     (`emb` required) and are re-scored with the exact fold-order
     cosine, then the final top-k ranks those. The join is
     candidate-sized (|queries| x rerank rows vs the corpus) - the
-    recall-restoring step costs a bounded lookup, not a scan."""
+    recall-restoring step costs a bounded lookup, not a scan.
+
+    Shuffle shape (VERDICT r7 #5): the kernel keeps a per-Arrow-batch
+    partial top-`take` per query (ties pinned by (score desc, id), the
+    same order the global window uses) and filters self-matches
+    in-kernel, so the exchange feeding the window carries at most
+    |Q| x take x num_batches rows - never the n x |Q| explosion the
+    posexplode formulation shuffled. The union of per-batch top-takes
+    is a superset of the global top-take, so results are bit-equal
+    (pinned in tests/test_pq.py)."""
     from pyspark.sql import Window
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
 
     if rerank and emb is None:
         raise ValueError("rerank > 0 needs the full-precision `emb`")
@@ -230,28 +241,44 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
                   for s in range(m)])
         for qi in range(len(q_ids))])
 
-    @pandas_udf("array<double>")
-    def adc(codes_col: pd.Series) -> pd.Series:
-        c = np.stack(codes_col.to_numpy()).astype(np.int64)   # n x m
-        n = c.shape[0]
-        scores = np.zeros((n, luts.shape[0]), dtype=np.float64)
-        for s in range(m):
-            # luts[:, s, :] is |Q| x ksub; index by this batch's codes
-            scores += luts[:, s, :][:, c[:, s]].T
-        return pd.Series(list(scores))
-
     nq = len(q_ids)
-    scored = (codes
-              .withColumn("_s", adc("codes"))
-              .select(id_col, F.posexplode("_s").alias("_qi", "score")))
+    take = max(k, rerank)
+    out_schema = StructType([codes.schema[id_col],
+                             StructField("_qi", IntegerType()),
+                             StructField("score", DoubleType())])
+
+    def adc_partial_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            n = c.shape[0]
+            scores = np.zeros((n, nq), dtype=np.float64)
+            for s in range(m):
+                # luts[:, s, :] is |Q| x ksub; index by batch codes
+                scores += luts[:, s, :][:, c[:, s]].T
+            parts = []
+            ids = pdf[id_col]
+            for qi in range(nq):
+                part = pd.DataFrame({id_col: ids.to_numpy(),
+                                     "_qi": np.int32(qi),
+                                     "score": scores[:, qi]})
+                part = part[part[id_col] != q_ids[qi]]
+                # per-batch partial top-take by the global window's
+                # exact order (score desc, id asc) - mergesort keeps
+                # the two-key ordering deterministic
+                parts.append(part.sort_values(
+                    ["score", id_col], ascending=[False, True],
+                    kind="mergesort").head(take))
+            yield pd.concat(parts, ignore_index=True)
+
     qmap = F.array(*[F.lit(q) for q in q_ids])
-    cand = (scored
+    cand = (codes.select(id_col, "codes")
+            .mapInPandas(adc_partial_topk, out_schema)
             .withColumn("query_id",
                         F.element_at(qmap, F.col("_qi") + 1))
-            .filter(F.col(id_col) != F.col("query_id"))
             .drop("_qi"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), id_col)
-    take = max(k, rerank)
     top = (cand.withColumn("rank", F.row_number().over(w))
            .filter(F.col("rank") <= take))
     if not rerank:

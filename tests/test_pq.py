@@ -287,3 +287,34 @@ def _exact_topk_ranked_scored(spark, pool, queries):
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOPK)
             .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def test_adc_partial_topk_invariant_to_batch_boundaries(spark, pq_model):
+    """VERDICT r7 #5: the ADC kernel now emits a per-Arrow-batch
+    partial top-take per query instead of exploding n x |Q| rows. The
+    union of per-batch top-takes must be a superset of the global
+    top-take, so the final rows are IDENTICAL however the corpus is
+    batched - and the plan must carry no posexplode Generate node
+    (the old n x |Q| exchange)."""
+    emb, nemb, books, codes = pq_model
+    queries = nemb.filter("vec_id < 5").localCheckpoint()
+
+    def _rows(df):
+        return sorted((r.query_id, r.vec_id, repr(r.score), r.rank)
+                      for r in df.collect())
+
+    one = pq_adc_topk(codes.coalesce(1), queries, books, k=TOPK)
+    many = pq_adc_topk(codes.repartition(16), queries, books, k=TOPK)
+    assert _rows(one) == _rows(many) and len(_rows(one)) == 5 * TOPK
+
+    many.collect()
+    plan = many._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan       # no posexplode explosion
+    assert "MapInPandas" in plan, plan
+
+    # rerank tail: same invariance through the exact re-rank join
+    r_one = pq_adc_topk(codes.coalesce(1), queries, books, k=TOPK,
+                        rerank=50, emb=nemb)
+    r_many = pq_adc_topk(codes.repartition(16), queries, books, k=TOPK,
+                         rerank=50, emb=nemb)
+    assert _rows(r_one) == _rows(r_many)
