@@ -218,12 +218,22 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
     posexplode formulation shuffled. The union of per-batch top-takes
     is a superset of the global top-take, so results are bit-equal
     (pinned in tests/test_pq.py)."""
-    from pyspark.sql import Window
-    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
-                                   StructType)
-
     if rerank and emb is None:
         raise ValueError("rerank > 0 needs the full-precision `emb`")
+    q_ids, luts = _query_luts(queries, codebooks, id_col, vec_col)
+    take = max(k, rerank)
+    top = _adc_candidate_topk(codes, q_ids, luts, take, id_col)
+    if not rerank:
+        return top.select("query_id", id_col, "score", "rank")
+    return _exact_rerank(top, queries, emb, k, id_col, vec_col)
+
+
+def _query_luts(queries: DataFrame, codebooks: list[list[list[float]]],
+                id_col: str, vec_col: str) -> tuple[list, np.ndarray]:
+    """(q_ids, luts) for an ADC kernel: luts[qi][s][code] =
+    <query subvector, code centroid> - |Q| x m x ksub floats,
+    control-plane sized, shipped to executors inside the kernel
+    closure."""
     mats = _book_mats(codebooks)
     m = len(mats)
     dsub = mats[0].shape[1]
@@ -233,16 +243,33 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
     q_ids = [r[id_col] for r in qrows]
     q_mat = np.asarray([[float(v) for v in r[vec_col]] for r in qrows],
                        dtype=np.float64)
-    # LUTs: luts[qi][s][code] = <query subvector, code centroid> -
-    # |Q| x m x ksub floats, control-plane sized, shipped to executors
-    # inside the kernel closure.
     luts = np.stack([
         np.stack([mats[s] @ q_mat[qi, s * dsub:(s + 1) * dsub]
                   for s in range(m)])
         for qi in range(len(q_ids))])
+    return q_ids, luts
+
+
+def _adc_candidate_topk(codes: DataFrame, q_ids: list, luts: np.ndarray,
+                        take: int, id_col: str,
+                        cluster_sets: list[frozenset] | None = None
+                        ) -> DataFrame:
+    """The bounded-shuffle ADC rank: per-Arrow-batch partial top-`take`
+    per query (ties pinned by (score desc, id), the same order the
+    global window uses; self-matches filtered in-kernel), then the
+    global window. With `cluster_sets` given (the IVF-PQ composition),
+    each query only scores rows of ITS probed clusters - the
+    per-query membership mask runs inside the kernel against the
+    layout's `cluster` column, so rows of a directory probed by query
+    A but not query B never become B-candidates."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
 
     nq = len(q_ids)
-    take = max(k, rerank)
+    m = luts.shape[1]
+    masked = cluster_sets is not None
+    cols = [id_col, "codes"] + (["cluster"] if masked else [])
     out_schema = StructType([codes.schema[id_col],
                              StructField("_qi", IntegerType()),
                              StructField("score", DoubleType())])
@@ -259,11 +286,18 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
                 scores += luts[:, s, :][:, c[:, s]].T
             parts = []
             ids = pdf[id_col]
+            clus = (pdf["cluster"].to_numpy(dtype=np.int64)
+                    if masked else None)
             for qi in range(nq):
                 part = pd.DataFrame({id_col: ids.to_numpy(),
                                      "_qi": np.int32(qi),
                                      "score": scores[:, qi]})
-                part = part[part[id_col] != q_ids[qi]]
+                keep = part[id_col] != q_ids[qi]
+                if masked:
+                    allowed = np.isin(
+                        clus, np.fromiter(cluster_sets[qi], dtype=np.int64))
+                    keep &= pd.Series(allowed, index=part.index)
+                part = part[keep]
                 # per-batch partial top-take by the global window's
                 # exact order (score desc, id asc) - mergesort keeps
                 # the two-key ordering deterministic
@@ -273,24 +307,27 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
             yield pd.concat(parts, ignore_index=True)
 
     qmap = F.array(*[F.lit(q) for q in q_ids])
-    cand = (codes.select(id_col, "codes")
+    cand = (codes.select(*cols)
             .mapInPandas(adc_partial_topk, out_schema)
             .withColumn("query_id",
                         F.element_at(qmap, F.col("_qi") + 1))
             .drop("_qi"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), id_col)
-    top = (cand.withColumn("rank", F.row_number().over(w))
-           .filter(F.col("rank") <= take))
-    if not rerank:
-        return top.select("query_id", id_col, "score", "rank")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= take))
 
-    # exact re-rank tail: candidate-sized join back to full vectors.
-    # The candidate relation joins the raw corpus FIRST (a broadcast
-    # of |queries| x rerank ids - the corpus never shuffles) and the
-    # normalization expressions run on the surviving rows only; putting
-    # normalized_vectors upstream of the join would compute the
-    # per-row norm fold for the WHOLE corpus (measured 69 s vs 9 s at
-    # the 100x curve point).
+
+def _exact_rerank(top: DataFrame, queries: DataFrame, emb: DataFrame,
+                  k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Exact re-rank tail: candidate-sized join back to full vectors.
+    The candidate relation joins the raw corpus FIRST (a broadcast
+    of |queries| x rerank ids - the corpus never shuffles) and the
+    normalization expressions run on the surviving rows only; putting
+    normalized_vectors upstream of the join would compute the
+    per-row norm fold for the WHOLE corpus (measured 69 s vs 9 s at
+    the 100x curve point)."""
+    from pyspark.sql import Window
+
     from .semdedup import normalized_vectors, pair_dot
 
     qv = (normalized_vectors(queries, id_col, vec_col)
@@ -309,3 +346,78 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
             .withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= k)
             .select("query_id", id_col, "score", "rank"))
+
+
+def write_ivf_pq_layout(emb: DataFrame, cents: list[list[float]],
+                        dim: int, codebooks: list[list[list[float]]],
+                        path: str, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        kernel: str | None = None,
+                        mode: str = "overwrite",
+                        files_per_cluster: int = 1) -> None:
+    """The stored IVF-PQ index (VERDICT r7 #6): cluster directories
+    holding CODES - the E44 partition-pruned layout crossed with the
+    E47 compression. Each row is assigned its coarse cluster (frozen
+    `cents`, one map-side pass) and PQ-encoded (one more map-side
+    Arrow pass), then (id, codes) lands under `cluster=` directories
+    via the same single-shuffle routing as `write_ivf_layout`. At
+    100 TB this is the index an executor fleet actually serves from:
+    the probe prunes to nprobe directories AND each directory is
+    m bytes/row instead of dim floats - the scan cost multiplies both
+    savings. The full-precision vectors stay in the source table,
+    touched only by the candidate-sized re-rank join."""
+    from .kmeans import _assign, _scaled
+
+    if files_per_cluster < 1:
+        raise ValueError(f"files_per_cluster must be >= 1, "
+                         f"got {files_per_cluster}")
+    assigned = (_assign(_scaled(emb.select(id_col, vec_col), vec_col),
+                        cents, dim, kernel)
+                .drop("xi", "xd", "centroid_dist"))
+    coded = pq_encode(assigned, codebooks, id_col, vec_col) \
+        .join(assigned.select(id_col, "cluster"), id_col)
+    if files_per_cluster == 1:
+        routed = coded.repartition("cluster")
+    else:
+        routed = coded.repartition(
+            F.col("cluster"),
+            F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
+    routed.write.partitionBy("cluster").mode(mode).parquet(path)
+
+
+def ivf_pq_probe(spark, path: str, queries: DataFrame,
+                 cents: list[list[float]],
+                 codebooks: list[list[list[float]]],
+                 nprobe: int, k: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 rerank: int = 0, emb: DataFrame | None = None
+                 ) -> DataFrame:
+    """Serve from the stored IVF-PQ index: (query_id, vec_id, score,
+    rank). Probe lists are planned driver-side (`probe_clusters`, the
+    same fold-order math as the flat layout's literal mode - the
+    interactive/small-batch serving shape; a large batch belongs on
+    the flat layout's plan mode with full-precision vectors) and the
+    union is pushed as a planning-time `IN`, so the scan's file index
+    never lists unprobed directories and reads m-byte codes only. ADC
+    ranks within the probed rows - each query masked in-kernel to ITS
+    probed clusters - and `rerank` > 0 re-scores the top candidates
+    exactly against the full-precision `emb` (candidate-sized join)."""
+    from .ivf_layout import probe_clusters
+
+    if rerank and emb is None:
+        raise ValueError("rerank > 0 needs the full-precision `emb`")
+    q_ids, luts = _query_luts(queries, codebooks, id_col, vec_col)
+    qrows = queries.select(id_col, vec_col).collect()
+    by_id = {r[id_col]: list(r[vec_col]) for r in qrows}
+    cluster_sets = [frozenset(probe_clusters(by_id[q], cents, nprobe))
+                    for q in q_ids]
+    union = sorted({c for s in cluster_sets for c in s})
+    lay = (spark.read.parquet(path)
+           .select(id_col, "codes", "cluster")
+           .filter(F.col("cluster").isin(union)))
+    take = max(k, rerank)
+    top = _adc_candidate_topk(lay, q_ids, luts, take, id_col,
+                              cluster_sets=cluster_sets)
+    if not rerank:
+        return top.select("query_id", id_col, "score", "rank")
+    return _exact_rerank(top, queries, emb, k, id_col, vec_col)

@@ -318,3 +318,88 @@ def test_adc_partial_topk_invariant_to_batch_boundaries(spark, pq_model):
     r_many = pq_adc_topk(codes.repartition(16), queries, books, k=TOPK,
                          rerank=50, emb=nemb)
     assert _rows(r_one) == _rows(r_many)
+
+
+def test_ivf_pq_stored_layout_probe_per_query_pruning(spark, pq_model,
+                                                      tmp_path):
+    """The STORED IVF-PQ index (VERDICT r7 #6): write_ivf_pq_layout
+    materializes cluster directories holding codes only; ivf_pq_probe
+    prunes the scan to the probed union (planning-time IN), masks each
+    query in-kernel to ITS OWN probed clusters (stricter than the
+    union-pool composition test above), ADC-ranks, and re-ranks
+    exactly. With rerank >= corpus the per-query result must be
+    BIT-EQUAL to the exact cosine top-k over that query's own probed
+    pool."""
+    import re
+
+    from pyspark.sql import Window
+
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        probe_clusters,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_transform,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.pq import (
+        ivf_pq_probe,
+        write_ivf_pq_layout,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+        normalized_vectors,
+        pair_dot,
+    )
+
+    emb, nemb, books, codes = pq_model
+    cents, dim = kmeans_fit(nemb, k=8, iters=1)
+    path = str(tmp_path / "ivfpq_codes")
+    write_ivf_pq_layout(nemb, cents, dim, books, path)
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "codes", "cluster"}
+
+    queries = (nemb.filter("vec_id < 5")
+               .select("vec_id", "embedding").localCheckpoint())
+    n = nemb.count()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        got_df = ivf_pq_probe(spark, path, queries, cents, books,
+                              nprobe=3, k=TOPK, rerank=n, emb=nemb)
+        got_df.collect()
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    union = sorted({c for r in queries.collect()
+                    for c in probe_clusters(list(r.embedding), cents, 3)})
+    pushed = re.search(r"PartitionFilters: \[cluster#\d+ IN \(([\d,]+)\)",
+                       plan)
+    assert pushed, plan
+    assert {int(x) for x in pushed.group(1).split(",")} == set(union)
+
+    got = sorted((r.query_id, r.rank, r.vec_id, repr(r.score))
+                 for r in got_df.collect())
+    # ground truth: per-query probed pool (NOT the union), exact cosine
+    pairs = [(r.vec_id, c) for r in queries.collect()
+             for c in probe_clusters(list(r.embedding), cents, 3)]
+    cand = spark.createDataFrame(pairs, "query_id bigint, cluster bigint")
+    qv = (normalized_vectors(queries, "vec_id", "embedding")
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("nv").alias("qnv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    want_df = (kmeans_transform(nemb, cents, dim)
+               .select("vec_id", "cluster")
+               .join(F.broadcast(cand), "cluster")
+               .filter(F.col("vec_id") != F.col("query_id"))
+               .join(nemb.select("vec_id", "embedding"), "vec_id")
+               .withColumn("_n2", F.aggregate(
+                   "embedding", F.lit(0.0),
+                   lambda a, v: a + v.cast("double") * v.cast("double")))
+               .withColumn("nv", F.transform(
+                   "embedding", lambda x: x.cast("double") / F.sqrt("_n2")))
+               .join(F.broadcast(qv), "query_id")
+               .withColumn("score", pair_dot("qnv", "nv"))
+               .withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= TOPK)
+               .select("query_id", "vec_id", "score", "rank"))
+    want = sorted((r.query_id, r.rank, r.vec_id, repr(r.score))
+                  for r in want_df.collect())
+    assert got == want and len(got) == 5 * TOPK
