@@ -60,78 +60,74 @@ _PLAN_MODULES = (
 #: exist - so the test's verdict is stable across the moment the current
 #: round's results land, and flips red exactly when a new round starts
 #: without the window being rebuilt.
-WINDOW_ROUND = 7
+WINDOW_ROUND = 8
 
 
 #: Driver-check priority: the grading driver verifies only the FIRST 50
-#: registered queries each round. Round-7 window (VERDICT r6 #1) = (a)
-#: the 30 round-4-only greens (the precomputed r7 rotation debt - at
-#: WINDOW_ROUND=7 the staleness guard tests/test_entry.py::test_no_
-#: query_staler_than_two_rounds fails without every one of them), (b)
-#: the ONE new r7 registration (versioned time travel, VERDICT r6 #4),
-#: (c) the two queries whose implementing code changed this round (the
-#: E44 build fix + probe-mode auto-select in operators/ivf_layout.py;
-#: the JVM bloom probe in operators/decontaminate.py), and (d) 17
-#: round-5-only greens rotated proactively - all 48 remaining r5 names
-#: fall due at r8, so prefilling the bench-headline flagships (the gold
-#: MV family, j7, kmeans_twolevel, ann_ivf_kmeans_recall,
-#: sessionization, stream_tumbling, text_quality), the bloom-adjacent
-#: exact-decon row, and the IVF-adjacent sim_ivf_probe_topk now leaves
-#: r8 with 31 debt names + 19 free slots instead of 48 + 2.
+#: registered queries each round. Round-8 window (VERDICT r7 #1) = (a)
+#: the 31 round-5-only greens (the precomputed r8 rotation debt - at
+#: WINDOW_ROUND=8 the staleness guard fails without every one of them),
+#: (b) the TWO new r8 registrations (E46 hierarchical IVF layout probe
+#: and E47 product quantization, VERDICT r7 #2), (c) four queries whose
+#: implementing code changed this round (the two-level probe's
+#: distributed planning path + layout docstrings in
+#: operators/ivf_layout.py and the new kmeans_transform_topn_twolevel
+#: in operators/kmeans.py -> ann_ivf_layout_probe +
+#: kmeans_twolevel_clusters; the JVM-drift arrow fallback in
+#: operators/decontaminate.py -> decontamination_bloom; the CAS commit
+#: + vacuum fix in sources/versioned.py -> versioned_time_travel), and
+#: (d) 13 round-6-only greens rotated proactively - all 48 r6 names
+#: fall due at r9, so prefilling the bench-headline flagships now
+#: leaves r9 with 35 debt names + 15 free slots instead of 48 + 2.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- new this round (needs a FIRST driver row) -----------------------
-    "versioned_time_travel",          # snapshot/time-travel driver row
+    # -- new this round (need a FIRST driver row) ------------------------
+    "ann_ivf_hier_layout_probe",      # E46: hier layout + plan-mode probe
+    "pq_codes_rerank_topk",           # E47: PQ train/encode/ADC/re-rank
     # -- code changed this round (old rows stopped vouching) -------------
-    "ann_ivf_layout_probe",           # E44 build fix + probe auto-select
-    "decontamination_bloom",          # JVM bloom_filter_agg probe path
-    # -- round-4-only greens: the precomputed r7 rotation debt (30) ------
-    "a12_daily_modal_event_type", "a14_table_stats",
-    "a1_language_distribution", "a2_event_type_distribution",
-    "a3_engagement_stats", "a5_latest_user_snapshot",
-    "a7_dedup_keep_first", "a8_null_profile", "curation_docs_ledger",
-    "curation_funnel", "dedup_editdistance_pairs", "dedup_ngram_jaccard",
-    "f11_user_activity_age", "f12_engagement_ratio", "f1_html_clean",
-    "f2_json_array_ops", "f4_json_field_extraction", "f5_json_roundtrip",
-    "f9_date_dimension", "g2_top_performing_content", "o1_global_sort",
-    "o2_top_events", "p2_time_window_cutoff", "p6_normalized_documents",
-    "p_clean_documents", "p_clean_events", "s10_dynamic_ddl",
-    "s2_retry_backoff", "stats_quantile_sketch", "x1_token_frequencies",
-    # -- round-5-only greens rotated early (17 of 48; the rest are r8
-    # -- debt) - the bench-headline flagships, the bloom-adjacent exact
-    # -- decon row, and the IVF-adjacent probe family.
-    "ann_ivf_kmeans_recall", "kmeans_twolevel_clusters",
-    "decontamination_scores", "j7_star_join_region_revenue",
-    "g3_account_influence", "g4_hashtag_performance",
-    "g5_hourly_posting_patterns", "g6_daily_event_trends",
-    "g7_viral_content", "sessionization_gaps", "stream_tumbling_counts",
-    "text_quality_scores", "silver_fact_build", "sim_ivf_probe_topk",
-    "asof_join_latest_order", "dq_violation_summary", "tfidf_top_terms",
+    "ann_ivf_layout_probe",           # ivf_layout.py two-level upgrade
+    "kmeans_twolevel_clusters",       # kmeans.py new probe kernel
+    "decontamination_bloom",          # JVM-drift arrow fallback
+    "versioned_time_travel",          # CAS commit + vacuum fix
+    # -- round-5-only greens: the precomputed r8 rotation debt (31) ------
+    "digest_run_summary", "mm_binary_metadata", "mm_frame_sample",
+    "olap_cube_type_weekend", "olap_grouping_sets",
+    "olap_pivot_status_qty", "olap_rollup_returnflag_status",
+    "p7_top_positive_docs", "pii_redaction", "rangejoin_value_bands",
+    "rolling_7day_user_value", "session_window_native",
+    "setops_user_segments", "sim_embedding_near_dups", "sim_lsh_buckets",
+    "skew_salted_aggregate", "split_train_val_test",
+    "sql_surface_daily_trends", "sql_surface_star_revenue",
+    "stats_moments", "stats_value_quantiles", "stream_dedup_events",
+    "stream_sliding_value_avg", "stream_stateful_running_totals",
+    "stream_static_join_segments", "text_fingerprint",
+    "text_language_id", "text_token_counts", "u2_sentiment_distribution",
+    "u3_udtf_tokenize", "w_rank_family",
+    # -- round-6-only greens rotated early (13 of 48; the rest are r9
+    # -- debt) - the bench-headline flagships and the families adjacent
+    # -- to this round's ANN/dedup work.
+    "g1_daily_engagement_summary", "q1_pricing_summary",
+    "m1_scd2_account_dim", "a6_dedup_latest_version",
+    "dedup_minhash_lsh", "sim_cosine_topk", "training_mix_shards",
+    "kmeans_embedding_clusters", "semdedup_prune",
+    "ann_multitable_recall", "dedup_substring_spans",
+    "kmeans_incremental_assign", "semdedup_incremental",
 )
 
-#: Round-8 rotation debt, precomputed: after the r7 driver run the 31
-#: round-5-only greens NOT in the r7 window fall due (at WINDOW_ROUND=8
-#: every one of them needs a slot, leaving 19 for r8's new/changed
-#: code). The due set is the 48 r5-only names minus the 17 rotated
-#: above:
-#:   digest_run_summary, mm_binary_metadata, mm_frame_sample,
-#:   olap_cube_type_weekend, olap_grouping_sets, olap_pivot_status_qty,
-#:   olap_rollup_returnflag_status, p7_top_positive_docs, pii_redaction,
-#:   rangejoin_value_bands, rolling_7day_user_value,
-#:   session_window_native, setops_user_segments,
-#:   sim_embedding_near_dups, sim_lsh_buckets, skew_salted_aggregate,
-#:   split_train_val_test, sql_surface_daily_trends,
-#:   sql_surface_star_revenue, stats_moments, stats_value_quantiles,
-#:   stream_dedup_events, stream_sliding_value_avg,
-#:   stream_stateful_running_totals, stream_static_join_segments,
-#:   text_fingerprint, text_language_id, text_token_counts,
-#:   u2_sentiment_distribution, u3_udtf_tokenize, w_rank_family.
-#:
-#: Round-8 registration candidates (the r7 window was full, so these
-#: shipped as pytest+curve surfaces per the capacity policy): E46
-#: hierarchical IVF layout and E47 product quantization both have
-#: deterministic, SQL-replayable math (the same kmeans CTE recipe as
-#: ann_ivf_kmeans_recall; PQ's grouped train is kmeans over an
-#: exploded (s, subvector) relation) if a driver row is wanted.
+#: Round-9 rotation debt, precomputed: after the r8 driver run the 35
+#: round-6-only greens NOT in the r8 window fall due (at WINDOW_ROUND=9
+#: every one needs a slot, leaving 15 for r9's new/changed code):
+#:   a11_approx_distinct, chunk_context_windows, cluster_split_audit,
+#:   day2_incremental_counts, day2_schema_evolution, dedup_clusters,
+#:   dedup_exact, dedup_incremental, dedup_simhash,
+#:   f1_html_entities, j1_change_detection, j2_dimension_lookup,
+#:   j3_band_join, j4_anti_join_missing_fk, j5_semi_join_cleanup,
+#:   m2_idempotent_dim_insert, m4_surrogate_keys, m5_orphan_cleanup,
+#:   mm_decode_features, mm_image_resize, pack_token_shards,
+#:   s4_csv_fallback_roundtrip, s9_ddl_catalog, sample_cluster_balanced,
+#:   sample_stratified, semdedup_miss_audit, stream_file_sink_counts,
+#:   stream_interval_join, temperature_mix_counts, text_gopher_quality,
+#:   text_repetition, topk_per_group_docs, u2_sentiment_inference,
+#:   w1_user_engagement_rank, w2_user_daily_value_change.
 #:
 #: CAPACITY POLICY (VERDICT r4 #7): the 50-slot window and the 2-round
 #: staleness bound give a hard ceiling of 50 x 3 = 150 sustainable

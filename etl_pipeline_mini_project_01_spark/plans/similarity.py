@@ -1410,3 +1410,304 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_incr(standing, delta, k=_KM_K, iters=_KM_ITERS,
                   threshold=_SEMDEDUP_TAU)
             .orderBy("vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# E46: hierarchical IVF layout + distributed two-level probe (driver row,
+# VERDICT r7 #2) - operators/ivf_layout.py write_ivf_layout_twolevel +
+# ivf_probe_pruned_batch_twolevel(probe_lists="plan")
+# ---------------------------------------------------------------------------
+
+_HIER_NPROBE = 4          # leaves probed per query
+_HIER_NPC = 2             # coarse cells visited per query
+
+#: Fold-order squared euclidean of a query's xd to a centroid list
+#: column - the same list_reduce spec as _KM_ASSIGN, parameterized on
+#: the centroid expression.
+_Q_FOLD = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+           "list_transform(range(1, {dim1}), "
+           "i -> (x.xd[i] - {c}[i]) * (x.xd[i] - {c}[i]))), "
+           "(p, q) -> p + q)")
+
+
+def _hier_layout_probe_oracle() -> str:
+    """Full replay of the hierarchical serving path: the two-level
+    k-means chain (byte-identical to kmeans_twolevel_clusters' oracle
+    through `bfinal`), leaf materialization, the per-query two-level
+    probe - nprobe_coarse nearest coarse cells by fold distance, then
+    nprobe nearest fine leaves across those cells' lists (a fit-time-
+    empty coarse cell contributes its own centroid as a fine=0 leaf,
+    the build's fallback) - and the cosine rank restricted to the
+    probed leaves (the flat layout oracle's dot/normalization twins)."""
+    dim1, k2, k = _KM_DIM + 1, _KM2_K2, _ANN_TOP_K
+    t1, t2 = _KM2_ITERS1, _KM2_ITERS2
+    prefix = _km2_oracle(t1, t2).rsplit("\nSELECT vec_id,\n", 1)[0]
+    cfold = _Q_FOLD.format(dim1=dim1, c="cc.c")
+    ffold = _Q_FOLD.format(dim1=dim1, c="f.c")
+    return prefix + f""",
+leaves AS (
+    SELECT vec_id, coarse * {k2} + fine AS cluster FROM bfinal
+),
+fcents AS (
+    SELECT coarse, fid, c FROM f{t2}
+    UNION ALL
+    SELECT cc.cid AS coarse, 0 AS fid, cc.c
+    FROM c{t1} cc
+    LEFT JOIN (SELECT DISTINCT coarse FROM f{t2}) h ON h.coarse = cc.cid
+    WHERE h.coarse IS NULL
+),
+qc AS (
+    SELECT query_id, coarse FROM (
+        SELECT x.vec_id AS query_id, cc.cid AS coarse,
+               {cfold} AS dist,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY dist, cc.cid) AS rn
+        FROM xd x, c{t1} cc
+        WHERE x.vec_id < {N_QUERIES})
+    WHERE rn <= {_HIER_NPC}
+),
+qf AS (
+    SELECT query_id, leaf FROM (
+        SELECT q.query_id, f.coarse * {k2} + f.fid AS leaf,
+               {ffold} AS dist,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY dist, f.coarse * {k2} + f.fid) AS rn
+        FROM qc q
+        JOIN fcents f ON f.coarse = q.coarse
+        JOIN xd x ON x.vec_id = q.query_id)
+    WHERE rn <= {_HIER_NPROBE}
+),
+nrm AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(x AS DOUBLE)
+                    / sqrt({_SQL_NORM2.format(a='embedding')})) AS nv
+    FROM embeddings
+),
+probed AS (
+    SELECT p.query_id, l.vec_id, l.cluster,
+           {_SQL_DOT.format(a='qn.nv', b='cn.nv')} AS cosine
+    FROM qf p
+    JOIN leaves l ON l.cluster = p.leaf
+    JOIN nrm qn ON qn.vec_id = p.query_id
+    JOIN nrm cn ON cn.vec_id = l.vec_id
+    WHERE l.vec_id <> p.query_id
+),
+hranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM probed
+)
+SELECT query_id, vec_id, CAST(cluster AS BIGINT) AS cluster, cosine, rank
+FROM hranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_ivf_hier_layout_probe", oracle=_hier_layout_probe_oracle())
+def ann_ivf_hier_layout_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E46 end-to-end (operators/ivf_layout.py): the corpus stored as
+    LEAF-partitioned parquet under a frozen two-level k-means model
+    (k1={k1} x k2={k2} - the O(n*sqrt(k)*dim) build for corpus-scaled
+    k), probed by the DISTRIBUTED two-level planner
+    (kmeans_transform_topn_twolevel, probe_lists='plan' - the VERDICT
+    r7 #4 path: query vectors never land on the driver; the layout
+    scan prunes at runtime via dynamic partition pruning), cosine
+    ranked within the probed leaves only. The oracle replays the full
+    two-level fit, the probe's both levels, and the restricted rank.
+    Per-run scratch dir, overwrite mode, catalog-free."""
+    from ..operators.ivf_layout import (ivf_probe_pruned_batch_twolevel,
+                                        write_ivf_layout_twolevel)
+    from ..operators.kmeans import kmeans_fit_twolevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cc, fi, dim = kmeans_fit_twolevel(
+        emb, k1=_KM2_K1, k2=_KM2_K2,
+        iters1=_KM2_ITERS1, iters2=_KM2_ITERS2)
+    path = f"/tmp/spark_graft_ivf_{_IVF_RUN_TAG}/embeddings_hier"
+    write_ivf_layout_twolevel(emb, cc, fi, _KM2_K2, dim, path)
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select("vec_id", "embedding"))
+    out = ivf_probe_pruned_batch_twolevel(
+        spark, path, queries, cc, fi, _KM2_K2, dim,
+        nprobe=_HIER_NPROBE, k=_ANN_TOP_K, nprobe_coarse=_HIER_NPC,
+        probe_lists="plan")
+    return (out.withColumn("cluster", F.col("cluster").cast("bigint"))
+            .orderBy("query_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# E47: product quantization (driver row, VERDICT r7 #2) - operators/pq.py
+# pq_train + pq_encode + pq_adc_topk(rerank=corpus)
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_KSUB, _PQ_ITERS = 8, 16, 2    # dim 64 -> dsub 8
+
+
+def _pq_codes_oracle() -> str:
+    """Composite replay of the PQ pipeline as one tall relation:
+
+    * 'code' rows - the full grouped codebook training (the kmeans
+      recipe over the exploded (s, subvector) relation: md5-seeded,
+      integer-scaled exact sums, {iters} fixed iterations, empty codes
+      keep their previous centroid) followed by the per-subspace
+      argmin encode. Checks pq_train AND pq_encode end-to-end, since
+      every code depends on its trained codebook.
+    * 'topk' rows - the exactness-limit identity: with rerank = corpus
+      the ADC candidate set is every non-self row, so the exact
+      re-rank tail must reproduce the brute-force cosine top-k
+      bit-for-bit (the flat oracle's dot/normalization twins). Checks
+      the ADC kernel's candidate plumbing + the re-rank join without
+      requiring SQL to replay dgemm rounding.
+
+    Razor-tie caveat (module docstring of operators/pq.py): the engine
+    encodes by expanded-form argmin while this replay folds in dim
+    order - equal except within ~1 ulp ties, absent in the fixtures
+    (same accepted tradeoff as kmeans' matmul kernel)."""
+    m, ksub, iters, scale = _PQ_M, _PQ_KSUB, _PQ_ITERS, _KM_SCALE
+    dsub = _KM_DIM // m
+    dsub1, k = dsub + 1, _ANN_TOP_K
+    # {vc} parameterizes the vector form: training assigns the
+    # integer-scaled xd (kmeans_fit's exact-replay contract), while the
+    # final ENCODE scores the raw double subvector sd - pq_encode
+    # quantizes raw vectors, the faiss convention.
+    sfold = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+             "list_transform(range(1, {d1}), "
+             "i -> (x.{{vc}}[i] - b.c[i]) * (x.{{vc}}[i] - b.c[i]))), "
+             "(p, q) -> p + q)").format(d1=dsub1)
+    assign = f"""
+    SELECT vec_id, s, code FROM (
+        SELECT x.vec_id, x.s, b.code, {sfold} AS dist,
+               row_number() OVER (PARTITION BY x.vec_id, x.s
+                                  ORDER BY dist, b.code) AS rn
+        FROM xs x JOIN {{books}} b ON b.s = x.s)
+    WHERE rn = 1
+"""
+    parts = [f"""
+WITH xs AS (
+    SELECT vec_id, s,
+           list_transform(sv,
+               v -> CAST(floor(CAST(v AS DOUBLE)
+                               * CAST({scale} AS DOUBLE)) AS BIGINT))
+               AS xi,
+           list_transform(sv,
+               v -> CAST(floor(CAST(v AS DOUBLE)
+                               * CAST({scale} AS DOUBLE)) AS BIGINT)
+                    / CAST({scale} AS DOUBLE)) AS xd,
+           list_transform(sv, v -> CAST(v AS DOUBLE)) AS sd
+    FROM (
+        SELECT vec_id, g.s,
+               list_slice(embedding, g.s * {dsub} + 1,
+                          (g.s + 1) * {dsub}) AS sv
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(0, {m})) AS s) g)
+),
+sdims AS (SELECT unnest(range(1, {dsub1})) AS i),
+seeds AS (
+    SELECT vec_id, code FROM (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY md5('seed|' || CAST(vec_id AS VARCHAR)),
+                            vec_id) - 1 AS code
+        FROM embeddings)
+    WHERE code < {ksub}
+),
+b0 AS (
+    SELECT x.s, sd.code, x.xd AS c
+    FROM xs x JOIN seeds sd USING (vec_id)
+)"""]
+    books = "b0"
+    for t in range(1, iters + 1):
+        parts.append(f""",
+pa{t} AS ({assign.format(books=books, vc="xd")}),
+ps{t} AS (
+    SELECT a.s, a.code, d.i, SUM(x.xi[d.i]) AS sm, COUNT(*) AS n
+    FROM pa{t} a
+    JOIN xs x ON x.vec_id = a.vec_id AND x.s = a.s
+    CROSS JOIN sdims d
+    GROUP BY 1, 2, 3
+),
+pm{t} AS (
+    SELECT s, code,
+           list(CAST(sm AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST({scale} AS DOUBLE))
+                ORDER BY i) AS c
+    FROM ps{t} GROUP BY s, code
+),
+b{t} AS (
+    SELECT p.s, p.code, COALESCE(m.c, p.c) AS c
+    FROM {books} p
+    LEFT JOIN pm{t} m ON m.s = p.s AND m.code = p.code
+)""")
+        books = f"b{t}"
+    parts.append(f""",
+cfinal AS ({assign.format(books=books, vc="sd")}),
+nrm AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(x AS DOUBLE)
+                    / sqrt({_SQL_NORM2.format(a='embedding')})) AS nv
+    FROM embeddings
+),
+exact AS (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           {_SQL_DOT.format(a='q.nv', b='c.nv')} AS score
+    FROM nrm q JOIN nrm c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+),
+etop AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS rank
+    FROM exact
+)
+SELECT 'code' AS row_kind,
+       vec_id AS id1, CAST(s AS BIGINT) AS id2,
+       CAST(code AS BIGINT) AS ival, CAST(NULL AS DOUBLE) AS dval
+FROM cfinal
+UNION ALL
+SELECT 'topk' AS row_kind,
+       query_id AS id1, vec_id AS id2,
+       CAST(rank AS BIGINT) AS ival, score AS dval
+FROM etop WHERE rank <= {k}
+ORDER BY row_kind, id1, id2
+""")
+    return "".join(parts)
+
+
+@register("pq_codes_rerank_topk", oracle=_pq_codes_oracle())
+def pq_codes_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E47 as a driver row (operators/pq.py), one tall composite
+    relation: every vector's m={m} PQ codes (codebooks trained by the
+    grouped Lloyd's over the exploded (s, subvector) relation -
+    oracle-replayed including both integer-exact iterations) plus the
+    per-query top-{k} from the FULL pipeline (encode -> ADC candidate
+    kernel -> exact re-rank) run at rerank = corpus, the exactness
+    limit where the result is pinned bit-equal to brute-force cosine.
+    The bounded-shuffle ADC kernel and the candidate-sized re-rank
+    join are exactly the 100 TB serving shapes (VERDICT r7 #5)."""
+    from ..operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
+    codes = pq_encode(emb, books)
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select("vec_id", "embedding"))
+    n = emb.count()
+    topk = pq_adc_topk(codes, queries, books, k=_ANN_TOP_K,
+                       rerank=n, emb=emb)
+    code_rows = (codes
+                 .select(F.col("vec_id").alias("id1"),
+                         F.posexplode("codes").alias("id2", "ival"))
+                 .select(F.lit("code").alias("row_kind"), "id1",
+                         F.col("id2").cast("bigint").alias("id2"),
+                         F.col("ival").cast("bigint").alias("ival"),
+                         F.lit(None).cast("double").alias("dval")))
+    topk_rows = topk.select(
+        F.lit("topk").alias("row_kind"),
+        F.col("query_id").alias("id1"),
+        F.col("vec_id").alias("id2"),
+        F.col("rank").cast("bigint").alias("ival"),
+        F.col("score").alias("dval"))
+    return code_rows.unionByName(topk_rows).orderBy("row_kind", "id1",
+                                                    "id2")

@@ -71,6 +71,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: reproduce that run.
 KERNEL = os.environ.get("SPARK_GRAFT_CURVE_KERNEL", "matmul")
 
+#: Hierarchical-quantizer fit depth for the ivf stage (VERDICT r7 #3):
+#: the r7 curve ran 1 coarse + 1 fine iteration and the resulting
+#: fine-list imbalance made the 300x hier probe wall 15.3 s vs the
+#: flat layout's 4.8 s. Extra Lloyd's iterations are the standard
+#: mitigation (each fine pass is O(n*sqrt(k)*dim) - the build's 2.8x
+#: headroom at 300x pays for them); env-overridable so a curve point
+#: can race fit depths.
+HIER_ITERS1 = int(os.environ.get("SPARK_GRAFT_HIER_ITERS1", "2"))
+HIER_ITERS2 = int(os.environ.get("SPARK_GRAFT_HIER_ITERS2", "2"))
+
 
 def synthesize(spark, n: int) -> str:
     out = os.path.join(REPO, ".scratch", f"scale{n}x")
@@ -478,7 +488,8 @@ def run_ivf_layout(spark, sf_dir: str, k_lists: int,
     k12 = max(2, int(round(k_lists ** 0.5)))
     hpath = path + "_hier"
     t0 = time.perf_counter()
-    cc, fi, hdim = kmeans_fit_twolevel(emb, k12, k12, 1, 1,
+    cc, fi, hdim = kmeans_fit_twolevel(emb, k12, k12,
+                                       HIER_ITERS1, HIER_ITERS2,
                                        kernel=KERNEL)
     write_ivf_layout_twolevel(emb, cc, fi, k12, hdim, hpath,
                               kernel=KERNEL)
@@ -491,6 +502,27 @@ def run_ivf_layout(spark, sf_dir: str, k_lists: int,
     t0 = time.perf_counter()
     _consume(hier)
     walls["ivf_probe_hier"] = round(time.perf_counter() - t0, 3)
+
+    # Probed-leaf imbalance (VERDICT r7 #3): the hier probe's scan cost
+    # is the PROBED posting lists' total size; a 1-iteration fine fit
+    # left probed leaves several times the mean. One k-sized groupBy
+    # (control-plane) + the queries' driver-side probe union.
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        probe_clusters_twolevel,
+    )
+    sizes = {int(r["cluster"]): int(r["n"]) for r in
+             (spark.read.parquet(hpath).groupBy("cluster")
+              .agg(F.count(F.lit(1)).alias("n")).collect())}
+    probed_union = sorted({
+        lf for r in queries.collect()
+        for lf in probe_clusters_twolevel(list(r["embedding"]), cc, fi,
+                                          k12, IVF_NPROBE, IVF_NPROBE)})
+    mean_sz = sum(sizes.values()) / max(1, len(sizes))
+    probed_sz = [sizes.get(lf, 0) for lf in probed_union]
+    metrics["ivf_hier_leaf_mean"] = round(mean_sz, 1)
+    metrics["ivf_hier_probed_max_over_mean"] = round(
+        max(probed_sz) / mean_sz, 2) if probed_sz else 0.0
+    metrics["ivf_hier_probed_rows"] = int(sum(probed_sz))
 
     pruned = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
                                     nprobe=IVF_NPROBE, k=IVF_TOP_K,
@@ -587,7 +619,7 @@ def run_ivf_layout(spark, sf_dir: str, k_lists: int,
     return walls, checks, metrics
 
 
-def run_pq(spark, sf_dir: str
+def run_pq(spark, sf_dir: str, k_lists: int = 8
            ) -> tuple[dict[str, float], dict[str, bool],
                       dict[str, float]]:
     """E47 product quantization on the curve. Untimed-but-reported:
@@ -700,8 +732,44 @@ def run_pq(spark, sf_dir: str
         metrics["pq_rerank_recall_at_k"] >= 0.6)
     checks["pq_compression_at_least_4x"] = (
         metrics["pq_compression_ratio"] >= 4)
+
+    # VERDICT r7 #6: the STORED IVF-PQ composition - cluster
+    # directories holding codes (write_ivf_pq_layout), probe prunes
+    # partitions AND reads m-byte codes, ADC within probed directories
+    # (per-query in-kernel cluster mask), exact re-rank joins back to
+    # the float vectors. Timed series = the end-to-end probe; the
+    # race partner is pq_adc_rerank_scan above (same rerank, same k,
+    # but scanning EVERY code row) - pruning should win by ~k/nprobe
+    # scan volume once the corpus dwarfs fixed costs. k_lists follows
+    # the cluster-size-constant rule like the ivf stage.
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.pq import (
+        ivf_pq_probe,
+        write_ivf_pq_layout,
+    )
+    ivfpq_path = os.path.join(
+        REPO, ".scratch", f"ivfpq_{os.path.basename(sf_dir)}_{k_lists}")
+    t0 = time.perf_counter()
+    cents, dim = kmeans_fit(nemb, k=k_lists, iters=1, kernel=KERNEL)
+    write_ivf_pq_layout(nemb, cents, dim, books, ivfpq_path,
+                        kernel=KERNEL)
+    metrics["ivfpq_index_build_sec"] = round(time.perf_counter() - t0, 3)
+
+    ivfpq = ivf_pq_probe(spark, ivfpq_path, queries, cents, books,
+                         nprobe=IVF_NPROBE, k=IVF_TOP_K,
+                         rerank=10 * IVF_TOP_K, emb=vecs)
+    t0 = time.perf_counter()
+    _consume(ivfpq)
+    walls["ivfpq_probe"] = round(time.perf_counter() - t0, 3)
+    metrics["ivfpq_recall_at_k"] = round(_recall(ivfpq), 4)
+    checks["ivfpq_recall_floor"] = (
+        metrics["ivfpq_recall_at_k"] >= IVF_RECALL_FLOOR)
+
     shutil.rmtree(cpath, ignore_errors=True)
     shutil.rmtree(vpath, ignore_errors=True)
+    shutil.rmtree(ivfpq_path, ignore_errors=True)
     return walls, checks, metrics
 
 
@@ -1050,8 +1118,8 @@ def main() -> None:
         base_checks.update(gbase_checks)
         big_checks.update(gbig_checks)
     if "pq" in stages:
-        pbase, pbase_checks, pbase_metrics = run_pq(spark, BASE_SF)
-        pbig, pbig_checks, pbig_metrics = run_pq(spark, big_dir)
+        pbase, pbase_checks, pbase_metrics = run_pq(spark, BASE_SF, 8)
+        pbig, pbig_checks, pbig_metrics = run_pq(spark, big_dir, 8 * n)
         base.update(pbase)
         big.update(pbig)
         base_checks.update(pbase_checks)
@@ -1134,6 +1202,7 @@ def main() -> None:
         "pq_adc_scan": _pair("pq_adc_scan", "pq_adc_scan"),
         "pq_adc_rerank_scan": _pair("pq_adc_rerank_scan",
                                     "pq_adc_rerank_scan"),
+        "ivfpq_probe": _pair("ivfpq_probe", "ivfpq_probe"),
         "pq_fullprec_scan": _pair("pq_fullprec_scan",
                                   "pq_fullprec_scan"),
         # audit walls are not base/big pairs: the sampled big point is
