@@ -75,6 +75,11 @@ HEADLINE = [
     # cluster-partitioned layout + DPP-pruned batch probe end-to-end;
     # the scan-pruning win itself is measured on the scale curve).
     "ann_ivf_layout_probe",
+    # round-8 flagships: E46 hierarchical layout + distributed
+    # plan-mode probe, and E47 PQ (train + encode + bounded-shuffle ADC
+    # + exact re-rank at the rerank=corpus exactness limit).
+    "ann_ivf_hier_layout_probe",
+    "pq_codes_rerank_topk",
 ]
 
 

@@ -502,6 +502,14 @@ def run_ivf_layout(spark, sf_dir: str, k_lists: int,
     t0 = time.perf_counter()
     _consume(hier)
     walls["ivf_probe_hier"] = round(time.perf_counter() - t0, 3)
+    # Warm re-run: the r8 investigation showed the single-shot probe
+    # wall is dominated by one-time state (partition discovery of ~k
+    # directories at plan build, first-job JIT/GC after the big layout
+    # writes) - the steady-state serving wall is the SECOND pass, and
+    # it is the number the flat-vs-hier comparison is about.
+    t0 = time.perf_counter()
+    _consume(hier)
+    walls["ivf_probe_hier_warm"] = round(time.perf_counter() - t0, 3)
 
     # Probed-leaf imbalance (VERDICT r7 #3): the hier probe's scan cost
     # is the PROBED posting lists' total size; a 1-iteration fine fit
@@ -530,6 +538,9 @@ def run_ivf_layout(spark, sf_dir: str, k_lists: int,
     t0 = time.perf_counter()
     _consume(pruned)
     walls["ivf_probe_layout"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _consume(pruned)
+    walls["ivf_probe_layout_warm"] = round(time.perf_counter() - t0, 3)
 
     qv = (normalized_vectors(queries, "vec_id", "embedding")
           .select(F.col("vec_id").alias("query_id"),
@@ -1196,6 +1207,10 @@ def main() -> None:
         "ivf_probe_fullscan": _pair("ivf_probe_fullscan",
                                     "ivf_probe_fullscan"),
         "ivf_probe_hier": _pair("ivf_probe_hier", "ivf_probe_hier"),
+        "ivf_probe_layout_warm": _pair("ivf_probe_layout_warm",
+                                       "ivf_probe_layout_warm"),
+        "ivf_probe_hier_warm": _pair("ivf_probe_hier_warm",
+                                     "ivf_probe_hier_warm"),
         # E47: the ADC scan reads m-byte codes instead of dim*4-byte
         # vectors; expectation is pq_adc_scan tracking well under the
         # full-precision control as the corpus grows.
