@@ -421,3 +421,90 @@ def ivf_pq_probe(spark, path: str, queries: DataFrame,
     if not rerank:
         return top.select("query_id", id_col, "score", "rank")
     return _exact_rerank(top, queries, emb, k, id_col, vec_col)
+
+
+def write_ivf_pq_layout_twolevel(emb: DataFrame,
+                                 coarse_cents: list[list[float]],
+                                 fine: list[list[list[float]]],
+                                 k2: int, dim: int,
+                                 codebooks: list[list[list[float]]],
+                                 path: str, id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 kernel: str | None = None,
+                                 mode: str = "overwrite",
+                                 files_per_cluster: int = 1) -> None:
+    """The stored IVF-PQ index under a HIERARCHICAL quantizer - the
+    full E46 x E47 composition. The flat-quantizer build
+    (`write_ivf_pq_layout`) pays O(n*k*dim) in its coarse assignment,
+    which at corpus-scaled k is the measured build wall (613 s at the
+    300x curve point); the two-level quantizer assigns at
+    O(n*sqrt(k)*dim) (coarse pass + partition-constrained fine pass,
+    leaf = coarse*k2 + fine - same numbering as
+    `write_ivf_layout_twolevel`) and the PQ encode stays one map-side
+    pass. Directory contract is unchanged: `cluster=` partitions of
+    (id, codes), so `ivf_pq_probe_twolevel` prunes them with the same
+    planning-time IN."""
+    from .kmeans import _assign, _assign_fine, _scaled
+
+    if files_per_cluster < 1:
+        raise ValueError(f"files_per_cluster must be >= 1, "
+                         f"got {files_per_cluster}")
+    if any(len(fl) > k2 for fl in fine):
+        raise ValueError("a fine list exceeds the nominal k2 "
+                         f"({max(len(fl) for fl in fine)} > {k2})")
+    assigned = (_assign(_scaled(emb.select(id_col, vec_col), vec_col),
+                        coarse_cents, dim, kernel)
+                .withColumnRenamed("cluster", "coarse")
+                .drop("centroid_dist"))
+    fined = (_assign_fine(assigned, fine, dim, kernel,
+                          coarse_cents=coarse_cents)
+             .withColumn("cluster",
+                         F.col("coarse") * k2 + F.col("fine"))
+             .drop("xi", "xd", "coarse", "fine", "fine_dist"))
+    coded = pq_encode(fined, codebooks, id_col, vec_col) \
+        .join(fined.select(id_col, "cluster"), id_col)
+    if files_per_cluster == 1:
+        routed = coded.repartition("cluster")
+    else:
+        routed = coded.repartition(
+            F.col("cluster"),
+            F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
+    routed.write.partitionBy("cluster").mode(mode).parquet(path)
+
+
+def ivf_pq_probe_twolevel(spark, path: str, queries: DataFrame,
+                          coarse_cents: list[list[float]],
+                          fine: list[list[list[float]]], k2: int,
+                          codebooks: list[list[list[float]]],
+                          nprobe: int, k: int, nprobe_coarse: int = 4,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          rerank: int = 0, emb: DataFrame | None = None
+                          ) -> DataFrame:
+    """Serve from the two-level IVF-PQ index: probe lists planned
+    driver-side at (k1 + nprobe_coarse*k2)*dim per query
+    (`probe_clusters_twolevel` - never the flat planner's k*dim scan
+    at corpus-scaled k), leaf union pushed as a planning-time IN, ADC
+    over the pruned m-byte codes with per-query in-kernel leaf masks,
+    optional exact re-rank against the full-precision source."""
+    from .ivf_layout import probe_clusters_twolevel
+
+    if rerank and emb is None:
+        raise ValueError("rerank > 0 needs the full-precision `emb`")
+    q_ids, luts = _query_luts(queries, codebooks, id_col, vec_col)
+    qrows = queries.select(id_col, vec_col).collect()
+    by_id = {r[id_col]: list(r[vec_col]) for r in qrows}
+    cluster_sets = [
+        frozenset(probe_clusters_twolevel(by_id[q], coarse_cents, fine,
+                                          k2, nprobe, nprobe_coarse))
+        for q in q_ids]
+    union = sorted({c for s in cluster_sets for c in s})
+    lay = (spark.read.parquet(path)
+           .select(id_col, "codes", "cluster")
+           .filter(F.col("cluster").isin(union)))
+    take = max(k, rerank)
+    top = _adc_candidate_topk(lay, q_ids, luts, take, id_col,
+                              cluster_sets=cluster_sets)
+    if not rerank:
+        return top.select("query_id", id_col, "score", "rank")
+    return _exact_rerank(top, queries, emb, k, id_col, vec_col)

@@ -403,3 +403,92 @@ def test_ivf_pq_stored_layout_probe_per_query_pruning(spark, pq_model,
     want = sorted((r.query_id, r.rank, r.vec_id, repr(r.score))
                   for r in want_df.collect())
     assert got == want and len(got) == 5 * TOPK
+
+
+def test_ivf_pq_twolevel_stored_probe_per_query_pruning(spark, pq_model,
+                                                        tmp_path):
+    """The full E46 x E47 composition: the stored IVF-PQ index under a
+    HIERARCHICAL quantizer (O(n*sqrt(k)*dim) build) must serve exactly
+    like the flat-quantizer recipe - probed union pushed as the
+    planning-time IN, per-query in-kernel leaf masks, and at
+    rerank >= corpus the result bit-equal to exact cosine over each
+    query's own probed (two-level) pool."""
+    import re
+
+    from pyspark.sql import Window
+
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        probe_clusters_twolevel,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit_twolevel,
+        kmeans_transform_twolevel,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.pq import (
+        ivf_pq_probe_twolevel,
+        write_ivf_pq_layout_twolevel,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+        normalized_vectors,
+        pair_dot,
+    )
+
+    emb, nemb, books, codes = pq_model
+    k1 = k2 = 3
+    cc, fi, dim = kmeans_fit_twolevel(nemb, k1, k2, 1, 1)
+    path = str(tmp_path / "ivfpq2_codes")
+    write_ivf_pq_layout_twolevel(nemb, cc, fi, k2, dim, books, path)
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "codes", "cluster"}
+
+    queries = (nemb.filter("vec_id < 5")
+               .select("vec_id", "embedding").localCheckpoint())
+    n = nemb.count()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        got_df = ivf_pq_probe_twolevel(spark, path, queries, cc, fi, k2,
+                                       books, nprobe=4, k=TOPK,
+                                       nprobe_coarse=2, rerank=n,
+                                       emb=nemb)
+        got_df.collect()
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    probes = {q.vec_id: probe_clusters_twolevel(list(q.embedding), cc,
+                                                fi, k2, 4, 2)
+              for q in queries.collect()}
+    union = sorted({lf for lfs in probes.values() for lf in lfs})
+    pushed = re.search(r"PartitionFilters: \[cluster#\d+ IN \(([\d,]+)\)",
+                       plan)
+    assert pushed, plan
+    assert {int(x) for x in pushed.group(1).split(",")} == set(union)
+
+    got = sorted((r.query_id, r.rank, r.vec_id, repr(r.score))
+                 for r in got_df.collect())
+    pairs = [(q, lf) for q, lfs in probes.items() for lf in lfs]
+    cand = spark.createDataFrame(pairs, "query_id bigint, cluster bigint")
+    qv = (normalized_vectors(queries, "vec_id", "embedding")
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("nv").alias("qnv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    want_df = (kmeans_transform_twolevel(nemb, cc, fi, dim)
+               .withColumn("cluster",
+                           (F.col("coarse") * k2 + F.col("fine"))
+                           .cast("bigint"))
+               .select("vec_id", "cluster")
+               .join(F.broadcast(cand), "cluster")
+               .filter(F.col("vec_id") != F.col("query_id"))
+               .join(nemb.select("vec_id", "embedding"), "vec_id")
+               .withColumn("_n2", F.aggregate(
+                   "embedding", F.lit(0.0),
+                   lambda a, v: a + v.cast("double") * v.cast("double")))
+               .withColumn("nv", F.transform(
+                   "embedding", lambda x: x.cast("double") / F.sqrt("_n2")))
+               .join(F.broadcast(qv), "query_id")
+               .withColumn("score", pair_dot("qnv", "nv"))
+               .withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= TOPK)
+               .select("query_id", "vec_id", "score", "rank"))
+    want = sorted((r.query_id, r.rank, r.vec_id, repr(r.score))
+                  for r in want_df.collect())
+    assert got == want and len(got) == 5 * TOPK

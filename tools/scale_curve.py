@@ -745,35 +745,46 @@ def run_pq(spark, sf_dir: str, k_lists: int = 8
         metrics["pq_compression_ratio"] >= 4)
 
     # VERDICT r7 #6: the STORED IVF-PQ composition - cluster
-    # directories holding codes (write_ivf_pq_layout), probe prunes
-    # partitions AND reads m-byte codes, ADC within probed directories
-    # (per-query in-kernel cluster mask), exact re-rank joins back to
-    # the float vectors. Timed series = the end-to-end probe; the
-    # race partner is pq_adc_rerank_scan above (same rerank, same k,
-    # but scanning EVERY code row) - pruning should win by ~k/nprobe
-    # scan volume once the corpus dwarfs fixed costs. k_lists follows
-    # the cluster-size-constant rule like the ivf stage.
+    # directories holding codes, probe prunes partitions AND reads
+    # m-byte codes, ADC within probed directories (per-query in-kernel
+    # cluster mask), exact re-rank joins back to the float vectors.
+    # Timed series = the end-to-end probe; the race partner is
+    # pq_adc_rerank_scan above (same rerank, same k, but scanning
+    # EVERY code row) - pruning should win by ~k/nprobe scan volume
+    # once the corpus dwarfs fixed costs. k_lists follows the
+    # cluster-size-constant rule like the ivf stage; the quantizer is
+    # the TWO-LEVEL one (E46) because the flat coarse fit is O(n*k*dim)
+    # and measured 613 s of the build wall at the 300x point - the
+    # hierarchical assignment is the composition's build-scale half.
     from etl_pipeline_mini_project_01_spark.operators.kmeans import (
-        kmeans_fit,
+        kmeans_fit_twolevel,
     )
     from etl_pipeline_mini_project_01_spark.operators.pq import (
-        ivf_pq_probe,
-        write_ivf_pq_layout,
+        ivf_pq_probe_twolevel,
+        write_ivf_pq_layout_twolevel,
     )
+    k12 = max(2, int(round(k_lists ** 0.5)))
     ivfpq_path = os.path.join(
         REPO, ".scratch", f"ivfpq_{os.path.basename(sf_dir)}_{k_lists}")
     t0 = time.perf_counter()
-    cents, dim = kmeans_fit(nemb, k=k_lists, iters=1, kernel=KERNEL)
-    write_ivf_pq_layout(nemb, cents, dim, books, ivfpq_path,
-                        kernel=KERNEL)
+    cc2, fi2, dim = kmeans_fit_twolevel(nemb, k12, k12,
+                                        HIER_ITERS1, HIER_ITERS2,
+                                        kernel=KERNEL)
+    write_ivf_pq_layout_twolevel(nemb, cc2, fi2, k12, dim, books,
+                                 ivfpq_path, kernel=KERNEL)
     metrics["ivfpq_index_build_sec"] = round(time.perf_counter() - t0, 3)
 
-    ivfpq = ivf_pq_probe(spark, ivfpq_path, queries, cents, books,
-                         nprobe=IVF_NPROBE, k=IVF_TOP_K,
-                         rerank=10 * IVF_TOP_K, emb=vecs)
+    ivfpq = ivf_pq_probe_twolevel(spark, ivfpq_path, queries, cc2, fi2,
+                                  k12, books, nprobe=IVF_NPROBE,
+                                  k=IVF_TOP_K,
+                                  nprobe_coarse=IVF_NPROBE,
+                                  rerank=10 * IVF_TOP_K, emb=vecs)
     t0 = time.perf_counter()
     _consume(ivfpq)
     walls["ivfpq_probe"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _consume(ivfpq)
+    walls["ivfpq_probe_warm"] = round(time.perf_counter() - t0, 3)
     metrics["ivfpq_recall_at_k"] = round(_recall(ivfpq), 4)
     checks["ivfpq_recall_floor"] = (
         metrics["ivfpq_recall_at_k"] >= IVF_RECALL_FLOOR)
@@ -1218,6 +1229,7 @@ def main() -> None:
         "pq_adc_rerank_scan": _pair("pq_adc_rerank_scan",
                                     "pq_adc_rerank_scan"),
         "ivfpq_probe": _pair("ivfpq_probe", "ivfpq_probe"),
+        "ivfpq_probe_warm": _pair("ivfpq_probe_warm", "ivfpq_probe_warm"),
         "pq_fullprec_scan": _pair("pq_fullprec_scan",
                                   "pq_fullprec_scan"),
         # audit walls are not base/big pairs: the sampled big point is
