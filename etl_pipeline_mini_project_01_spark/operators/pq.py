@@ -43,8 +43,11 @@ oracle default). ADC scores are approximations by construction; the
 exact re-rank tail restores fold-order cosine for the final ranking.
 
 Reference: /root/reference has no vector search at all; this extends
-SURVEY.md SS2-E (E47). Capacity policy: not a registry row - vouched
-by tests/test_pq.py + the scale-curve `pq` stage, like E46."""
+SURVEY.md SS2-E (E47). Driver row since round 8: `pq_codes_rerank_topk`
+(plans/similarity.py) oracle-checks training + encode + the
+rerank=corpus exactness limit; tests/test_pq.py and the scale-curve
+`pq` stage vouch the approximation quality and the stored IVF-PQ
+composition."""
 
 from __future__ import annotations
 
