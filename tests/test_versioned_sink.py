@@ -1,0 +1,144 @@
+"""Streaming -> versioned-table sink (streaming/versioned_sink.py):
+every micro-batch CAS-commits a new snapshot; the latest version is
+batch-equivalent to the same aggregation over all input, intermediate
+versions are the running state as of each batch, and the optimistic
+loop rebases over a concurrent committer instead of clobbering it."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_mini_project_01_spark.sources.versioned import (
+    latest_version,
+    list_versions,
+    read_version,
+    write_version,
+)
+from etl_pipeline_mini_project_01_spark.streaming.versioned_sink import (
+    commit_batch_versioned,
+    run_to_versioned_sink,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def scratch():
+    d = tempfile.mkdtemp(prefix="vsink_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _staged_events(spark, scratch, n_files=3):
+    """Stage the events table as n separate parquet files so
+    maxFilesPerTrigger=1 yields n distinct micro-batches."""
+    from etl_pipeline_mini_project_01_spark.catalog import load_table
+
+    src = (load_table(spark, SF_DIR, "events")
+           .select("user_id", "event_type", "value"))
+    in_dir = scratch + "/in"
+    (src.withColumn("_f", F.pmod(F.xxhash64("user_id"), F.lit(n_files)))
+     .repartition(n_files, "_f").drop("_f")
+     .write.parquet(in_dir))
+    stream = (spark.readStream
+              .schema("user_id bigint, event_type string, value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(in_dir))
+    return src, stream
+
+
+def test_versioned_sink_batch_equivalence_and_time_travel(spark, scratch):
+    """Update-mode running counts through the sink: the LATEST version
+    equals the batch aggregation over all input (batch equivalence);
+    each intermediate version is a consistent running state (counts
+    monotone per key, never a torn batch); versions are dense from 1."""
+    src, stream = _staged_events(spark, scratch)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"))
+    root = scratch + "/table"
+    final = run_to_versioned_sink(agg, root, scratch + "/ckpt",
+                                  keys=["user_id"])
+
+    want = {r["user_id"]: r["n"] for r in
+            src.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    got = {r["user_id"]: r["n_events"] for r in final.collect()}
+    assert got == want
+
+    versions = list_versions(root)
+    assert versions == list(range(1, len(versions) + 1))
+    assert len(versions) >= 2          # multiple micro-batches committed
+    prev: dict = {}
+    for v in versions:
+        state = {r["user_id"]: r["n_events"] for r in
+                 read_version(spark, root, v).collect()}
+        assert all(state.get(k, 0) >= n for k, n in prev.items()), v
+        prev = state
+    assert prev == want                # last version == final state
+
+
+def test_versioned_sink_append_mode_is_batch_log(spark, scratch):
+    """keys=None: each version is that batch's rows alone - the
+    append-log shape; the union of versions equals the input."""
+    src, stream = _staged_events(spark, scratch)
+    proj = stream.select("user_id", "event_type")
+    root = scratch + "/table"
+    run_to_versioned_sink(proj, root, scratch + "/ckpt",
+                          output_mode="append")
+    rows = []
+    for v in list_versions(root):
+        rows += [tuple(r) for r in read_version(spark, root, v).collect()]
+    assert sorted(rows) == sorted(
+        tuple(r) for r in src.select("user_id", "event_type").collect())
+
+
+def test_commit_rebases_over_concurrent_committer(spark, scratch):
+    """The CAS loop must RE-READ the head after a conflict: a
+    concurrent commit landing between batches is included in the next
+    upsert's rebase, never clobbered."""
+    root = scratch + "/table"
+    b1 = spark.createDataFrame([(1, 10.0)], "k bigint, v double")
+    assert commit_batch_versioned(b1, root, keys=["k"]) == 1
+    # a concurrent writer (repair job) lands key 99
+    write_version(
+        read_version(spark, root).unionByName(
+            spark.createDataFrame([(99, 1.0)], "k bigint, v double")),
+        root)
+    b2 = spark.createDataFrame([(1, 20.0), (2, 5.0)], "k bigint, v double")
+    v = commit_batch_versioned(b2, root, keys=["k"])
+    assert v == 3 and latest_version(root) == 3
+    state = {r["k"]: r["v"] for r in read_version(spark, root).collect()}
+    assert state == {1: 20.0, 2: 5.0, 99: 1.0}   # 99 survived the rebase
+
+
+def test_empty_batch_burns_no_version(spark, scratch):
+    root = scratch + "/table"
+    empty = spark.createDataFrame([], "k bigint, v double")
+    assert commit_batch_versioned(empty, root, keys=["k"]) is None
+    assert list_versions(root) == []
+
+
+def test_conflict_retry_exhaustion_raises_retryable(spark, scratch,
+                                                    monkeypatch):
+    """When every claim loses (a pathological racer), the sink raises
+    the retryable VersionConflict instead of looping forever or
+    silently dropping the batch."""
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        VersionConflict,
+    )
+    from etl_pipeline_mini_project_01_spark.streaming import versioned_sink
+
+    root = scratch + "/table"
+    b = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+
+    def always_loses(df, r, expected_version):
+        raise VersionConflict("claimed by a concurrent committer")
+
+    monkeypatch.setattr(versioned_sink, "write_version_cas", always_loses)
+    with pytest.raises(VersionConflict, match="gave up"):
+        commit_batch_versioned(b, root, keys=["k"], max_retries=3)
