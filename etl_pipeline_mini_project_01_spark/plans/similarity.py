@@ -1690,7 +1690,10 @@ def pq_codes_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_train(emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
-    codes = pq_encode(emb, books)
+    # The codes relation feeds BOTH output halves (the exploded 'code'
+    # rows and the ADC scan); pin it once so the encode kernel runs one
+    # pass, not one per branch. Control-plane sized (n x m smallints).
+    codes = pq_encode(emb, books).localCheckpoint()
     queries = (emb.filter(F.col("vec_id") < N_QUERIES)
                .select("vec_id", "embedding"))
     n = emb.count()
