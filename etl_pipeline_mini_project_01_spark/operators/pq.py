@@ -393,22 +393,50 @@ def ivf_pq_probe(spark, path: str, queries: DataFrame,
                  codebooks: list[list[list[float]]],
                  nprobe: int, k: int,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 rerank: int = 0, emb: DataFrame | None = None
-                 ) -> DataFrame:
+                 rerank: int = 0, emb: DataFrame | None = None,
+                 probe_lists: str = "auto",
+                 literal_max: int | None = None) -> DataFrame:
     """Serve from the stored IVF-PQ index: (query_id, vec_id, score,
-    rank). Probe lists are planned driver-side (`probe_clusters`, the
-    same fold-order math as the flat layout's literal mode - the
-    interactive/small-batch serving shape; a large batch belongs on
-    the flat layout's plan mode with full-precision vectors) and the
-    union is pushed as a planning-time `IN`, so the scan's file index
-    never lists unprobed directories and reads m-byte codes only. ADC
-    ranks within the probed rows - each query masked in-kernel to ITS
-    probed clusters - and `rerank` > 0 re-scores the top candidates
-    exactly against the full-precision `emb` (candidate-sized join)."""
-    from .ivf_layout import probe_clusters
+    rank). Probe-list planning carries the float layout's contract:
+
+    * "literal" (small-batch serving): query vectors visit the driver
+      (`probe_clusters` fold math per query), the probed union lands
+      as a planning-time `IN` so the scan's file index never lists
+      unprobed directories, and the ADC kernel broadcasts the
+      |Q| x m x ksub LUTs in its closure with per-query cluster masks.
+    * "plan" (large batches): NOTHING is |Q|-sized on the driver -
+      candidates come from the distributed `kmeans_transform_topn`
+      kernel, join the pruned scan on `cluster` (runtime partition
+      pruning), the query vectors join back broadcast, and the
+      pair-wise ADC kernel builds each query's LUT per (batch, query)
+      group from the qv column. Scores bit-equal to literal (equality
+      pinned in tests/test_pq.py).
+    * "auto" (default): literal at or below `literal_max` (the
+      ivf_layout module default), plan above.
+
+    Either way the scan reads m-byte codes only, and `rerank` > 0
+    re-scores the top candidates exactly against the full-precision
+    `emb` (candidate-sized join)."""
+    from .ivf_layout import LITERAL_PROBE_MAX, probe_clusters
+    from .kmeans import kmeans_transform_topn
 
     if rerank and emb is None:
         raise ValueError("rerank > 0 needs the full-precision `emb`")
+    if probe_lists not in ("auto", "plan", "literal"):
+        raise ValueError(f"probe_lists must be 'auto', 'plan' or "
+                         f"'literal', got {probe_lists!r}")
+    literal_max = LITERAL_PROBE_MAX if literal_max is None else literal_max
+    if probe_lists == "auto":
+        n_q = queries.select(id_col).limit(literal_max + 1).count()
+        probe_lists = "literal" if n_q <= literal_max else "plan"
+    if probe_lists == "plan":
+        dim = len(cents[0])
+        cand = (kmeans_transform_topn(queries, cents, dim, n=nprobe,
+                                      id_col=id_col, vec_col=vec_col)
+                .select(F.col(id_col).alias("query_id"),
+                        F.col("cluster").cast("int").alias("cluster")))
+        return _ivf_pq_plan_probe(spark, path, queries, cand, codebooks,
+                                  k, rerank, id_col, vec_col, emb)
     q_ids, luts = _query_luts(queries, codebooks, id_col, vec_col)
     qrows = queries.select(id_col, vec_col).collect()
     by_id = {r[id_col]: list(r[vec_col]) for r in qrows}
@@ -482,18 +510,40 @@ def ivf_pq_probe_twolevel(spark, path: str, queries: DataFrame,
                           nprobe: int, k: int, nprobe_coarse: int = 4,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          rerank: int = 0, emb: DataFrame | None = None
-                          ) -> DataFrame:
-    """Serve from the two-level IVF-PQ index: probe lists planned
-    driver-side at (k1 + nprobe_coarse*k2)*dim per query
+                          rerank: int = 0, emb: DataFrame | None = None,
+                          probe_lists: str = "auto",
+                          literal_max: int | None = None) -> DataFrame:
+    """Serve from the two-level IVF-PQ index. Literal mode plans probe
+    lists driver-side at (k1 + nprobe_coarse*k2)*dim per query
     (`probe_clusters_twolevel` - never the flat planner's k*dim scan
-    at corpus-scaled k), leaf union pushed as a planning-time IN, ADC
-    over the pruned m-byte codes with per-query in-kernel leaf masks,
-    optional exact re-rank against the full-precision source."""
-    from .ivf_layout import probe_clusters_twolevel
+    at corpus-scaled k) and pushes the leaf union as a planning-time
+    IN with per-query in-kernel leaf masks; plan mode (large batches)
+    routes candidates through the distributed
+    `kmeans_transform_topn_twolevel` kernel into the shared pair-wise
+    ADC tail - no |Q|-sized driver state. Auto picks literal at or
+    below `literal_max`. Optional exact re-rank against the
+    full-precision source either way."""
+    from .ivf_layout import LITERAL_PROBE_MAX, probe_clusters_twolevel
+    from .kmeans import kmeans_transform_topn_twolevel
 
     if rerank and emb is None:
         raise ValueError("rerank > 0 needs the full-precision `emb`")
+    if probe_lists not in ("auto", "plan", "literal"):
+        raise ValueError(f"probe_lists must be 'auto', 'plan' or "
+                         f"'literal', got {probe_lists!r}")
+    literal_max = LITERAL_PROBE_MAX if literal_max is None else literal_max
+    if probe_lists == "auto":
+        n_q = queries.select(id_col).limit(literal_max + 1).count()
+        probe_lists = "literal" if n_q <= literal_max else "plan"
+    if probe_lists == "plan":
+        dim = len(coarse_cents[0])
+        cand = (kmeans_transform_topn_twolevel(
+            queries, coarse_cents, fine, k2, dim, n=nprobe,
+            nprobe_coarse=nprobe_coarse, id_col=id_col, vec_col=vec_col)
+            .select(F.col(id_col).alias("query_id"),
+                    F.col("cluster").cast("int").alias("cluster")))
+        return _ivf_pq_plan_probe(spark, path, queries, cand, codebooks,
+                                  k, rerank, id_col, vec_col, emb)
     q_ids, luts = _query_luts(queries, codebooks, id_col, vec_col)
     qrows = queries.select(id_col, vec_col).collect()
     by_id = {r[id_col]: list(r[vec_col]) for r in qrows}
@@ -508,6 +558,83 @@ def ivf_pq_probe_twolevel(spark, path: str, queries: DataFrame,
     take = max(k, rerank)
     top = _adc_candidate_topk(lay, q_ids, luts, take, id_col,
                               cluster_sets=cluster_sets)
+    if not rerank:
+        return top.select("query_id", id_col, "score", "rank")
+    return _exact_rerank(top, queries, emb, k, id_col, vec_col)
+
+
+def _adc_pairwise_topk(pairs: DataFrame, take: int, id_col: str,
+                       codebooks: list[list[list[float]]]) -> DataFrame:
+    """ADC over a (query_id, qv, id, codes) PAIR relation - the
+    large-batch planning path. Unlike `_adc_candidate_topk`, NOTHING
+    here is |Q|-sized driver state: no collected query vectors, no
+    |Q| x m x ksub LUT closure, no per-query cluster sets. Each Arrow
+    batch groups its rows by query_id, builds that query's m x ksub
+    LUT once per (batch, query) from the qv column (m small matvecs -
+    the same float64 dgemv arithmetic as `_query_luts`, so scores are
+    bit-equal to the literal path), scores the group's codes by m
+    fancy-indexed lookups, and emits the per-batch partial top-`take`
+    by the global window's (score desc, id) order with self-matches
+    dropped in-kernel. The candidate join upstream already restricted
+    each query to its probed clusters, so no membership mask is
+    needed."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    mats = _book_mats(codebooks)
+    m = len(mats)
+    dsub = mats[0].shape[1]
+    out_schema = StructType([
+        StructField("query_id", pairs.schema["query_id"].dataType),
+        pairs.schema[id_col],
+        StructField("score", DoubleType())])
+
+    def adc_pairs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            parts = []
+            for q, grp in pdf.groupby("query_id", sort=False):
+                qv = np.asarray(grp["qv"].iloc[0], dtype=np.float64)
+                c = np.stack(grp["codes"].to_numpy()).astype(np.int64)
+                scores = np.zeros(c.shape[0], dtype=np.float64)
+                for s in range(m):
+                    lut = mats[s] @ qv[s * dsub:(s + 1) * dsub]
+                    scores += lut[c[:, s]]
+                part = pd.DataFrame({"query_id": q,
+                                     id_col: grp[id_col].to_numpy(),
+                                     "score": scores})
+                part = part[part[id_col] != q]
+                parts.append(part.sort_values(
+                    ["score", id_col], ascending=[False, True],
+                    kind="mergesort").head(take))
+            yield pd.concat(parts, ignore_index=True)
+
+    cand = (pairs.select("query_id", "qv", id_col, "codes")
+            .mapInPandas(adc_pairs, out_schema))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), id_col)
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= take))
+
+
+def _ivf_pq_plan_probe(spark, path: str, queries: DataFrame,
+                       cand: DataFrame, codebooks, k: int, rerank: int,
+                       id_col: str, vec_col: str,
+                       emb: DataFrame | None) -> DataFrame:
+    """Shared plan-mode tail for both IVF-PQ probes: the pruned code
+    scan joins the broadcast candidate relation on `cluster` (runtime/
+    dynamic partition pruning - same plan shape as the float layout's
+    plan mode), then the broadcast query vectors on query_id, and the
+    pair-wise ADC kernel ranks. The pair relation's size is exactly
+    the ADC work (sum over queries of their probed posting lists) -
+    rows of a directory probed by A but not B never pair with B."""
+    lay = spark.read.parquet(path).select(id_col, "codes", "cluster")
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"))
+    pairs = (lay.join(F.broadcast(cand), "cluster")
+             .join(F.broadcast(qv), "query_id"))
+    take = max(k, rerank)
+    top = _adc_pairwise_topk(pairs, take, id_col, codebooks)
     if not rerank:
         return top.select("query_id", id_col, "score", "rank")
     return _exact_rerank(top, queries, emb, k, id_col, vec_col)

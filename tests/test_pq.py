@@ -492,3 +492,61 @@ def test_ivf_pq_twolevel_stored_probe_per_query_pruning(spark, pq_model,
     want = sorted((r.query_id, r.rank, r.vec_id, repr(r.score))
                   for r in want_df.collect())
     assert got == want and len(got) == 5 * TOPK
+
+
+def test_ivf_pq_plan_mode_equals_literal_across_threshold(spark, pq_model,
+                                                          tmp_path):
+    """The large-batch planning path for the stored IVF-PQ index: plan
+    mode (distributed candidates + the pair-wise per-(batch, query)
+    LUT kernel - zero |Q|-sized driver state) must return the EXACT
+    rows of literal mode, auto must flip at literal_max, and the same
+    holds through the exact re-rank tail and for the two-level
+    variant."""
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_fit_twolevel,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.pq import (
+        ivf_pq_probe,
+        ivf_pq_probe_twolevel,
+        write_ivf_pq_layout,
+        write_ivf_pq_layout_twolevel,
+    )
+
+    emb, nemb, books, codes = pq_model
+    queries = (nemb.filter("vec_id < 5")
+               .select("vec_id", "embedding").localCheckpoint())
+
+    def _rows(df):
+        return sorted((r.query_id, r.vec_id, repr(r.score), r.rank)
+                      for r in df.collect())
+
+    cents, dim = kmeans_fit(nemb, k=8, iters=1)
+    fpath = str(tmp_path / "flat_codes")
+    write_ivf_pq_layout(nemb, cents, dim, books, fpath)
+    for rr in (0, 50):
+        kw = dict(rerank=rr, emb=nemb if rr else None)
+        lit = ivf_pq_probe(spark, fpath, queries, cents, books, 3, TOPK,
+                           probe_lists="literal", **kw)
+        pln = ivf_pq_probe(spark, fpath, queries, cents, books, 3, TOPK,
+                           probe_lists="plan", **kw)
+        assert _rows(lit) == _rows(pln) and _rows(lit), rr
+        below = ivf_pq_probe(spark, fpath, queries, cents, books, 3,
+                             TOPK, literal_max=5, **kw)
+        above = ivf_pq_probe(spark, fpath, queries, cents, books, 3,
+                             TOPK, literal_max=4, **kw)
+        assert _rows(below) == _rows(above) == _rows(lit), rr
+
+    k1 = k2 = 3
+    cc, fi, dim2 = kmeans_fit_twolevel(nemb, k1, k2, 1, 1)
+    hpath = str(tmp_path / "hier_codes")
+    write_ivf_pq_layout_twolevel(nemb, cc, fi, k2, dim2, books, hpath)
+    lit2 = ivf_pq_probe_twolevel(spark, hpath, queries, cc, fi, k2,
+                                 books, nprobe=4, k=TOPK,
+                                 nprobe_coarse=2, rerank=50, emb=nemb,
+                                 probe_lists="literal")
+    pln2 = ivf_pq_probe_twolevel(spark, hpath, queries, cc, fi, k2,
+                                 books, nprobe=4, k=TOPK,
+                                 nprobe_coarse=2, rerank=50, emb=nemb,
+                                 probe_lists="plan")
+    assert _rows(lit2) == _rows(pln2) and _rows(lit2)
