@@ -443,7 +443,8 @@ def ivf_pq_probe(spark, path: str, queries: DataFrame,
     cluster_sets = [frozenset(probe_clusters(by_id[q], cents, nprobe))
                     for q in q_ids]
     union = sorted({c for s in cluster_sets for c in s})
-    lay = (spark.read.parquet(path)
+    from .ivf_layout import _read_probed_dirs
+    lay = (_read_probed_dirs(spark, path, union)
            .select(id_col, "codes", "cluster")
            .filter(F.col("cluster").isin(union)))
     take = max(k, rerank)
@@ -552,7 +553,8 @@ def ivf_pq_probe_twolevel(spark, path: str, queries: DataFrame,
                                           k2, nprobe, nprobe_coarse))
         for q in q_ids]
     union = sorted({c for s in cluster_sets for c in s})
-    lay = (spark.read.parquet(path)
+    from .ivf_layout import _read_probed_dirs
+    lay = (_read_probed_dirs(spark, path, union)
            .select(id_col, "codes", "cluster")
            .filter(F.col("cluster").isin(union)))
     take = max(k, rerank)
