@@ -164,13 +164,19 @@ def _book_mats(codebooks) -> list[np.ndarray]:
 
 
 def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
-              id_col: str = "vec_id", vec_col: str = "embedding"
-              ) -> DataFrame:
-    """(id_col, codes array<smallint>): one map-side Arrow pass; per
-    subspace the argmin code by expanded-form distances with the same
-    first-min==lowest-code tie rule as the k-means kernels. codes[s]
-    indexes codebooks[s]; the stored row costs m small ints (m bytes
-    at ksub<=256 in parquet's packed encoding) instead of dim floats."""
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """(id_col, *passthrough, codes array<smallint>): one map-side
+    Arrow pass; per subspace the argmin code by expanded-form distances
+    with the same first-min==lowest-code tie rule as the k-means
+    kernels. codes[s] indexes codebooks[s]; the stored row costs m
+    small ints (m bytes at ksub<=256 in parquet's packed encoding)
+    instead of dim floats. `passthrough` columns (e.g. the cluster id
+    an upstream assignment pass already attached) ride the SAME
+    projection - the encode is a plain column expression, so callers
+    never need a corpus-sized self-join on id_col to re-attach them
+    (VERDICT r8 #2, the same contract as write_ivf_layout's
+    carry-through at ivf_layout.py)."""
     mats = _book_mats(codebooks)
     m = len(mats)
     dsub = mats[0].shape[1]
@@ -188,7 +194,7 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
             out[:, s] = np.argmin(d, axis=1)
         return pd.Series(list(out))
 
-    return emb.select(id_col, encode(vec_col).alias("codes"))
+    return emb.select(id_col, *passthrough, encode(vec_col).alias("codes"))
 
 
 def pq_adc_topk(codes: DataFrame, queries: DataFrame,
@@ -223,7 +229,7 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
     (pinned in tests/test_pq.py)."""
     if rerank and emb is None:
         raise ValueError("rerank > 0 needs the full-precision `emb`")
-    q_ids, luts = _query_luts(queries, codebooks, id_col, vec_col)
+    q_ids, _, luts = _query_luts(queries, codebooks, id_col, vec_col)
     take = max(k, rerank)
     top = _adc_candidate_topk(codes, q_ids, luts, take, id_col)
     if not rerank:
@@ -232,11 +238,15 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
 
 
 def _query_luts(queries: DataFrame, codebooks: list[list[list[float]]],
-                id_col: str, vec_col: str) -> tuple[list, np.ndarray]:
-    """(q_ids, luts) for an ADC kernel: luts[qi][s][code] =
+                id_col: str, vec_col: str
+                ) -> tuple[list, np.ndarray, np.ndarray]:
+    """(q_ids, q_mat, luts) for an ADC kernel: luts[qi][s][code] =
     <query subvector, code centroid> - |Q| x m x ksub floats,
     control-plane sized, shipped to executors inside the kernel
-    closure."""
+    closure. The raw query vectors (q_mat) come back too, from the
+    SAME collect - callers that also need them (the IVF-PQ probes'
+    driver-side probe planning) must not pay a second driver job for
+    the same small batch (VERDICT r8 #6)."""
     mats = _book_mats(codebooks)
     m = len(mats)
     dsub = mats[0].shape[1]
@@ -250,7 +260,7 @@ def _query_luts(queries: DataFrame, codebooks: list[list[list[float]]],
         np.stack([mats[s] @ q_mat[qi, s * dsub:(s + 1) * dsub]
                   for s in range(m)])
         for qi in range(len(q_ids))])
-    return q_ids, luts
+    return q_ids, q_mat, luts
 
 
 def _adc_candidate_topk(codes: DataFrame, q_ids: list, luts: np.ndarray,
@@ -321,30 +331,39 @@ def _adc_candidate_topk(codes: DataFrame, q_ids: list, luts: np.ndarray,
 
 
 def _exact_rerank(top: DataFrame, queries: DataFrame, emb: DataFrame,
-                  k: int, id_col: str, vec_col: str) -> DataFrame:
+                  k: int, id_col: str, vec_col: str,
+                  hint_broadcast: bool = True) -> DataFrame:
     """Exact re-rank tail: candidate-sized join back to full vectors.
-    The candidate relation joins the raw corpus FIRST (a broadcast
-    of |queries| x rerank ids - the corpus never shuffles) and the
-    normalization expressions run on the surviving rows only; putting
-    normalized_vectors upstream of the join would compute the
+    The candidate relation joins the raw corpus FIRST (|queries| x
+    rerank ids - the corpus never shuffles when that side broadcasts)
+    and the normalization expressions run on the surviving rows only;
+    putting normalized_vectors upstream of the join would compute the
     per-row norm fold for the WHOLE corpus (measured 69 s vs 9 s at
-    the 100x curve point)."""
+    the 100x curve point).
+
+    `hint_broadcast=False` (the plan-mode probes, VERDICT r8 #3): the
+    candidate and query-vector relations are |Q|-sized, and a broadcast
+    relation is still collected to the driver before torrent
+    distribution - so for whole-eval-split batches the hints come OFF
+    and the joins form by shuffle; AQE still broadcasts small sides at
+    runtime from their true sizes."""
     from pyspark.sql import Window
 
     from .semdedup import normalized_vectors, pair_dot
 
+    maybe_bcast = F.broadcast if hint_broadcast else (lambda df: df)
     qv = (normalized_vectors(queries, id_col, vec_col)
           .select(F.col(id_col).alias("query_id"),
                   F.col("nv").alias("qnv")))
     wr = Window.partitionBy("query_id").orderBy(F.desc("score"), id_col)
     return (emb.select(id_col, vec_col)
-            .join(F.broadcast(top.select("query_id", id_col)), id_col)
+            .join(maybe_bcast(top.select("query_id", id_col)), id_col)
             .withColumn("_n2", F.aggregate(
                 vec_col, F.lit(0.0),
                 lambda a, v: a + v.cast("double") * v.cast("double")))
             .withColumn("nv", F.transform(
                 vec_col, lambda x: x.cast("double") / F.sqrt("_n2")))
-            .join(F.broadcast(qv), "query_id")
+            .join(maybe_bcast(qv), "query_id")
             .withColumn("score", pair_dot("qnv", "nv"))
             .withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= k)
@@ -369,23 +388,46 @@ def write_ivf_pq_layout(emb: DataFrame, cents: list[list[float]],
     m bytes/row instead of dim floats - the scan cost multiplies both
     savings. The full-precision vectors stay in the source table,
     touched only by the candidate-sized re-rank join."""
-    from .kmeans import _assign, _scaled
-
     if files_per_cluster < 1:
         raise ValueError(f"files_per_cluster must be >= 1, "
                          f"got {files_per_cluster}")
+    _ivf_pq_routed(emb, cents, dim, codebooks, id_col, vec_col, kernel,
+                   files_per_cluster) \
+        .write.partitionBy("cluster").mode(mode).parquet(path)
+    from .ivf_layout import commit_layout_manifest
+    commit_layout_manifest(emb.sparkSession, path)
+
+
+def _ivf_pq_routed(emb: DataFrame, cents: list[list[float]], dim: int,
+                   codebooks: list[list[list[float]]], id_col: str,
+                   vec_col: str, kernel: str | None,
+                   files_per_cluster: int) -> DataFrame:
+    """The flat IVF-PQ build plan, exposed for the no-self-join plan
+    guard (tests/test_pq.py): cluster rides the encode projection
+    (pq_encode passthrough), so the assignment kernel runs ONCE and the
+    only shuffle is the intentional cluster routing - no corpus-sized
+    join on id_col anywhere in the build (VERDICT r8 #2)."""
+    from .kmeans import _assign, _scaled
+
     assigned = (_assign(_scaled(emb.select(id_col, vec_col), vec_col),
                         cents, dim, kernel)
                 .drop("xi", "xd", "centroid_dist"))
-    coded = pq_encode(assigned, codebooks, id_col, vec_col) \
-        .join(assigned.select(id_col, "cluster"), id_col)
+    coded = pq_encode(assigned, codebooks, id_col, vec_col,
+                      passthrough=("cluster",))
+    return _route_coded(coded, id_col, files_per_cluster)
+
+
+def _route_coded(coded: DataFrame, id_col: str,
+                 files_per_cluster: int) -> DataFrame:
+    """One hash shuffle on the (low-cardinality, k-means-balanced)
+    cluster key routes each cluster to `files_per_cluster` write tasks
+    before partitionBy - ~k*files_per_cluster output files, never the
+    W x k partitionBy sliver explosion."""
     if files_per_cluster == 1:
-        routed = coded.repartition("cluster")
-    else:
-        routed = coded.repartition(
-            F.col("cluster"),
-            F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
-    routed.write.partitionBy("cluster").mode(mode).parquet(path)
+        return coded.repartition("cluster")
+    return coded.repartition(
+        F.col("cluster"),
+        F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
 
 
 def ivf_pq_probe(spark, path: str, queries: DataFrame,
@@ -437,11 +479,11 @@ def ivf_pq_probe(spark, path: str, queries: DataFrame,
                         F.col("cluster").cast("int").alias("cluster")))
         return _ivf_pq_plan_probe(spark, path, queries, cand, codebooks,
                                   k, rerank, id_col, vec_col, emb)
-    q_ids, luts = _query_luts(queries, codebooks, id_col, vec_col)
-    qrows = queries.select(id_col, vec_col).collect()
-    by_id = {r[id_col]: list(r[vec_col]) for r in qrows}
-    cluster_sets = [frozenset(probe_clusters(by_id[q], cents, nprobe))
-                    for q in q_ids]
+    # ONE narrow driver job serves both the LUTs and the probe planning
+    # (VERDICT r8 #6) - q_mat rows feed probe_clusters directly.
+    q_ids, q_mat, luts = _query_luts(queries, codebooks, id_col, vec_col)
+    cluster_sets = [frozenset(probe_clusters(list(qv), cents, nprobe))
+                    for qv in q_mat]
     union = sorted({c for s in cluster_sets for c in s})
     from .ivf_layout import _read_probed_dirs
     lay = (_read_probed_dirs(spark, path, union)
@@ -476,14 +518,32 @@ def write_ivf_pq_layout_twolevel(emb: DataFrame,
     pass. Directory contract is unchanged: `cluster=` partitions of
     (id, codes), so `ivf_pq_probe_twolevel` prunes them with the same
     planning-time IN."""
-    from .kmeans import _assign, _assign_fine, _scaled
-
     if files_per_cluster < 1:
         raise ValueError(f"files_per_cluster must be >= 1, "
                          f"got {files_per_cluster}")
     if any(len(fl) > k2 for fl in fine):
         raise ValueError("a fine list exceeds the nominal k2 "
                          f"({max(len(fl) for fl in fine)} > {k2})")
+    _ivf_pq_routed_twolevel(emb, coarse_cents, fine, k2, dim, codebooks,
+                            id_col, vec_col, kernel, files_per_cluster) \
+        .write.partitionBy("cluster").mode(mode).parquet(path)
+    from .ivf_layout import commit_layout_manifest
+    commit_layout_manifest(emb.sparkSession, path)
+
+
+def _ivf_pq_routed_twolevel(emb: DataFrame,
+                            coarse_cents: list[list[float]],
+                            fine: list[list[list[float]]], k2: int,
+                            dim: int,
+                            codebooks: list[list[list[float]]],
+                            id_col: str, vec_col: str,
+                            kernel: str | None,
+                            files_per_cluster: int) -> DataFrame:
+    """The two-level IVF-PQ build plan, exposed for the no-self-join
+    plan guard: same single-pass contract as the flat build - cluster
+    rides the encode projection, no corpus join (VERDICT r8 #2)."""
+    from .kmeans import _assign, _assign_fine, _scaled
+
     assigned = (_assign(_scaled(emb.select(id_col, vec_col), vec_col),
                         coarse_cents, dim, kernel)
                 .withColumnRenamed("cluster", "coarse")
@@ -493,15 +553,9 @@ def write_ivf_pq_layout_twolevel(emb: DataFrame,
              .withColumn("cluster",
                          F.col("coarse") * k2 + F.col("fine"))
              .drop("xi", "xd", "coarse", "fine", "fine_dist"))
-    coded = pq_encode(fined, codebooks, id_col, vec_col) \
-        .join(fined.select(id_col, "cluster"), id_col)
-    if files_per_cluster == 1:
-        routed = coded.repartition("cluster")
-    else:
-        routed = coded.repartition(
-            F.col("cluster"),
-            F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
-    routed.write.partitionBy("cluster").mode(mode).parquet(path)
+    coded = pq_encode(fined, codebooks, id_col, vec_col,
+                      passthrough=("cluster",))
+    return _route_coded(coded, id_col, files_per_cluster)
 
 
 def ivf_pq_probe_twolevel(spark, path: str, queries: DataFrame,
@@ -545,13 +599,13 @@ def ivf_pq_probe_twolevel(spark, path: str, queries: DataFrame,
                     F.col("cluster").cast("int").alias("cluster")))
         return _ivf_pq_plan_probe(spark, path, queries, cand, codebooks,
                                   k, rerank, id_col, vec_col, emb)
-    q_ids, luts = _query_luts(queries, codebooks, id_col, vec_col)
-    qrows = queries.select(id_col, vec_col).collect()
-    by_id = {r[id_col]: list(r[vec_col]) for r in qrows}
+    # ONE narrow driver job serves both the LUTs and the probe planning
+    # (VERDICT r8 #6) - q_mat rows feed probe_clusters_twolevel directly.
+    q_ids, q_mat, luts = _query_luts(queries, codebooks, id_col, vec_col)
     cluster_sets = [
-        frozenset(probe_clusters_twolevel(by_id[q], coarse_cents, fine,
+        frozenset(probe_clusters_twolevel(list(qv), coarse_cents, fine,
                                           k2, nprobe, nprobe_coarse))
-        for q in q_ids]
+        for qv in q_mat]
     union = sorted({c for s in cluster_sets for c in s})
     from .ivf_layout import _read_probed_dirs
     lay = (_read_probed_dirs(spark, path, union)
@@ -623,20 +677,53 @@ def _ivf_pq_plan_probe(spark, path: str, queries: DataFrame,
                        cand: DataFrame, codebooks, k: int, rerank: int,
                        id_col: str, vec_col: str,
                        emb: DataFrame | None) -> DataFrame:
-    """Shared plan-mode tail for both IVF-PQ probes: the pruned code
-    scan joins the broadcast candidate relation on `cluster` (runtime/
-    dynamic partition pruning - same plan shape as the float layout's
-    plan mode), then the broadcast query vectors on query_id, and the
-    pair-wise ADC kernel ranks. The pair relation's size is exactly
-    the ADC work (sum over queries of their probed posting lists) -
-    rows of a directory probed by A but not B never pair with B."""
-    lay = spark.read.parquet(path).select(id_col, "codes", "cluster")
+    """Shared plan-mode tail for both IVF-PQ probes. NOTHING |Q|-sized
+    carries a broadcast hint (VERDICT r8 #3 - a broadcast relation is
+    still collected to the driver, so hinting the query batch defeats
+    plan mode's no-|Q|-driver-state contract through the back door):
+
+    * partition pruning is seeded by the DISTINCT probed clusters -
+      bounded by k, the same order as the centroid model, genuinely
+      control-plane - broadcast into a left-semi join the scan prunes
+      against at runtime (dynamic partition pruning);
+    * the (query_id, cluster) candidate relation and the (query_id,
+      qv) vectors join WITHOUT hints: the pair relation forms by
+      shuffle on cluster / query_id, and AQE still broadcasts small
+      batches at runtime from their true sizes (plan-guarded in
+      tests/test_pq.py: with auto-broadcast off, no BroadcastExchange
+      touches the query side).
+
+    The pair relation's size is exactly the ADC work (sum over queries
+    of their probed posting lists) - rows of a directory probed by A
+    but not B never pair with B."""
+    from .ivf_layout import _read_probed_dirs, manifest_clusters
+
+    # File discovery: with a committed manifest the probed directories
+    # are known from ONE small driver-side read seeded by the distinct
+    # candidate clusters (<= k ints - one tiny collect of an agg, not
+    # the query batch), so plan build never lists all k directories.
+    # Without a manifest, fall back to the full listing + DPP.
+    if manifest_clusters(path) is not None:
+        # The candidate relation feeds both the distinct-cluster seed
+        # and the pair join; pin it so the distributed assignment
+        # kernel runs once (executor-resident, never on the driver).
+        cand = cand.localCheckpoint()
+        union = sorted(int(r["cluster"]) for r in
+                       cand.select("cluster").distinct().collect())
+        lay = (_read_probed_dirs(spark, path, union)
+               .select(id_col, "codes", "cluster")
+               .filter(F.col("cluster").isin(union)))
+    else:
+        clus = cand.select("cluster").distinct()
+        lay = (spark.read.parquet(path)
+               .select(id_col, "codes", "cluster")
+               .join(F.broadcast(clus), "cluster", "left_semi"))
     qv = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("qv"))
-    pairs = (lay.join(F.broadcast(cand), "cluster")
-             .join(F.broadcast(qv), "query_id"))
+    pairs = lay.join(cand, "cluster").join(qv, "query_id")
     take = max(k, rerank)
     top = _adc_pairwise_topk(pairs, take, id_col, codebooks)
     if not rerank:
         return top.select("query_id", id_col, "score", "rank")
-    return _exact_rerank(top, queries, emb, k, id_col, vec_col)
+    return _exact_rerank(top, queries, emb, k, id_col, vec_col,
+                         hint_broadcast=False)

@@ -74,6 +74,22 @@ def latest_version(root: str) -> int:
         return int(json.load(fh)["version"])
 
 
+def latest_readable_version(root: str) -> int:
+    """Newest version whose manifest has CONTENT - walks the manifest
+    log head downward past zero-byte manifests (a CAS committer that
+    crashed after claiming its version but before finalizing it), 0
+    when nothing readable exists. This can be AHEAD of `_LATEST` when
+    a writer crashed after landing manifest content but before the
+    pointer swap (ADVICE r8): rebasing writers MUST build on this, not
+    on the pointer, or that crashed-but-readable version's rows are
+    silently dropped from every future snapshot."""
+    d = _manifest_dir(root)
+    for v in reversed(list_versions(root)):
+        if os.path.getsize(os.path.join(d, f"v{v:08d}.json")) > 0:
+            return v
+    return 0
+
+
 def list_versions(root: str) -> list[int]:
     """All committed versions, ascending."""
     d = _manifest_dir(root)
@@ -206,13 +222,27 @@ def read_version(spark: SparkSession, root: str,
     return spark.read.parquet(os.path.join(root, manifest["dir"]))
 
 
-def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
+def vacuum_versions(root: str, keep_last: int = 2,
+                    stage_retention_sec: float = 24 * 3600.0
+                    ) -> list[int]:
     """Drop all but the newest `keep_last` snapshots (and any orphan
     snapshot directories from crashed writers - present on disk,
     absent from the manifest log). Returns the removed version
     numbers. The manifest is removed BEFORE its directory so a crash
     mid-vacuum leaves an orphan (re-vacuumable), never a manifest
     pointing at nothing.
+
+    `._stage_*` scratch dirs are swept ONLY when older than
+    `stage_retention_sec` by mtime (ADVICE r8, Delta-style retention):
+    they are also the LIVE staging dirs of in-flight write_version_cas
+    commits - the exact multi-writer setting the module advertises - so
+    an unconditional sweep racing an in-flight commit would kill it
+    (burned version) or, in the rmtree-vs-rename window, let a
+    partially-deleted stage dir be renamed into place as a committed
+    TORN snapshot. A stage dir's mtime refreshes while Spark tasks
+    commit files into it; one untouched for the retention period is a
+    crashed writer's orphan. Set 0.0 to force-sweep when no writer can
+    be live (single-owner maintenance).
 
     keep_last must be >= 1 (ADVICE r6): retaining zero snapshots would
     leave _LATEST referencing a deleted version, so latest_version()
@@ -243,6 +273,15 @@ def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
                 and os.path.isdir(full) and entry[1:].isdigit()):
             shutil.rmtree(full, ignore_errors=True)
         elif entry.startswith("._stage_") and os.path.isdir(full):
-            # crashed CAS commits stage here before claiming a version
-            shutil.rmtree(full, ignore_errors=True)
+            # crashed CAS commits stage here before claiming a version;
+            # age-gate so a LIVE committer's stage dir survives
+            try:
+                import time
+
+                aged = (time.time() - os.path.getmtime(full)
+                        >= stage_retention_sec)
+            except OSError:      # raced: the commit just renamed it
+                aged = False
+            if aged:
+                shutil.rmtree(full, ignore_errors=True)
     return drop

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..sources.versioned import (VersionConflict, latest_version,
+from ..sources.versioned import (VersionConflict, latest_readable_version,
                                  list_versions, read_version,
                                  write_version_cas)
 
@@ -46,14 +46,23 @@ def commit_batch_versioned(batch_df: DataFrame, root: str,
     previous-version-rows-not-in-batch + batch (per-key upsert);
     without, the batch alone is the snapshot (append-log of batches).
     On VersionConflict the loop re-reads the head and re-stages - the
-    concurrent committer's rows are INCLUDED in the rebase read."""
+    concurrent committer's rows are INCLUDED in the rebase read.
+
+    The rebase reads the newest READABLE version from the manifest log
+    (ADVICE r8), not the _LATEST pointer: after a writer crashed
+    between manifest content and the pointer swap the log is AHEAD of
+    _LATEST with a fully-readable version - rebasing from the pointer
+    would silently drop that version's rows from every future
+    snapshot (and with the pointer missing entirely would crash the
+    stream on a phantom version 0)."""
     if batch_df.isEmpty():
         return None
     spark = batch_df.sparkSession
     for _ in range(max_retries):
         head = max(list_versions(root), default=0)
-        if keys and head > 0:
-            prev = read_version(spark, root, latest_version(root))
+        prev_v = latest_readable_version(root)
+        if keys and prev_v > 0:
+            prev = read_version(spark, root, prev_v)
             snapshot = (prev.join(batch_df.select(*keys).distinct(),
                                   keys, "left_anti")
                         .unionByName(batch_df))

@@ -133,8 +133,11 @@ def test_batch_probe_matches_serving_probe(spark, layout):
                                    NPROBE, TOPK, probe_lists="plan")
     batch.collect()
     plan = batch._jdf.queryExecution().executedPlan().toString()
-    assert any("dynamicpruning" in f for f in
-               re.findall(r"PartitionFilters: \[[^\]]*\]", plan)), plan
+    # manifested layout (r9): plan mode prunes from the committed file
+    # manifest - the scan carries the literal probed union; the DPP
+    # fallback for manifest-less layouts is pinned separately in
+    # test_plan_mode_dpp_fallback_without_manifest.
+    assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(", plan), plan
     assert "CartesianProduct" not in plan
     got = {(r.query_id, r.rank): r.vec_id for r in batch.collect()}
     for q in (0, 1, 2):
@@ -213,9 +216,11 @@ def test_auto_probe_mode_picks_by_batch_size(spark, layout):
         plan_b                                  # literal mode fired
     above.collect()
     plan_a = above._jdf.queryExecution().executedPlan().toString()
-    assert any("dynamicpruning" in f for f in
-               re.findall(r"PartitionFilters: \[[^\]]*\]", plan_a)), \
-        plan_a                                  # plan/DPP mode fired
+    # plan mode over a MANIFESTED layout (r9): file discovery is
+    # manifest-bounded, so the scan carries the literal probed union
+    # too - but the probe planning ran distributed (no query collect).
+    assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(", plan_a), \
+        plan_a                                  # manifest pruning fired
 
 
 def test_build_routes_one_file_per_cluster(spark, layout):
@@ -516,8 +521,8 @@ def test_hier_batch_probe_literal_equals_plan_across_threshold(
     (VERDICT r7 #4): probe_lists='literal' and the new distributed
     'plan' mode must return EXACT same rows, auto must flip between
     them at literal_max, and the plan mode's executed scan must carry
-    a runtime (dynamicpruning) partition filter - no unconditional
-    query-vector collect anywhere in the plan path."""
+    the probed-union partition filter (manifest-pruned since r9) - no
+    unconditional query-vector collect anywhere in the plan path."""
     from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
         ivf_probe_pruned_batch_twolevel,
     )
@@ -551,6 +556,84 @@ def test_hier_batch_probe_literal_equals_plan_across_threshold(
         plan_b
     above.collect()
     plan_a = above._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(", plan_a), \
+        plan_a                                  # manifest pruning fired
+
+
+def test_layout_manifest_matches_listing(spark, layout):
+    """The metastore seam (VERDICT r8 #8): the manifest committed at
+    write time must name EXACTLY the data files a directory listing
+    finds - per cluster, relative paths - and survive an append as a
+    new version covering the union."""
+    import os
+
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        manifest_clusters,
+    )
+
+    _, _, _, path = layout
+
+    def _listing():
+        out = {}
+        for entry in sorted(os.listdir(path)):
+            if not entry.startswith("cluster="):
+                continue
+            c = int(entry.split("=", 1)[1])
+            out[c] = sorted(
+                f"{entry}/{f}" for f in os.listdir(os.path.join(path, entry))
+                if f.endswith(".parquet") and not f.startswith(("_", ".")))
+        return out
+
+    assert manifest_clusters(path) == _listing()
+
+
+def test_plan_mode_dpp_fallback_without_manifest(spark, layout):
+    """A pre-manifest layout (or a manifest service the driver cannot
+    reach) must keep the r8 behavior: plan mode's candidate join seeds
+    RUNTIME partition pruning via the broadcast distinct-cluster
+    semi-join, and returns the same rows."""
+    import os
+    import shutil as sh
+    import tempfile as tf
+
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        MANIFEST_SUBDIR,
+        ivf_probe_pruned_batch,
+        manifest_clusters,
+    )
+
+    emb, cents, dim, path = layout
+    queries = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+    want = sorted((r.query_id, r.vec_id, int(r.cluster), repr(r.cosine),
+                   r.rank)
+                  for r in ivf_probe_pruned_batch(
+                      spark, path, queries, cents, dim, NPROBE, TOPK,
+                      probe_lists="plan").collect())
+
+    bare = tf.mkdtemp(prefix="ivf_nomanifest_") + "/embeddings"
+    sh.copytree(path, bare)
+    sh.rmtree(os.path.join(bare, MANIFEST_SUBDIR))
+    assert manifest_clusters(bare) is None
+    out = ivf_probe_pruned_batch(spark, bare, queries, cents, dim,
+                                 NPROBE, TOPK, probe_lists="plan")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert any("dynamicpruning" in f for f in
-               re.findall(r"PartitionFilters: \[[^\]]*\]", plan_a)), \
-        plan_a
+               re.findall(r"PartitionFilters: \[[^\]]*\]", plan)), plan
+    got = sorted((r.query_id, r.vec_id, int(r.cluster), repr(r.cosine),
+                  r.rank) for r in out.collect())
+    assert got == want
+    sh.rmtree(os.path.dirname(bare), ignore_errors=True)
+
+
+def test_manifest_skips_non_local_paths(spark):
+    """ADVICE r8: URI-scheme paths must DECLINE the driver-local fast
+    paths (manifest + bounded listing) instead of silently probing the
+    wrong filesystem."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        commit_layout_manifest,
+        manifest_clusters,
+    )
+
+    assert manifest_clusters("hdfs://nn/warehouse/layout") is None
+    assert commit_layout_manifest(spark, "s3a://bucket/layout") is None

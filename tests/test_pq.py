@@ -550,3 +550,98 @@ def test_ivf_pq_plan_mode_equals_literal_across_threshold(spark, pq_model,
                                  nprobe_coarse=2, rerank=50, emb=nemb,
                                  probe_lists="plan")
     assert _rows(lit2) == _rows(pln2) and _rows(lit2)
+
+
+def test_build_plan_has_no_corpus_join(spark, pq_model):
+    """VERDICT r8 #2: the stored IVF-PQ BUILD must not re-attach the
+    cluster id via a corpus-sized self-join on vec_id - the cluster
+    rides the encode projection, so the plan has ZERO joins, ONE
+    corpus scan, and exactly one Exchange (the intentional cluster
+    routing). Both quantizer shapes."""
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_fit_twolevel,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.pq import (
+        _ivf_pq_routed,
+        _ivf_pq_routed_twolevel,
+    )
+
+    emb, nemb, books, codes = pq_model
+    cents, dim = kmeans_fit(nemb, k=8, iters=1)
+    flat = _ivf_pq_routed(nemb, cents, dim, books, "vec_id",
+                          "embedding", None, 1)
+    cc, fi, dim2 = kmeans_fit_twolevel(nemb, 3, 3, 1, 1)
+    hier = _ivf_pq_routed_twolevel(nemb, cc, fi, 3, dim2, books,
+                                   "vec_id", "embedding", None, 1)
+    for routed in (flat, hier):
+        plan = routed._jdf.queryExecution().sparkPlan().toString()
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange") == 1, plan
+        # layout content unchanged by the refactor: every row carries
+        # (vec_id, cluster, codes) and the codes match pq_encode's
+        got = {r["vec_id"]: (int(r["cluster"]), list(r["codes"]))
+               for r in routed.collect()}
+        assert len(got) == nemb.count()
+    want_codes = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert {k: v[1] for k, v in
+            ((r["vec_id"], (0, list(r["codes"])))
+             for r in flat.select("vec_id", "codes").collect())} \
+        == want_codes
+
+
+def test_plan_mode_no_broadcast_on_query_side(spark, pq_model, tmp_path):
+    """VERDICT r8 #3: plan mode must not carry broadcast HINTS on the
+    |Q|-sized relations (query vectors / candidates / re-rank ids) - a
+    broadcast is still a driver-side collect, so hinting it would
+    defeat the no-|Q|-driver-state contract. With auto-broadcast
+    disabled, the only BroadcastExchange allowed is the distinct-
+    cluster semi-join of the manifest-less fallback; the manifested
+    path has NONE."""
+    import os
+    import shutil as sh
+
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        MANIFEST_SUBDIR,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.pq import (
+        ivf_pq_probe,
+        write_ivf_pq_layout,
+    )
+
+    emb, nemb, books, codes = pq_model
+    queries = (nemb.filter("vec_id < 5")
+               .select("vec_id", "embedding").localCheckpoint())
+    cents, dim = kmeans_fit(nemb, k=8, iters=1)
+    path = str(tmp_path / "guard_codes")
+    write_ivf_pq_layout(nemb, cents, dim, books, path)
+
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        pln = ivf_pq_probe(spark, path, queries, cents, books, 3, TOPK,
+                           rerank=20, emb=nemb, probe_lists="plan")
+        plan = pln._jdf.queryExecution().sparkPlan().toString()
+        assert "Broadcast" not in plan, plan           # manifested path
+
+        bare = str(tmp_path / "guard_codes_bare")
+        sh.copytree(path, bare)
+        sh.rmtree(os.path.join(bare, MANIFEST_SUBDIR))
+        pln2 = ivf_pq_probe(spark, bare, queries, cents, books, 3, TOPK,
+                            rerank=20, emb=nemb, probe_lists="plan")
+        plan2 = pln2._jdf.queryExecution().sparkPlan().toString()
+        assert plan2.count("BroadcastHashJoin") == 1, plan2
+        assert "LeftSemi" in plan2, plan2              # ...the DPP seed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -228,5 +228,10 @@ def test_cas_crashed_claim_burns_number_but_recovers(spark, root):
     assert latest_version(root) == 1          # readers undisturbed
     v3 = write_version(spark.createDataFrame([(3,)], "k bigint"), root)
     assert v3 == 3                            # allocation skips the burn
+    # a FRESH stage dir is indistinguishable from a live committer's -
+    # the default retention must leave it alone (ADVICE r8) ...
     vacuum_versions(root, keep_last=3)
+    assert os.path.exists(os.path.join(root, "._stage_deadbeef"))
+    # ... and only an aged-out one is swept
+    vacuum_versions(root, keep_last=3, stage_retention_sec=0.0)
     assert not os.path.exists(os.path.join(root, "._stage_deadbeef"))

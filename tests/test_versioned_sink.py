@@ -116,6 +116,44 @@ def test_commit_rebases_over_concurrent_committer(spark, scratch):
     assert state == {1: 20.0, 2: 5.0, 99: 1.0}   # 99 survived the rebase
 
 
+def test_rebase_includes_log_ahead_of_pointer(spark, scratch):
+    """ADVICE r8: a writer that crashed AFTER its manifest content
+    landed but BEFORE the _LATEST swap leaves the log ahead of the
+    pointer with a fully-readable version. The next upsert commit must
+    rebase on THAT version (its rows survive), and must not die when
+    the pointer is missing entirely."""
+    import os
+
+    root = scratch + "/table"
+    b1 = spark.createDataFrame([(1, 10.0)], "k bigint, v double")
+    assert commit_batch_versioned(b1, root, keys=["k"]) == 1
+    b2 = spark.createDataFrame([(2, 20.0)], "k bigint, v double")
+    assert commit_batch_versioned(b2, root, keys=["k"]) == 2
+    # simulate the crash window: v2 manifest content exists, pointer
+    # regressed/missing
+    os.remove(os.path.join(root, "_LATEST"))
+    b3 = spark.createDataFrame([(3, 30.0)], "k bigint, v double")
+    assert commit_batch_versioned(b3, root, keys=["k"]) == 3
+    state = {r["k"]: r["v"] for r in read_version(spark, root, 3).collect()}
+    assert state == {1: 10.0, 2: 20.0, 3: 30.0}   # v2's row survived
+
+
+def test_rebase_skips_crashed_zero_byte_manifest(spark, scratch):
+    """A zero-byte (claimed-never-finalized) manifest at the log head
+    must not wedge the stream: the rebase walks down to the newest
+    READABLE version."""
+    import os
+
+    root = scratch + "/table"
+    b1 = spark.createDataFrame([(1, 10.0)], "k bigint, v double")
+    assert commit_batch_versioned(b1, root, keys=["k"]) == 1
+    open(os.path.join(root, "_versions", "v00000002.json"), "w").close()
+    b2 = spark.createDataFrame([(2, 20.0)], "k bigint, v double")
+    assert commit_batch_versioned(b2, root, keys=["k"]) == 3
+    state = {r["k"]: r["v"] for r in read_version(spark, root, 3).collect()}
+    assert state == {1: 10.0, 2: 20.0}            # v1 rebased over the burn
+
+
 def test_empty_batch_burns_no_version(spark, scratch):
     root = scratch + "/table"
     empty = spark.createDataFrame([], "k bigint, v double")
