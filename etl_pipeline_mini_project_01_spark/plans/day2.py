@@ -286,3 +286,130 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (spark.createDataFrame(steps, "step string, value bigint")
             .orderBy("step"))
+
+
+_VSINK_ORACLE = """
+WITH k AS (SELECT CAST(COUNT(DISTINCT user_id % 3) AS DOUBLE) AS nv,
+                  CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS nk,
+                  CAST(COUNT(*) AS DOUBLE) AS ne
+           FROM events)
+SELECT s.step, s.value
+FROM k, LATERAL (VALUES
+    ('1_n_versions', k.nv),
+    ('2_final_keys', k.nk),
+    ('3_final_events', k.ne),
+    ('4_value_mismatch_keys', CAST(0 AS DOUBLE)),
+    ('5_early_row_mismatches', CAST(0 AS DOUBLE)),
+    ('6_vacuum_removed', CAST(GREATEST(k.nv - 2, 0) AS DOUBLE)),
+    ('7_keys_after_vacuum', k.nk)) s(step, value)
+ORDER BY s.step
+"""
+
+
+@register("versioned_stream_sink", oracle=_VSINK_ORACLE)
+def versioned_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E48 as a driver row (VERDICT r8 #5): a REAL Structured Streaming
+    query (readStream -> update-mode running aggregation ->
+    foreachBatch) whose every micro-batch CAS-commits a new snapshot of
+    the target table through streaming/versioned_sink.py - the
+    time-travelling materialized view. The input is staged as one
+    parquet file per user_id%3 residue class (disjoint key sets, so
+    every invariant below is batch-ORDER-free - the file source's batch
+    order is not contractual) and maxFilesPerTrigger=1 makes each class
+    one micro-batch:
+
+      * one version per NON-EMPTY class (empty batches burn no
+        version);
+      * the latest version equals the batch aggregation over all input
+        (keys, row counts, and per-key decimal-exact value sums);
+      * every key's row in EVERY intermediate version already carries
+        its final value (disjoint upserts: state lands once) - the
+        as-of-batch-v read is a consistent running state, never torn;
+      * vacuum keep_last=2 removes exactly n_versions-2 snapshots and
+        the surviving latest read is untouched.
+
+    The oracle states every value from the input alone. Reference
+    analogue: per-run ON CONFLICT upserts in
+    /root/reference/src/loader/bronze_loader.py:143-188 - which
+    overwrite history; this row is what makes each run's state a
+    readable artifact."""
+    from ..catalog import load_table
+    from ..sources.versioned import list_versions, read_version, vacuum_versions
+    from ..streaming.versioned_sink import run_to_versioned_sink
+    from .parity import dsum
+
+    if not hasattr(versioned_stream_sink, "_run_tag"):
+        versioned_stream_sink._run_tag = uuid.uuid4().hex[:8]
+    tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+           + "_" + versioned_stream_sink._run_tag)
+    scratch = f"/tmp/spark_graft_vsink_{tag}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    in_dir = os.path.join(scratch, "in")
+    os.makedirs(in_dir)
+
+    events = (load_table(spark, sf_dir, "events")
+              .select("user_id", "value"))
+    # One file per residue class: classes are disjoint in user_id, so
+    # every checked invariant is independent of the source's batch
+    # ordering (which Spark does not contract).
+    for r in range(3):
+        tmp = os.path.join(scratch, f"stage{r}")
+        (events.filter(F.pmod("user_id", F.lit(3)) == r).coalesce(1)
+         .write.parquet(tmp))
+        part = next(f for f in sorted(os.listdir(tmp))
+                    if f.endswith(".parquet") and not f.startswith(("_", ".")))
+        os.rename(os.path.join(tmp, part),
+                  os.path.join(in_dir, f"class{r}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    stream = (spark.readStream
+              .schema("user_id bigint, value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(in_dir))
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"))
+    root = os.path.join(scratch, "table")
+    final = run_to_versioned_sink(agg, root,
+                                  os.path.join(scratch, "ckpt"),
+                                  keys=["user_id"], output_mode="update")
+    final = final.localCheckpoint()           # pin: versions get vacuumed
+
+    versions = list_versions(root)
+    n_versions = len(versions)
+    final_keys = final.count()
+    final_events = int(final.agg(F.sum("n_events")).first()[0] or 0)
+    truth = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("t_n"), dsum("value", "t_v"))
+    value_mismatch_keys = (final.join(truth, "user_id", "full_outer")
+                           .where((F.col("n_events") != F.col("t_n"))
+                                  | F.col("n_events").isNull()
+                                  | F.col("t_n").isNull()
+                                  | (F.col("total_value") != F.col("t_v")))
+                           .count())
+    early_mismatches = 0
+    for v in versions:
+        early_mismatches += (
+            read_version(spark, root, v)
+            .join(final.select("user_id",
+                               F.col("n_events").alias("f_n"),
+                               F.col("total_value").alias("f_v")),
+                  "user_id", "left_outer")
+            .where((F.col("n_events") != F.col("f_n"))
+                   | F.col("f_n").isNull()
+                   | (F.col("total_value") != F.col("f_v")))
+            .count())
+    removed = vacuum_versions(root, keep_last=2)
+    keys_after = read_version(spark, root).count()
+
+    steps = [
+        ("1_n_versions", float(n_versions)),
+        ("2_final_keys", float(final_keys)),
+        ("3_final_events", float(final_events)),
+        ("4_value_mismatch_keys", float(value_mismatch_keys)),
+        ("5_early_row_mismatches", float(early_mismatches)),
+        ("6_vacuum_removed", float(len(removed))),
+        ("7_keys_after_vacuum", float(keys_after)),
+    ]
+    return (spark.createDataFrame(steps, "step string, value double")
+            .orderBy("step"))

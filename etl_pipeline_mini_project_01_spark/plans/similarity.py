@@ -1430,21 +1430,19 @@ _Q_FOLD = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
            "(p, q) -> p + q)")
 
 
-def _hier_layout_probe_oracle() -> str:
-    """Full replay of the hierarchical serving path: the two-level
-    k-means chain (byte-identical to kmeans_twolevel_clusters' oracle
-    through `bfinal`), leaf materialization, the per-query two-level
-    probe - nprobe_coarse nearest coarse cells by fold distance, then
-    nprobe nearest fine leaves across those cells' lists (a fit-time-
-    empty coarse cell contributes its own centroid as a fine=0 leaf,
-    the build's fallback) - and the cosine rank restricted to the
-    probed leaves (the flat layout oracle's dot/normalization twins)."""
-    dim1, k2, k = _KM_DIM + 1, _KM2_K2, _ANN_TOP_K
+def _twolevel_probe_ctes() -> str:
+    """The two-level PROBE replay as a reusable CTE block (leading
+    comma, appended after a _km2_oracle prefix ending at bfinal):
+    leaf materialization (leaves), the fine-centroid relation with the
+    empty-coarse-cell fallback (fcents), and the per-query two-level
+    probe - nprobe_coarse nearest coarse cells by fold distance (qc),
+    then nprobe nearest fine leaves across those cells' lists (qf).
+    Shared by the float hier-layout row and the stored IVF-PQ row."""
+    dim1, k2 = _KM_DIM + 1, _KM2_K2
     t1, t2 = _KM2_ITERS1, _KM2_ITERS2
-    prefix = _km2_oracle(t1, t2).rsplit("\nSELECT vec_id,\n", 1)[0]
     cfold = _Q_FOLD.format(dim1=dim1, c="cc.c")
     ffold = _Q_FOLD.format(dim1=dim1, c="f.c")
-    return prefix + f""",
+    return f""",
 leaves AS (
     SELECT vec_id, coarse * {k2} + fine AS cluster FROM bfinal
 ),
@@ -1477,7 +1475,22 @@ qf AS (
         JOIN fcents f ON f.coarse = q.coarse
         JOIN xd x ON x.vec_id = q.query_id)
     WHERE rn <= {_HIER_NPROBE}
-),
+)"""
+
+
+def _hier_layout_probe_oracle() -> str:
+    """Full replay of the hierarchical serving path: the two-level
+    k-means chain (byte-identical to kmeans_twolevel_clusters' oracle
+    through `bfinal`), leaf materialization, the per-query two-level
+    probe - nprobe_coarse nearest coarse cells by fold distance, then
+    nprobe nearest fine leaves across those cells' lists (a fit-time-
+    empty coarse cell contributes its own centroid as a fine=0 leaf,
+    the build's fallback) - and the cosine rank restricted to the
+    probed leaves (the flat layout oracle's dot/normalization twins)."""
+    k = _ANN_TOP_K
+    prefix = _km2_oracle(_KM2_ITERS1, _KM2_ITERS2).rsplit(
+        "\nSELECT vec_id,\n", 1)[0]
+    return prefix + _twolevel_probe_ctes() + f""",
 nrm AS (
     SELECT vec_id,
            list_transform(embedding,
@@ -1565,84 +1578,9 @@ def _pq_codes_oracle() -> str:
     encodes by expanded-form argmin while this replay folds in dim
     order - equal except within ~1 ulp ties, absent in the fixtures
     (same accepted tradeoff as kmeans' matmul kernel)."""
-    m, ksub, iters, scale = _PQ_M, _PQ_KSUB, _PQ_ITERS, _KM_SCALE
-    dsub = _KM_DIM // m
-    dsub1, k = dsub + 1, _ANN_TOP_K
-    # {vc} parameterizes the vector form: training assigns the
-    # integer-scaled xd (kmeans_fit's exact-replay contract), while the
-    # final ENCODE scores the raw double subvector sd - pq_encode
-    # quantizes raw vectors, the faiss convention.
-    sfold = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-             "list_transform(range(1, {d1}), "
-             "i -> (x.{{vc}}[i] - b.c[i]) * (x.{{vc}}[i] - b.c[i]))), "
-             "(p, q) -> p + q)").format(d1=dsub1)
-    assign = f"""
-    SELECT vec_id, s, code FROM (
-        SELECT x.vec_id, x.s, b.code, {sfold} AS dist,
-               row_number() OVER (PARTITION BY x.vec_id, x.s
-                                  ORDER BY dist, b.code) AS rn
-        FROM xs x JOIN {{books}} b ON b.s = x.s)
-    WHERE rn = 1
-"""
-    parts = [f"""
-WITH xs AS (
-    SELECT vec_id, s,
-           list_transform(sv,
-               v -> CAST(floor(CAST(v AS DOUBLE)
-                               * CAST({scale} AS DOUBLE)) AS BIGINT))
-               AS xi,
-           list_transform(sv,
-               v -> CAST(floor(CAST(v AS DOUBLE)
-                               * CAST({scale} AS DOUBLE)) AS BIGINT)
-                    / CAST({scale} AS DOUBLE)) AS xd,
-           list_transform(sv, v -> CAST(v AS DOUBLE)) AS sd
-    FROM (
-        SELECT vec_id, g.s,
-               list_slice(embedding, g.s * {dsub} + 1,
-                          (g.s + 1) * {dsub}) AS sv
-        FROM embeddings
-        CROSS JOIN (SELECT unnest(range(0, {m})) AS s) g)
-),
-sdims AS (SELECT unnest(range(1, {dsub1})) AS i),
-seeds AS (
-    SELECT vec_id, code FROM (
-        SELECT vec_id,
-               row_number() OVER (
-                   ORDER BY md5('seed|' || CAST(vec_id AS VARCHAR)),
-                            vec_id) - 1 AS code
-        FROM embeddings)
-    WHERE code < {ksub}
-),
-b0 AS (
-    SELECT x.s, sd.code, x.xd AS c
-    FROM xs x JOIN seeds sd USING (vec_id)
-)"""]
-    books = "b0"
-    for t in range(1, iters + 1):
-        parts.append(f""",
-pa{t} AS ({assign.format(books=books, vc="xd")}),
-ps{t} AS (
-    SELECT a.s, a.code, d.i, SUM(x.xi[d.i]) AS sm, COUNT(*) AS n
-    FROM pa{t} a
-    JOIN xs x ON x.vec_id = a.vec_id AND x.s = a.s
-    CROSS JOIN sdims d
-    GROUP BY 1, 2, 3
-),
-pm{t} AS (
-    SELECT s, code,
-           list(CAST(sm AS DOUBLE)
-                / (CAST(n AS DOUBLE) * CAST({scale} AS DOUBLE))
-                ORDER BY i) AS c
-    FROM ps{t} GROUP BY s, code
-),
-b{t} AS (
-    SELECT p.s, p.code, COALESCE(m.c, p.c) AS c
-    FROM {books} p
-    LEFT JOIN pm{t} m ON m.s = p.s AND m.code = p.code
-)""")
-        books = f"b{t}"
-    parts.append(f""",
-cfinal AS ({assign.format(books=books, vc="sd")}),
+    k = _ANN_TOP_K
+    return f"""
+WITH{_pq_train_chain()},
 nrm AS (
     SELECT vec_id,
            list_transform(embedding,
@@ -1671,7 +1609,96 @@ SELECT 'topk' AS row_kind,
        CAST(rank AS BIGINT) AS ival, score AS dval
 FROM etop WHERE rank <= {k}
 ORDER BY row_kind, id1, id2
-""")
+"""
+
+
+def _pq_train_chain(bp: str = "b") -> str:
+    """The pq_train + final-encode replay as a REUSABLE CTE chain
+    (no leading WITH): the exploded (s, subvector) relation (xs), the
+    md5-smallest-ids seeding shared by every subspace (seeds), the
+    {bp}0..{bp}N codebook iterations (assign pa / integer-exact sums
+    ps / update pm / COALESCE), and the final RAW-vector encode
+    (cfinal). `bp` prefixes the codebook CTE names so the chain
+    composes into oracles whose own prefix already uses b1.. (the
+    two-level k-means fine blocks in the stored-IVF-PQ row)."""
+    m, ksub, iters, scale = _PQ_M, _PQ_KSUB, _PQ_ITERS, _KM_SCALE
+    dsub = _KM_DIM // m
+    dsub1 = dsub + 1
+    # {vc} parameterizes the vector form: training assigns the
+    # integer-scaled xd (kmeans_fit's exact-replay contract), while the
+    # final ENCODE scores the raw double subvector sd - pq_encode
+    # quantizes raw vectors, the faiss convention.
+    sfold = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+             "list_transform(range(1, {d1}), "
+             "i -> (x.{{vc}}[i] - b.c[i]) * (x.{{vc}}[i] - b.c[i]))), "
+             "(p, q) -> p + q)").format(d1=dsub1)
+    assign = f"""
+    SELECT vec_id, s, code FROM (
+        SELECT x.vec_id, x.s, b.code, {sfold} AS dist,
+               row_number() OVER (PARTITION BY x.vec_id, x.s
+                                  ORDER BY dist, b.code) AS rn
+        FROM xs x JOIN {{books}} b ON b.s = x.s)
+    WHERE rn = 1
+"""
+    parts = [f"""
+xs AS (
+    SELECT vec_id, s,
+           list_transform(sv,
+               v -> CAST(floor(CAST(v AS DOUBLE)
+                               * CAST({scale} AS DOUBLE)) AS BIGINT))
+               AS xi,
+           list_transform(sv,
+               v -> CAST(floor(CAST(v AS DOUBLE)
+                               * CAST({scale} AS DOUBLE)) AS BIGINT)
+                    / CAST({scale} AS DOUBLE)) AS xd,
+           list_transform(sv, v -> CAST(v AS DOUBLE)) AS sd
+    FROM (
+        SELECT vec_id, g.s,
+               list_slice(embedding, g.s * {dsub} + 1,
+                          (g.s + 1) * {dsub}) AS sv
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(0, {m})) AS s) g)
+),
+sdims AS (SELECT unnest(range(1, {dsub1})) AS i),
+seeds AS (
+    SELECT vec_id, code FROM (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY md5('seed|' || CAST(vec_id AS VARCHAR)),
+                            vec_id) - 1 AS code
+        FROM embeddings)
+    WHERE code < {ksub}
+),
+{bp}0 AS (
+    SELECT x.s, sd.code, x.xd AS c
+    FROM xs x JOIN seeds sd USING (vec_id)
+)"""]
+    books = f"{bp}0"
+    for t in range(1, iters + 1):
+        parts.append(f""",
+pa{t} AS ({assign.format(books=books, vc="xd")}),
+ps{t} AS (
+    SELECT a.s, a.code, d.i, SUM(x.xi[d.i]) AS sm, COUNT(*) AS n
+    FROM pa{t} a
+    JOIN xs x ON x.vec_id = a.vec_id AND x.s = a.s
+    CROSS JOIN sdims d
+    GROUP BY 1, 2, 3
+),
+pm{t} AS (
+    SELECT s, code,
+           list(CAST(sm AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST({scale} AS DOUBLE))
+                ORDER BY i) AS c
+    FROM ps{t} GROUP BY s, code
+),
+{bp}{t} AS (
+    SELECT p.s, p.code, COALESCE(m.c, p.c) AS c
+    FROM {books} p
+    LEFT JOIN pm{t} m ON m.s = p.s AND m.code = p.code
+)""")
+        books = f"{bp}{t}"
+    parts.append(f""",
+cfinal AS ({assign.format(books=books, vc="sd")})""")
     return "".join(parts)
 
 
@@ -1714,3 +1741,136 @@ def pq_codes_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("dval"))
     return code_rows.unionByName(topk_rows).orderBy("row_kind", "id1",
                                                     "id2")
+
+
+# ---------------------------------------------------------------------------
+# E44 x E46 x E47: the STORED IVF-PQ index, served (driver row, VERDICT
+# r8 #4) - operators/pq.py write_ivf_pq_layout_twolevel + ivf_pq_probe_twolevel
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_stored_oracle() -> str:
+    """Composite replay of the full stored-index serve path, one tall
+    relation:
+
+    * 'leaf' rows - every vector's stored leaf id: the two-level
+      k-means chain (byte-identical to kmeans_twolevel_clusters'
+      oracle through `bfinal`) materialized as cluster = coarse*k2 +
+      fine. Checks the BUILD's directory routing as read back from
+      the layout.
+    * 'code' rows - the stored PQ codes: the grouped codebook training
+      replay (_pq_train_chain, codebook CTEs prefixed qb* to coexist
+      with the k-means chain's b* fine blocks) + the raw-vector argmin
+      encode. Checks that the build stored pq_encode's codes.
+    * 'topk' rows - the serve contract at the exactness limit: with
+      rerank = corpus every probed row is a candidate, so the exact
+      re-rank tail must reproduce the exact cosine top-k over each
+      query's PROBED POOL (the two-level probe replay `qf` restricted
+      rank) - pinning probe planning, per-query leaf masks, the
+      bounded file discovery, and the re-rank join, without asking SQL
+      to replay ADC dgemm rounding (same division of labor as
+      pq_codes_rerank_topk)."""
+    k = _ANN_TOP_K
+    prefix = _km2_oracle(_KM2_ITERS1, _KM2_ITERS2).rsplit(
+        "\nSELECT vec_id,\n", 1)[0]
+    return (prefix + _twolevel_probe_ctes() + ","
+            + _pq_train_chain("qb") + f""",
+nrm AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(x AS DOUBLE)
+                    / sqrt({_SQL_NORM2.format(a='embedding')})) AS nv
+    FROM embeddings
+),
+probed AS (
+    SELECT p.query_id, l.vec_id,
+           {_SQL_DOT.format(a='qn.nv', b='cn.nv')} AS cosine
+    FROM qf p
+    JOIN leaves l ON l.cluster = p.leaf
+    JOIN nrm qn ON qn.vec_id = p.query_id
+    JOIN nrm cn ON cn.vec_id = l.vec_id
+    WHERE l.vec_id <> p.query_id
+),
+hranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM probed
+)
+SELECT 'leaf' AS row_kind,
+       vec_id AS id1, CAST(0 AS BIGINT) AS id2,
+       CAST(cluster AS BIGINT) AS ival, CAST(NULL AS DOUBLE) AS dval
+FROM leaves
+UNION ALL
+SELECT 'code' AS row_kind,
+       vec_id AS id1, CAST(s AS BIGINT) AS id2,
+       CAST(code AS BIGINT) AS ival, CAST(NULL AS DOUBLE) AS dval
+FROM cfinal
+UNION ALL
+SELECT 'topk' AS row_kind,
+       query_id AS id1, vec_id AS id2,
+       CAST(rank AS BIGINT) AS ival, cosine AS dval
+FROM hranked WHERE rank <= {k}
+ORDER BY row_kind, id1, id2
+""")
+
+
+@register("ann_ivfpq_stored_probe", oracle=_ivfpq_stored_oracle())
+def ann_ivfpq_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored IVF-PQ index end-to-end (VERDICT r8 #4,
+    operators/pq.py): the corpus PQ-encoded and stored as
+    leaf-partitioned CODES under a frozen two-level quantizer
+    (write_ivf_pq_layout_twolevel - the O(n*sqrt(k)*dim) build whose
+    cluster id rides the encode projection, no corpus self-join), then
+    SERVED by ivf_pq_probe_twolevel in literal mode: one narrow query
+    collect feeds both the ADC LUTs and the driver-side two-level
+    probe planning, the probed leaf union bounds the file discovery
+    (manifest-first), per-query leaf masks run in-kernel, and the
+    exact re-rank tail (rerank = corpus, the exactness limit) restores
+    fold-order cosine over each query's probed pool. Output = stored
+    leaf ids + stored codes + the per-query top-{k}; the oracle
+    replays fit, training, encode, probe planning, and the restricted
+    exact rank. At 100 TB this is the serving shape the scale curve
+    measures: prune directories x read m-byte codes x ADC x
+    candidate-sized re-rank."""
+    from ..operators.kmeans import kmeans_fit_twolevel
+    from ..operators.pq import (ivf_pq_probe_twolevel, pq_train,
+                                write_ivf_pq_layout_twolevel)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cc, fi, dim = kmeans_fit_twolevel(
+        emb, k1=_KM2_K1, k2=_KM2_K2,
+        iters1=_KM2_ITERS1, iters2=_KM2_ITERS2)
+    books = pq_train(emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
+    path = f"/tmp/spark_graft_ivf_{_IVF_RUN_TAG}/embeddings_ivfpq"
+    write_ivf_pq_layout_twolevel(emb, cc, fi, _KM2_K2, dim, books, path)
+
+    lay = spark.read.parquet(path).select("vec_id", "codes", "cluster")
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select("vec_id", "embedding"))
+    n = emb.count()
+    topk = ivf_pq_probe_twolevel(
+        spark, path, queries, cc, fi, _KM2_K2, books,
+        nprobe=_HIER_NPROBE, k=_ANN_TOP_K, nprobe_coarse=_HIER_NPC,
+        rerank=n, emb=emb, probe_lists="literal")
+
+    leaf_rows = lay.select(
+        F.lit("leaf").alias("row_kind"),
+        F.col("vec_id").alias("id1"),
+        F.lit(0).cast("bigint").alias("id2"),
+        F.col("cluster").cast("bigint").alias("ival"),
+        F.lit(None).cast("double").alias("dval"))
+    code_rows = (lay
+                 .select(F.col("vec_id").alias("id1"),
+                         F.posexplode("codes").alias("id2", "ival"))
+                 .select(F.lit("code").alias("row_kind"), "id1",
+                         F.col("id2").cast("bigint").alias("id2"),
+                         F.col("ival").cast("bigint").alias("ival"),
+                         F.lit(None).cast("double").alias("dval")))
+    topk_rows = topk.select(
+        F.lit("topk").alias("row_kind"),
+        F.col("query_id").alias("id1"),
+        F.col("vec_id").alias("id2"),
+        F.col("rank").cast("bigint").alias("ival"),
+        F.col("score").alias("dval"))
+    return (leaf_rows.unionByName(code_rows).unionByName(topk_rows)
+            .orderBy("row_kind", "id1", "id2"))

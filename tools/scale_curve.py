@@ -592,6 +592,35 @@ def run_ivf_layout(spark, sf_dir: str, k_lists: int,
     metrics["ivf_hier_recall_at_k"] = round(h_recall, 4)
     checks["ivf_hier_recall_floor"] = h_recall >= IVF_RECALL_FLOOR
 
+    # VERDICT r8 #7: the hier recall residual (0.95 vs the flat
+    # layout's 1.0 at 300x). Hypothesis: COARSE-CELL STRADDLE - a true
+    # neighbor's leaf can live under a coarse cell the query never
+    # visits, no matter which nprobe leaves are picked from the
+    # visited cells. Race nprobe_coarse upward at FIXED nprobe (the
+    # probed row count stays ~nprobe leaves - only the candidate cell
+    # set from which leaves are picked widens; the extra planning cost
+    # is (npc-4)*k2*dim driver math per query). If recall climbs with
+    # npc at flat probed rows, the residual is the straddle and
+    # nprobe_coarse is the serving knob that buys it back.
+    qrows_v = [list(r["embedding"]) for r in queries.collect()]
+    for npc in (IVF_NPROBE, IVF_NPROBE + 2, IVF_NPROBE + 4):
+        hn = ivf_probe_pruned_batch_twolevel(
+            spark, hpath, queries, cc, fi, k12, hdim,
+            nprobe=IVF_NPROBE, k=IVF_TOP_K, nprobe_coarse=npc,
+            kernel=KERNEL)
+        n_q: dict[int, set[int]] = {}
+        for r in hn.collect():
+            n_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        npc_recall = (sum(len(n_q.get(q, set()) & truth[q]) / IVF_TOP_K
+                          for q in truth) / len(truth)) if truth else 0.0
+        probed_rows = sum(
+            sizes.get(lf, 0)
+            for lf in {l for qv_ in qrows_v
+                       for l in probe_clusters_twolevel(
+                           qv_, cc, fi, k12, IVF_NPROBE, npc)})
+        metrics[f"ivf_hier_recall_npc{npc}"] = round(npc_recall, 4)
+        metrics[f"ivf_hier_probed_rows_npc{npc}"] = int(probed_rows)
+
     if check_equality:
         cand = (kmeans_transform_topn(queries, cents, dim, n=IVF_NPROBE,
                                       kernel=KERNEL)
@@ -628,6 +657,72 @@ def run_ivf_layout(spark, sf_dir: str, k_lists: int,
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(hpath, ignore_errors=True)
     return walls, checks, metrics
+
+
+def run_manifest_index(spark, k_dirs: int = 10_000
+                       ) -> tuple[dict[str, bool], dict[str, float]]:
+    """VERDICT r8 #8 curve point: the plan-build LISTING term at
+    k >= 1e4 cluster directories, with and without the committed file
+    manifest. The layout routes the sf0.1 embeddings to k SYNTHETIC
+    clusters (vec_id % k - the directory COUNT is the variable under
+    test, not assignment quality) through the same repartition routing
+    and manifest commit the real builders use. Timed:
+
+      * manifest_commit_sec - the one-time k-directory listing paid AT
+        COMMIT (amortized over every probe);
+      * probe_discovery_manifest_sec - manifest_clusters (driver-side
+        parquet read) + the probed-files spark.read for an
+        nprobe-sized union: the serve path's whole file discovery;
+      * full_listing_cold/warm_sec - spark.read.parquet(path), the
+        k-directory InMemoryFileIndex every manifest-less plan build
+        pays (warm = Spark's FileStatusCache hit, the best case a
+        long-lived session gets).
+
+    Check: the manifest discovery resolves EXACTLY the files the
+    pruned directory listing would."""
+    import shutil
+
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        _read_probed_dirs,
+        commit_layout_manifest,
+        manifest_clusters,
+    )
+
+    checks: dict[str, bool] = {}
+    metrics: dict[str, float] = {"manifest_k_dirs": k_dirs}
+    path = os.path.join(REPO, ".scratch", f"manifest_idx_{k_dirs}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    emb = load_table(spark, BASE_SF, "embeddings").select("vec_id")
+    (emb.withColumn("cluster", F.pmod("vec_id", F.lit(k_dirs)))
+     .repartition("cluster")
+     .write.partitionBy("cluster").parquet(path))
+    t0 = time.perf_counter()
+    commit_layout_manifest(spark, path)
+    metrics["manifest_commit_sec"] = round(time.perf_counter() - t0, 3)
+
+    probes = [7, 513, 2048, 9999]            # an nprobe-sized union
+    t0 = time.perf_counter()
+    mf = manifest_clusters(path)
+    probed = _read_probed_dirs(spark, path, probes)
+    probed.inputFiles()                      # force file resolution
+    metrics["probe_discovery_manifest_sec"] = round(
+        time.perf_counter() - t0, 3)
+    want = sorted(os.path.join(path, f)
+                  for c in probes for f in mf.get(c, ()))
+    got = sorted(f.replace("file://", "").replace("file:", "")
+                 for f in probed.inputFiles())
+    checks["manifest_resolves_exact_files"] = got == want
+
+    t0 = time.perf_counter()
+    spark.read.parquet(path)
+    metrics["full_listing_cold_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    spark.read.parquet(path)
+    metrics["full_listing_warm_sec"] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(path, ignore_errors=True)
+    return checks, metrics
 
 
 def run_pq(spark, sf_dir: str, k_lists: int = 8
@@ -1105,7 +1200,7 @@ def main() -> None:
     # a consumer can't mistake them for a full-curve checks_pass.
     stages = set(filter(None, os.environ.get(
         "SPARK_GRAFT_CURVE_STAGES",
-        "flagships,decon,incr,audit,ivf,ingest,pq").split(",")))
+        "flagships,decon,incr,audit,ivf,ingest,pq,manifest").split(",")))
 
     big_dir = synthesize(spark, n)
     # Warm the JVM/codegen path once so 1x doesn't absorb cold cost.
@@ -1161,6 +1256,11 @@ def main() -> None:
                              for k, v in pbase_metrics.items()})
         big_metrics.update({f"pq_big_{k}": v
                             for k, v in pbig_metrics.items()})
+    if "manifest" in stages:
+        mchecks, mmetrics = run_manifest_index(spark)
+        base_checks.update(mchecks)
+        base_metrics.update({f"manifest_{k}" if not k.startswith("manifest")
+                             else k: v for k, v in mmetrics.items()})
     if "ivf" in stages:
         vbase, vbase_checks, vbase_metrics = run_ivf_layout(
             spark, BASE_SF, 8, check_equality=True)
