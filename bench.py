@@ -80,6 +80,15 @@ HEADLINE = [
     # + exact re-rank at the rerank=corpus exactness limit).
     "ann_ivf_hier_layout_probe",
     "pq_codes_rerank_topk",
+    # round-9 flagships: the stored IVF-PQ serve path (two-level fit +
+    # PQ train + layout write + literal probe at the rerank=corpus
+    # exactness limit), the CAS-committing versioned streaming sink,
+    # and the generation-versioned lock-free index swap. Contract rows
+    # (fit+build+serve in one wall) - heavier than serving-path
+    # queries by construction, like the two r8 composites above.
+    "ann_ivfpq_stored_probe",
+    "versioned_stream_sink",
+    "ivf_generation_swap",
 ]
 
 

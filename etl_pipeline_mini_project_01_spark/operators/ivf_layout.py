@@ -98,29 +98,45 @@ def commit_layout_manifest(spark: SparkSession, path: str) -> int | None:
                          os.path.join(local, MANIFEST_SUBDIR))
 
 
-def manifest_clusters(path: str) -> dict[int, list[str]] | None:
-    """The latest committed file manifest as {cluster: [file, ...]}
-    (paths relative to `path`), or None when the layout has no manifest
-    (pre-manifest layouts, non-local paths) - callers fall back to
-    directory listing. Resolved DRIVER-SIDE via pyarrow (one small
-    parquet read, no Spark job): literal-mode probes stay zero-jobs-
-    before-the-scan, and plan builds at k>=10^4 directories skip the
-    k-sized listing entirely (the r8 curve measured ~4 s of pure
-    directory listing at k=2400)."""
+def manifest_clusters(path: str, version: int | None = None
+                      ) -> dict[int, list[str]] | None:
+    """A committed file manifest as {cluster: [file, ...]} (paths
+    relative to `path`) - the latest by default, or a PINNED manifest
+    `version` (time travel over the index: generation layouts commit
+    one manifest version per rebuild, so `version` selects which
+    generation a probe serves from). Returns None when the layout has
+    no manifest (pre-manifest layouts, non-local paths) - callers fall
+    back to directory listing; a pinned `version` that was never
+    committed or was vacuumed raises FileNotFoundError (the
+    read_version contract). Resolved DRIVER-SIDE via pyarrow (one
+    small parquet read, no Spark job): literal-mode probes stay
+    zero-jobs-before-the-scan, and plan builds at k>=10^4 directories
+    skip the k-sized listing entirely (the r8 curve measured ~4 s of
+    pure directory listing at k=2400)."""
     if not _is_local_path(path):
         return None
     root = os.path.join(_strip_scheme(path), MANIFEST_SUBDIR)
-    ptr = os.path.join(root, "_LATEST")
-    if not os.path.exists(ptr):
-        return None
     import json
 
     import pyarrow.parquet as pq
 
-    # _LATEST is the readers' pointer (sources/versioned.py): it names a
-    # version whose snapshot dir fully landed before the pointer swap.
-    with open(ptr, encoding="utf-8") as fh:
-        vdir = json.load(fh)["dir"]
+    if version is None:
+        # _LATEST is the readers' pointer (sources/versioned.py): it
+        # names a version whose snapshot dir fully landed before the
+        # pointer swap.
+        ptr = os.path.join(root, "_LATEST")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr, encoding="utf-8") as fh:
+            vdir = json.load(fh)["dir"]
+    else:
+        mpath = os.path.join(root, "_versions", f"v{version:08d}.json")
+        if not os.path.exists(mpath) or os.path.getsize(mpath) == 0:
+            raise FileNotFoundError(
+                f"index manifest version {version} of {path} does not "
+                "exist (never committed, crashed, or vacuumed)")
+        with open(mpath, encoding="utf-8") as fh:
+            vdir = json.load(fh)["dir"]
     snap = os.path.join(root, vdir)
     out: dict[int, list[str]] = {}
     # One part file in practice (the commit coalesces to 1); iterate so
@@ -215,6 +231,168 @@ def append_to_ivf_layout(delta: DataFrame, cents: list[list[float]],
                      mode="append")
 
 
+def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],
+                                dim: int, path: str,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                kernel: str | None = None,
+                                files_per_cluster: int = 1,
+                                max_retries: int = 5) -> int:
+    """E49: an IMMUTABLE-GENERATION index rebuild - the lock-free swap.
+    Unlike `write_ivf_layout(mode="overwrite")`, which deletes the
+    standing files (a reader mid-scan can lose them), each rebuild
+    stages a complete new layout under its own `gen=<uuid>/cluster=N`
+    directories and then commits ONE manifest version naming exactly
+    that generation's files (the CAS loop of sources/versioned.py:
+    exactly one of N racing rebuilds claims each version; a loser just
+    re-claims the next number - no re-staging, since a generation
+    replaces the whole index and rebases on nothing). Readers resolve
+    files through the manifest, so:
+
+      * a probe pinned to `index_version=v` keeps serving generation v
+        BIT-IDENTICALLY while (and after) a new generation lands -
+        the model-swap rewrite the module docstring calls out stops
+        being a service interruption;
+      * the moment the commit lands, new probes see ONLY the new
+        generation (never a mix - `spark.read.parquet(path)` would
+        union generations, which is why generation layouts are read
+        EXCLUSIVELY through the manifest);
+      * old generations are reclaimed by `vacuum_layout_generations`
+        once their manifests rotate out.
+
+    Returns the committed manifest version (= the generation's pin).
+    Local-filesystem scope, like the rest of the manifest seam. Do not
+    mix with `write_ivf_layout` on the same path - the overwrite
+    builder's manifest names bare `cluster=` paths, the generation
+    builder's are `gen=`-qualified; one path, one convention."""
+    import uuid as _uuid
+
+    from ..sources.versioned import (VersionConflict, list_versions,
+                                     write_version_cas)
+
+    if not _is_local_path(path):
+        raise ValueError("generation layouts need a driver-local path "
+                         "(the manifest IS the read path)")
+    if files_per_cluster < 1:
+        raise ValueError(f"files_per_cluster must be >= 1, "
+                         f"got {files_per_cluster}")
+    local = _strip_scheme(path)
+    gen = f"gen={_uuid.uuid4().hex[:12]}"
+    stage = os.path.join(local, gen)
+    assigned = (_assign(_scaled(emb, vec_col), cents, dim, kernel)
+                .drop("xi", "xd", "centroid_dist"))
+    if files_per_cluster == 1:
+        routed = assigned.repartition("cluster")
+    else:
+        routed = assigned.repartition(
+            F.col("cluster"),
+            F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
+    routed.write.partitionBy("cluster").mode("errorifexists").parquet(stage)
+
+    import pandas as pd
+
+    rows = []
+    for entry in sorted(os.listdir(stage)):
+        if not entry.startswith("cluster="):
+            continue
+        c = int(entry.split("=", 1)[1])
+        cdir = os.path.join(stage, entry)
+        rows.extend((c, f"{gen}/{entry}/{f}")
+                    for f in sorted(os.listdir(cdir))
+                    if f.endswith(".parquet")
+                    and not f.startswith(("_", ".")))
+    pdf = pd.DataFrame(rows, columns=["cluster", "file"])
+    if not rows:
+        pdf = pdf.astype({"cluster": "int32", "file": "object"})
+    mdf = (emb.sparkSession
+           .createDataFrame(pdf, schema="cluster int, file string")
+           .coalesce(1))
+    mroot = os.path.join(local, MANIFEST_SUBDIR)
+    for _ in range(max_retries):
+        head = max(list_versions(mroot), default=0)
+        try:
+            return write_version_cas(mdf, mroot, expected_version=head)
+        except VersionConflict:
+            continue
+    raise VersionConflict(
+        f"gave up committing generation {gen} of {path} after "
+        f"{max_retries} conflicts (the staged directory remains; "
+        "vacuum_layout_generations reclaims it after the retention "
+        "window)")
+
+
+def read_layout_manifest(spark: SparkSession, path: str,
+                         version: int | None = None,
+                         clusters: list[int] | None = None) -> DataFrame:
+    """Manifest-resolved layout read: exactly the files the committed
+    manifest (latest, or a pinned `version`) names, optionally
+    restricted to `clusters` (falls back to every manifest file when
+    the requested clusters have none, so the caller's isin filter
+    keeps the empty result well-defined). The ONLY correct read for
+    generation layouts - a plain spark.read.parquet(path) would union
+    every generation's files."""
+    mf = manifest_clusters(path, version)
+    if mf is None:
+        raise ValueError(f"{path} has no committed layout manifest - "
+                         "generation layouts are read through it")
+    keys = sorted(mf) if clusters is None else sorted(set(clusters))
+    files = [os.path.join(_strip_scheme(path), f)
+             for c in keys for f in mf.get(c, ())]
+    if not files:
+        files = [os.path.join(_strip_scheme(path), f)
+                 for c in sorted(mf) for f in mf[c]]
+    if not files:
+        raise ValueError(f"manifest version {version} of {path} names "
+                         "no files (empty generation)")
+    return spark.read.option("basePath", path).parquet(*files)
+
+
+def vacuum_layout_generations(path: str, keep_last: int = 2,
+                              stage_retention_sec: float = 24 * 3600.0
+                              ) -> list[str]:
+    """Reclaim generations no retained manifest references: rotate the
+    manifest log down to `keep_last` versions (sources/versioned.py
+    vacuum), collect the generation prefixes every SURVIVING readable
+    manifest still names, and remove unreferenced `gen=` directories -
+    age-gated by mtime, so an in-flight rebuild's staged-but-uncommitted
+    generation (or a conflict-loser about to re-claim) survives a
+    concurrent vacuum exactly like a CAS stage dir does. Returns the
+    removed generation directory names."""
+    import time
+
+    from ..sources.versioned import list_versions, vacuum_versions
+
+    local = _strip_scheme(path)
+    mroot = os.path.join(local, MANIFEST_SUBDIR)
+    vacuum_versions(mroot, keep_last=keep_last,
+                    stage_retention_sec=stage_retention_sec)
+    live: set[str] = set()
+    for v in list_versions(mroot):
+        try:
+            mf = manifest_clusters(path, v) or {}
+        except FileNotFoundError:      # crashed zero-byte claim
+            continue
+        for fs in mf.values():
+            live.update(f.split("/", 1)[0] for f in fs)
+    removed: list[str] = []
+    for entry in sorted(os.listdir(local)):
+        full = os.path.join(local, entry)
+        if (not entry.startswith("gen=") or entry in live
+                or not os.path.isdir(full)):
+            continue
+        try:
+            aged = (time.time() - os.path.getmtime(full)
+                    >= stage_retention_sec)
+        except OSError:                # raced a concurrent commit
+            aged = False
+        if aged:
+            import shutil
+
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(entry)
+    return removed
+
+
 def probe_clusters(query_vec: list[float], cents: list[list[float]],
                    nprobe: int) -> list[int]:
     """Driver-side probe list for ONE query vector: the nprobe nearest
@@ -266,7 +444,8 @@ def ivf_probe_pruned_batch(spark: SparkSession, path: str,
                            vec_col: str = "embedding",
                            kernel: str | None = None,
                            probe_lists: str = "auto",
-                           literal_max: int = LITERAL_PROBE_MAX
+                           literal_max: int = LITERAL_PROBE_MAX,
+                           index_version: int | None = None
                            ) -> DataFrame:
     """Batch probe over the layout. Two probe-list shapes, identical
     results (equality pinned in tests/test_ivf_partition_pruning.py),
@@ -330,11 +509,13 @@ def ivf_probe_pruned_batch(spark: SparkSession, path: str,
                                       kernel=kernel)
                 .select(F.col(id_col).alias("query_id"), "cluster"))
     return _ranked_candidate_scan(spark, path, cand, literal_probes,
-                                  queries, k, id_col, vec_col, kernel)
+                                  queries, k, id_col, vec_col, kernel,
+                                  version=index_version)
 
 
 def _read_probed_dirs(spark: SparkSession, path: str,
-                      literal_probes: list[int] | None) -> DataFrame:
+                      literal_probes: list[int] | None,
+                      version: int | None = None) -> DataFrame:
     """Layout read whose FILE DISCOVERY is probe-bounded when the probe
     list is known: resolve the probed clusters' data files from the
     committed manifest (one driver-side read, no listing at all), or -
@@ -351,16 +532,18 @@ def _read_probed_dirs(spark: SparkSession, path: str,
     s3a://) this falls back to the full listing, correct but without
     the bounded-discovery win; at that scale the manifest lives in a
     manifest service, not on the driver's FS. With no probe list
-    (plan mode without a manifest) the full listing + DPP applies."""
+    (plan mode without a manifest) the full listing + DPP applies.
+    A pinned `version` (generation layouts) is manifest-ONLY - no
+    listing fallback exists, because directories of other generations
+    must never enter the file index."""
+    if version is not None:
+        return read_layout_manifest(spark, path, version, literal_probes)
     if literal_probes:
-        mf = manifest_clusters(path)
-        if mf is not None:
-            files = [os.path.join(_strip_scheme(path), f)
-                     for c in literal_probes for f in mf.get(c, ())]
-            if files:
-                return (spark.read.option("basePath", path)
-                        .parquet(*files))
-            return spark.read.parquet(path)
+        if manifest_clusters(path) is not None:
+            # probed files from the manifest; empty probed unions fall
+            # back to ALL manifest files (never a directory listing -
+            # on a generation layout that would mix generations)
+            return read_layout_manifest(spark, path, None, literal_probes)
         if _is_local_path(path):
             local = _strip_scheme(path)
             dirs = [os.path.join(local, f"cluster={c}")
@@ -377,7 +560,8 @@ def _ranked_candidate_scan(spark: SparkSession, path: str,
                            literal_probes: list[int] | None,
                            queries: DataFrame, k: int,
                            id_col: str, vec_col: str,
-                           kernel: str | None) -> DataFrame:
+                           kernel: str | None,
+                           version: int | None = None) -> DataFrame:
     """Shared probe tail (flat and two-level probes differ ONLY in how
     the (query_id, cluster) candidate relation is produced): one layout
     scan, candidate-joined BEFORE any per-row math so the partition
@@ -407,17 +591,16 @@ def _ranked_candidate_scan(spark: SparkSession, path: str,
           .select(F.col(id_col).alias("query_id"),
                   F.col("nv").alias("qnv")))
     if literal_probes is not None:
-        lay = (_read_probed_dirs(spark, path, literal_probes)
+        lay = (_read_probed_dirs(spark, path, literal_probes, version)
                .select(id_col, "cluster", vec_col)
                .filter(F.col("cluster").isin(literal_probes)))
         cand_side, qv_side = F.broadcast(cand), F.broadcast(qv)
     else:
-        mf = manifest_clusters(path)
-        if mf is not None:
+        if version is not None or manifest_clusters(path) is not None:
             cand = cand.localCheckpoint()
             union = sorted(int(r["cluster"]) for r in
                            cand.select("cluster").distinct().collect())
-            lay = (_read_probed_dirs(spark, path, union)
+            lay = (_read_probed_dirs(spark, path, union, version)
                    .select(id_col, "cluster", vec_col)
                    .filter(F.col("cluster").isin(union)))
         else:
@@ -444,7 +627,8 @@ def _ranked_candidate_scan(spark: SparkSession, path: str,
 def ivf_probe_pruned(spark: SparkSession, path: str,
                      query_vec: list[float], cents: list[list[float]],
                      nprobe: int, k: int,
-                     id_col: str = "vec_id") -> DataFrame:
+                     id_col: str = "vec_id",
+                     index_version: int | None = None) -> DataFrame:
     """Serving-path probe over the layout: literal `IN` on the probed
     cluster ids (planning-time partition pruning - the scan's
     PartitionFilters carry the list and its file index never lists the
@@ -453,7 +637,7 @@ def ivf_probe_pruned(spark: SparkSession, path: str,
     partition heap + driver merge of k rows, no global sort)."""
     probes = probe_clusters(query_vec, cents, nprobe)
     q = np.asarray([float(v) for v in query_vec], dtype=np.float64)
-    return (spark.read.parquet(path)
+    return (_read_probed_dirs(spark, path, probes, index_version)
             .filter(F.col("cluster").isin(probes))
             .select(id_col, "cluster",
                     _cosine_to_literal(q).alias("cosine"))
@@ -587,7 +771,8 @@ def ivf_probe_pruned_batch_twolevel(spark: SparkSession, path: str,
                                     vec_col: str = "embedding",
                                     kernel: str | None = None,
                                     probe_lists: str = "auto",
-                                    literal_max: int = LITERAL_PROBE_MAX
+                                    literal_max: int = LITERAL_PROBE_MAX,
+                                    index_version: int | None = None
                                     ) -> DataFrame:
     """Batch probe over a two-level layout. Probe-list planning mirrors
     the flat probe's contract exactly (VERDICT r7 #4 - previously this
@@ -639,4 +824,5 @@ def ivf_probe_pruned_batch_twolevel(spark: SparkSession, path: str,
             .select(F.col(id_col).alias("query_id"),
                     F.col("cluster").cast("int").alias("cluster")))
     return _ranked_candidate_scan(spark, path, cand, literal_probes,
-                                  queries, k, id_col, vec_col, kernel)
+                                  queries, k, id_col, vec_col, kernel,
+                                  version=index_version)

@@ -1874,3 +1874,119 @@ def ann_ivfpq_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("dval"))
     return (leaf_rows.unionByName(code_rows).unionByName(topk_rows)
             .orderBy("row_kind", "id1", "id2"))
+
+
+# ---------------------------------------------------------------------------
+# E49: generation-versioned layout - the lock-free index swap (driver row)
+# operators/ivf_layout.py write_ivf_layout_generation / read_layout_manifest
+# ---------------------------------------------------------------------------
+
+_GEN_SWAP_ORACLE = """
+WITH h AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM embeddings
+           WHERE vec_id % 2 = 0),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM embeddings)
+SELECT s.step, s.value
+FROM h, a, LATERAL (VALUES
+    ('1_v1_rows', h.c),
+    ('2_v2_rows', a.c),
+    ('3_latest_version', CAST(2 AS BIGINT)),
+    ('4_pinned_probe_drift_rows', CAST(0 AS BIGINT)),
+    ('5_latest_distinct_ids', a.c),
+    ('6_latest_total_rows', a.c),
+    ('7_vacuum_removed_gens', CAST(1 AS BIGINT)),
+    ('8_v1_survives_vacuum', CAST(0 AS BIGINT)),
+    ('9_latest_rows_after_vacuum', a.c)) s(step, value)
+ORDER BY s.step
+"""
+
+
+@register("ivf_generation_swap", oracle=_GEN_SWAP_ORACLE)
+def ivf_generation_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E49 as a driver row: the IMMUTABLE-GENERATION index rebuild
+    (operators/ivf_layout.py write_ivf_layout_generation - each rebuild
+    stages its own gen=<uuid> tree and CAS-commits one manifest version
+    naming exactly its files; readers resolve files through the
+    manifest). The row RUNS the lock-free swap and emits its
+    invariants as (step, value) rows, every value stated by the oracle
+    from the input alone:
+
+      * generation content: v1 = the even-vec_id half, v2 = the full
+        corpus (manifest-resolved row counts);
+      * the swap is lock-free: a probe PINNED to v1 returns
+        bit-identical rows before and after v2 lands (drift count 0 -
+        old files are immutable and the pinned manifest still names
+        them);
+      * no generation mixing: the latest read holds exactly the full
+        corpus, by distinct ids AND by total rows (a listing-based
+        read would double-count every even id);
+      * vacuum keep_last=1 reclaims exactly one generation, pinned v1
+        reads then raise, and the latest read is untouched.
+
+    The reference rebuilds its tables in place per run
+    (/root/reference/src/loader/bronze_loader.py) - an in-flight
+    reader can observe the teardown; this layer is the
+    snapshot-isolated index swap a 100 TB serving fleet needs."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.ivf_layout import (ivf_probe_pruned,
+                                        read_layout_manifest,
+                                        vacuum_layout_generations,
+                                        write_ivf_layout_generation)
+    from ..operators.kmeans import kmeans_fit
+
+    if not hasattr(ivf_generation_swap, "_run_tag"):
+        ivf_generation_swap._run_tag = uuid.uuid4().hex[:8]
+    tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+           + "_" + ivf_generation_swap._run_tag)
+    root = f"/tmp/spark_graft_ivfgen_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    path = os.path.join(root, "embeddings")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, dim = kmeans_fit(emb, k=_KM_K, iters=1)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    v1 = write_ivf_layout_generation(half, cents, dim, path)
+    qv = [float(v) for v in
+          emb.filter("vec_id = 1").select("embedding").first()[0]]
+
+    def _probe(ver):
+        return sorted((r["vec_id"], int(r["cluster"]), repr(r["cosine"]))
+                      for r in ivf_probe_pruned(
+                          spark, path, qv, cents, nprobe=2, k=5,
+                          index_version=ver).collect())
+
+    before = _probe(v1)
+    v2 = write_ivf_layout_generation(emb, cents, dim, path)
+    after = _probe(v1)
+    drift = sum(1 for x, y in zip(before, after) if x != y) \
+        + abs(len(before) - len(after))
+
+    v1_rows = read_layout_manifest(spark, path, version=v1).count()
+    latest = read_layout_manifest(spark, path)
+    v2_rows = read_layout_manifest(spark, path, version=v2).count()
+    distinct_ids = latest.select("vec_id").distinct().count()
+    total_rows = latest.count()
+    removed = vacuum_layout_generations(path, keep_last=1,
+                                        stage_retention_sec=0.0)
+    try:
+        read_layout_manifest(spark, path, version=v1)
+        v1_survives = 1
+    except FileNotFoundError:
+        v1_survives = 0
+    rows_after = read_layout_manifest(spark, path).count()
+
+    steps = [
+        ("1_v1_rows", int(v1_rows)),
+        ("2_v2_rows", int(v2_rows)),
+        ("3_latest_version", int(v2)),
+        ("4_pinned_probe_drift_rows", int(drift)),
+        ("5_latest_distinct_ids", int(distinct_ids)),
+        ("6_latest_total_rows", int(total_rows)),
+        ("7_vacuum_removed_gens", len(removed)),
+        ("8_v1_survives_vacuum", v1_survives),
+        ("9_latest_rows_after_vacuum", int(rows_after)),
+    ]
+    return (spark.createDataFrame(steps, "step string, value bigint")
+            .orderBy("step"))

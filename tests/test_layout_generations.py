@@ -1,0 +1,158 @@
+"""E49 generation-versioned layouts (operators/ivf_layout.py): each
+index rebuild stages an immutable `gen=<uuid>` directory tree and
+CAS-commits ONE manifest version naming exactly its files - readers
+resolve files through the manifest, so rebuilds are lock-free swaps:
+pinned probes keep serving the old generation bit-identically while
+and after a new one lands, fresh probes see only the new generation
+(never a mix), and vacuum reclaims rotated-out generations."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from etl_pipeline_mini_project_01_spark.catalog import load_table
+from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+    MANIFEST_SUBDIR,
+    ivf_probe_pruned,
+    ivf_probe_pruned_batch,
+    read_layout_manifest,
+    vacuum_layout_generations,
+    write_ivf_layout_generation,
+)
+from etl_pipeline_mini_project_01_spark.operators.kmeans import kmeans_fit
+
+K, NPROBE, TOPK = 8, 2, 5
+
+
+@pytest.fixture(scope="module")
+def genlayout(spark):
+    """Two generations over DIFFERENT corpora (v1 = half the table,
+    v2 = all of it) under one frozen model - distinguishable results,
+    so serving the wrong generation cannot pass."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents, dim = kmeans_fit(emb, k=K, iters=1)
+    path = tempfile.mkdtemp(prefix="ivf_gen_") + "/embeddings"
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    v1 = write_ivf_layout_generation(half, cents, dim, path)
+    yield emb, half, cents, dim, path, v1
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def _rows(df):
+    return sorted((r.vec_id, int(r.cluster), repr(r.cosine))
+                  for r in df.collect())
+
+
+def test_generation_swap_is_lock_free(spark, genlayout):
+    """A probe pinned to v1 returns IDENTICAL rows before and after a
+    full rebuild commits v2; unpinned probes flip to v2 atomically at
+    the commit; no read ever mixes generations."""
+    emb, half, cents, dim, path, v1 = genlayout
+    qv = [float(v) for v in
+          emb.filter("vec_id = 1").select("embedding").first()[0]]
+
+    before = _rows(ivf_probe_pruned(spark, path, qv, cents, NPROBE, TOPK,
+                                    index_version=v1))
+    assert before and all(v % 2 == 0 for v, _, _ in before)  # half corpus
+
+    v2 = write_ivf_layout_generation(emb, cents, dim, path)
+    assert v2 == v1 + 1
+
+    # pinned probe: bit-identical across the swap (old files immutable)
+    after = _rows(ivf_probe_pruned(spark, path, qv, cents, NPROBE, TOPK,
+                                   index_version=v1))
+    assert after == before
+
+    # unpinned probe now serves v2 - and ONLY v2 (no generation mixing:
+    # the half-corpus generation shares every even vec_id, so a mixed
+    # read would duplicate rows)
+    latest = read_layout_manifest(spark, path)
+    assert latest.count() == emb.count()
+    assert latest.select("vec_id").distinct().count() == emb.count()
+    pinned_v2 = _rows(ivf_probe_pruned(spark, path, qv, cents, NPROBE,
+                                       TOPK, index_version=v2))
+    unpinned = _rows(ivf_probe_pruned(spark, path, qv, cents, NPROBE,
+                                      TOPK))
+    assert unpinned == pinned_v2 != before
+
+    # two gen= trees coexist on disk during the overlap window
+    gens = [e for e in os.listdir(path) if e.startswith("gen=")]
+    assert len(gens) == 2
+
+
+def test_batch_probe_pins_generation_in_both_modes(spark, genlayout):
+    """index_version threads through the batch probe's literal AND plan
+    paths with equal results (the shared tail resolves the pinned
+    manifest either way)."""
+    emb, half, cents, dim, path, v1 = genlayout
+    queries = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+
+    def _b(df):
+        return sorted((r.query_id, r.vec_id, int(r.cluster),
+                       repr(r.cosine), r.rank) for r in df.collect())
+
+    lit = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
+                                 NPROBE, TOPK, probe_lists="literal",
+                                 index_version=v1)
+    pln = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
+                                 NPROBE, TOPK, probe_lists="plan",
+                                 index_version=v1)
+    assert _b(lit) == _b(pln) and _b(lit)
+    assert all(v % 2 == 0 for _, v, _, _, _ in _b(lit))   # v1 corpus only
+
+
+def test_vacuum_reclaims_rotated_generations(spark, genlayout):
+    """vacuum keep_last=1 drops v1's manifest and (with retention 0)
+    its gen directory; pinned v1 reads then raise, the latest read is
+    untouched. A FRESH unreferenced gen dir (an in-flight rebuild's
+    stage) survives the default retention."""
+    emb, half, cents, dim, path, v1 = genlayout
+    # plant an "in-flight rebuild": a fresh unreferenced gen dir
+    fresh = os.path.join(path, "gen=inflight0000")
+    os.makedirs(os.path.join(fresh, "cluster=0"), exist_ok=True)
+
+    removed = vacuum_layout_generations(path, keep_last=1)
+    assert removed == []                      # everything fresh: age gate
+    assert os.path.isdir(fresh)
+
+    removed = vacuum_layout_generations(path, keep_last=1,
+                                        stage_retention_sec=0.0)
+    assert len(removed) >= 1                  # v1's generation + plant
+    assert not os.path.isdir(fresh)
+    with pytest.raises(FileNotFoundError):
+        read_layout_manifest(spark, path, version=v1)
+    assert read_layout_manifest(spark, path).count() == emb.count()
+
+
+def test_conflict_loser_reclaims_next_version(spark, genlayout,
+                                              monkeypatch):
+    """The CAS loop: a rebuild that loses its first claim re-claims the
+    next number without re-staging (a generation replaces the whole
+    index - there is nothing to rebase on)."""
+    from etl_pipeline_mini_project_01_spark.sources import versioned
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        VersionConflict,
+    )
+
+    emb, half, cents, dim, path, v1 = genlayout
+    real_cas = versioned.write_version_cas
+    calls = {"n": 0}
+
+    def lose_once(df, root, expected_version, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise VersionConflict("claimed by a concurrent committer")
+        return real_cas(df, root, expected_version, **kw)
+
+    # the writer resolves the name at call time (function-body import),
+    # so patching the source module intercepts it
+    monkeypatch.setattr(versioned, "write_version_cas", lose_once)
+    v = write_ivf_layout_generation(half, cents, dim, path)
+    assert calls["n"] == 2 and v >= 2
