@@ -267,9 +267,6 @@ def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],
     builder's are `gen=`-qualified; one path, one convention."""
     import uuid as _uuid
 
-    from ..sources.versioned import (VersionConflict, list_versions,
-                                     write_version_cas)
-
     if not _is_local_path(path):
         raise ValueError("generation layouts need a driver-local path "
                          "(the manifest IS the read path)")
@@ -288,7 +285,25 @@ def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],
             F.col("cluster"),
             F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
     routed.write.partitionBy("cluster").mode("errorifexists").parquet(stage)
+    return commit_generation_manifest(emb.sparkSession, path, gen,
+                                      max_retries)
 
+
+def commit_generation_manifest(spark: SparkSession, path: str, gen: str,
+                               max_retries: int = 5) -> int:
+    """Shared generation-commit tail (float and PQ generation writers
+    differ only in what they stage): list the fully-staged `gen=.../
+    cluster=N` tree once, then CAS-claim the next manifest version
+    naming exactly its files - the optimistic loop re-claims on
+    conflict without re-staging (a generation rebases on nothing).
+    Returns the committed version; on retry exhaustion the staged tree
+    remains for vacuum_layout_generations to reclaim after the
+    retention window."""
+    from ..sources.versioned import (VersionConflict, list_versions,
+                                     write_version_cas)
+
+    local = _strip_scheme(path)
+    stage = os.path.join(local, gen)
     import pandas as pd
 
     rows = []
@@ -304,8 +319,7 @@ def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],
     pdf = pd.DataFrame(rows, columns=["cluster", "file"])
     if not rows:
         pdf = pdf.astype({"cluster": "int32", "file": "object"})
-    mdf = (emb.sparkSession
-           .createDataFrame(pdf, schema="cluster int, file string")
+    mdf = (spark.createDataFrame(pdf, schema="cluster int, file string")
            .coalesce(1))
     mroot = os.path.join(local, MANIFEST_SUBDIR)
     for _ in range(max_retries):

@@ -417,6 +417,75 @@ def _ivf_pq_routed(emb: DataFrame, cents: list[list[float]], dim: int,
     return _route_coded(coded, id_col, files_per_cluster)
 
 
+def write_ivf_pq_layout_generation(emb: DataFrame,
+                                   cents: list[list[float]], dim: int,
+                                   codebooks: list[list[list[float]]],
+                                   path: str, id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   kernel: str | None = None,
+                                   files_per_cluster: int = 1,
+                                   max_retries: int = 5) -> int:
+    """E49 for the PRODUCTION index: an immutable-generation rebuild of
+    the stored IVF-PQ layout (the lock-free swap of
+    ivf_layout.write_ivf_layout_generation, staging CODES instead of
+    float payloads). A model refresh - new coarse centroids AND new
+    codebooks - stages a complete gen=<uuid> tree and CAS-commits one
+    manifest version; probes pinned to the old version keep serving
+    the old quantization bit-identically (the caller pins the MODEL
+    alongside the version - the manifest versions the files, the
+    caller's model registry versions the centroids/codebooks they were
+    encoded under). Returns the committed manifest version."""
+    import uuid as _uuid
+
+    from .ivf_layout import (_is_local_path, _strip_scheme,
+                             commit_generation_manifest)
+
+    if not _is_local_path(path):
+        raise ValueError("generation layouts need a driver-local path "
+                         "(the manifest IS the read path)")
+    import os
+
+    gen = f"gen={_uuid.uuid4().hex[:12]}"
+    stage = os.path.join(_strip_scheme(path), gen)
+    _ivf_pq_routed(emb, cents, dim, codebooks, id_col, vec_col, kernel,
+                   files_per_cluster) \
+        .write.partitionBy("cluster").mode("errorifexists").parquet(stage)
+    return commit_generation_manifest(emb.sparkSession, path, gen,
+                                      max_retries)
+
+
+def write_ivf_pq_layout_generation_twolevel(
+        emb: DataFrame, coarse_cents: list[list[float]],
+        fine: list[list[list[float]]], k2: int, dim: int,
+        codebooks: list[list[list[float]]], path: str,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+        kernel: str | None = None, files_per_cluster: int = 1,
+        max_retries: int = 5) -> int:
+    """The two-level-quantizer generation rebuild - same contract as
+    :func:`write_ivf_pq_layout_generation` with the O(n*sqrt(k)*dim)
+    assignment (the build-scale half at corpus-scaled k)."""
+    import uuid as _uuid
+
+    from .ivf_layout import (_is_local_path, _strip_scheme,
+                             commit_generation_manifest)
+
+    if not _is_local_path(path):
+        raise ValueError("generation layouts need a driver-local path "
+                         "(the manifest IS the read path)")
+    if any(len(fl) > k2 for fl in fine):
+        raise ValueError("a fine list exceeds the nominal k2 "
+                         f"({max(len(fl) for fl in fine)} > {k2})")
+    import os
+
+    gen = f"gen={_uuid.uuid4().hex[:12]}"
+    stage = os.path.join(_strip_scheme(path), gen)
+    _ivf_pq_routed_twolevel(emb, coarse_cents, fine, k2, dim, codebooks,
+                            id_col, vec_col, kernel, files_per_cluster) \
+        .write.partitionBy("cluster").mode("errorifexists").parquet(stage)
+    return commit_generation_manifest(emb.sparkSession, path, gen,
+                                      max_retries)
+
+
 def _route_coded(coded: DataFrame, id_col: str,
                  files_per_cluster: int) -> DataFrame:
     """One hash shuffle on the (low-cardinality, k-means-balanced)
@@ -437,7 +506,8 @@ def ivf_pq_probe(spark, path: str, queries: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  rerank: int = 0, emb: DataFrame | None = None,
                  probe_lists: str = "auto",
-                 literal_max: int | None = None) -> DataFrame:
+                 literal_max: int | None = None,
+                 index_version: int | None = None) -> DataFrame:
     """Serve from the stored IVF-PQ index: (query_id, vec_id, score,
     rank). Probe-list planning carries the float layout's contract:
 
@@ -478,7 +548,8 @@ def ivf_pq_probe(spark, path: str, queries: DataFrame,
                 .select(F.col(id_col).alias("query_id"),
                         F.col("cluster").cast("int").alias("cluster")))
         return _ivf_pq_plan_probe(spark, path, queries, cand, codebooks,
-                                  k, rerank, id_col, vec_col, emb)
+                                  k, rerank, id_col, vec_col, emb,
+                                  version=index_version)
     # ONE narrow driver job serves both the LUTs and the probe planning
     # (VERDICT r8 #6) - q_mat rows feed probe_clusters directly.
     q_ids, q_mat, luts = _query_luts(queries, codebooks, id_col, vec_col)
@@ -486,7 +557,7 @@ def ivf_pq_probe(spark, path: str, queries: DataFrame,
                     for qv in q_mat]
     union = sorted({c for s in cluster_sets for c in s})
     from .ivf_layout import _read_probed_dirs
-    lay = (_read_probed_dirs(spark, path, union)
+    lay = (_read_probed_dirs(spark, path, union, index_version)
            .select(id_col, "codes", "cluster")
            .filter(F.col("cluster").isin(union)))
     take = max(k, rerank)
@@ -567,7 +638,8 @@ def ivf_pq_probe_twolevel(spark, path: str, queries: DataFrame,
                           vec_col: str = "embedding",
                           rerank: int = 0, emb: DataFrame | None = None,
                           probe_lists: str = "auto",
-                          literal_max: int | None = None) -> DataFrame:
+                          literal_max: int | None = None,
+                          index_version: int | None = None) -> DataFrame:
     """Serve from the two-level IVF-PQ index. Literal mode plans probe
     lists driver-side at (k1 + nprobe_coarse*k2)*dim per query
     (`probe_clusters_twolevel` - never the flat planner's k*dim scan
@@ -598,7 +670,8 @@ def ivf_pq_probe_twolevel(spark, path: str, queries: DataFrame,
             .select(F.col(id_col).alias("query_id"),
                     F.col("cluster").cast("int").alias("cluster")))
         return _ivf_pq_plan_probe(spark, path, queries, cand, codebooks,
-                                  k, rerank, id_col, vec_col, emb)
+                                  k, rerank, id_col, vec_col, emb,
+                                  version=index_version)
     # ONE narrow driver job serves both the LUTs and the probe planning
     # (VERDICT r8 #6) - q_mat rows feed probe_clusters_twolevel directly.
     q_ids, q_mat, luts = _query_luts(queries, codebooks, id_col, vec_col)
@@ -608,7 +681,7 @@ def ivf_pq_probe_twolevel(spark, path: str, queries: DataFrame,
         for qv in q_mat]
     union = sorted({c for s in cluster_sets for c in s})
     from .ivf_layout import _read_probed_dirs
-    lay = (_read_probed_dirs(spark, path, union)
+    lay = (_read_probed_dirs(spark, path, union, index_version)
            .select(id_col, "codes", "cluster")
            .filter(F.col("cluster").isin(union)))
     take = max(k, rerank)
@@ -676,7 +749,8 @@ def _adc_pairwise_topk(pairs: DataFrame, take: int, id_col: str,
 def _ivf_pq_plan_probe(spark, path: str, queries: DataFrame,
                        cand: DataFrame, codebooks, k: int, rerank: int,
                        id_col: str, vec_col: str,
-                       emb: DataFrame | None) -> DataFrame:
+                       emb: DataFrame | None,
+                       version: int | None = None) -> DataFrame:
     """Shared plan-mode tail for both IVF-PQ probes. NOTHING |Q|-sized
     carries a broadcast hint (VERDICT r8 #3 - a broadcast relation is
     still collected to the driver, so hinting the query batch defeats
@@ -703,14 +777,14 @@ def _ivf_pq_plan_probe(spark, path: str, queries: DataFrame,
     # candidate clusters (<= k ints - one tiny collect of an agg, not
     # the query batch), so plan build never lists all k directories.
     # Without a manifest, fall back to the full listing + DPP.
-    if manifest_clusters(path) is not None:
+    if version is not None or manifest_clusters(path) is not None:
         # The candidate relation feeds both the distinct-cluster seed
         # and the pair join; pin it so the distributed assignment
         # kernel runs once (executor-resident, never on the driver).
         cand = cand.localCheckpoint()
         union = sorted(int(r["cluster"]) for r in
                        cand.select("cluster").distinct().collect())
-        lay = (_read_probed_dirs(spark, path, union)
+        lay = (_read_probed_dirs(spark, path, union, version)
                .select(id_col, "codes", "cluster")
                .filter(F.col("cluster").isin(union)))
     else:

@@ -156,3 +156,92 @@ def test_conflict_loser_reclaims_next_version(spark, genlayout,
     monkeypatch.setattr(versioned, "write_version_cas", lose_once)
     v = write_ivf_layout_generation(half, cents, dim, path)
     assert calls["n"] == 2 and v >= 2
+
+
+def test_pq_generation_swap_pins_model_and_files(spark, genlayout):
+    """The production-index variant: write_ivf_pq_layout_generation
+    stages CODES under gen= trees; a probe pinned to (version, model)
+    serves bit-identically across a model-refresh rebuild, fresh probes
+    cut over, and literal==plan equality holds on the pinned
+    generation."""
+    from etl_pipeline_mini_project_01_spark.operators.pq import (
+        ivf_pq_probe,
+        pq_train,
+        write_ivf_pq_layout_generation,
+    )
+
+    emb, half, cents, dim, path, _ = genlayout
+    books = pq_train(emb, m=8, ksub=16, iters=1)
+    ppath = os.path.join(os.path.dirname(path), "codes")
+    v1 = write_ivf_pq_layout_generation(half, cents, dim, books, ppath)
+    queries = (emb.filter(F.col("vec_id") < 4)
+               .select("vec_id", "embedding").localCheckpoint())
+
+    def _rows(df):
+        return sorted((r.query_id, r.vec_id, repr(r.score), r.rank)
+                      for r in df.collect())
+
+    before = _rows(ivf_pq_probe(spark, ppath, queries, cents, books,
+                                3, TOPK, probe_lists="literal",
+                                index_version=v1))
+    assert before and all(v % 2 == 0 for _, v, _, _ in before)
+
+    # model refresh: NEW codebooks + full corpus as generation 2
+    books2 = pq_train(emb, m=8, ksub=16, iters=2)
+    v2 = write_ivf_pq_layout_generation(emb, cents, dim, books2, ppath)
+    assert v2 == v1 + 1
+
+    # pinned (v1, books) serves bit-identically across the swap...
+    after = _rows(ivf_pq_probe(spark, ppath, queries, cents, books,
+                               3, TOPK, probe_lists="literal",
+                               index_version=v1))
+    assert after == before
+    # ...in plan mode too (the shared manifest-resolved read)
+    pln = _rows(ivf_pq_probe(spark, ppath, queries, cents, books,
+                             3, TOPK, probe_lists="plan",
+                             index_version=v1))
+    assert pln == before
+
+    # unpinned probes serve (v2, books2) - the full corpus, no mixing
+    latest = _rows(ivf_pq_probe(spark, ppath, queries, cents, books2,
+                                3, TOPK, probe_lists="literal"))
+    pinned2 = _rows(ivf_pq_probe(spark, ppath, queries, cents, books2,
+                                 3, TOPK, probe_lists="literal",
+                                 index_version=v2))
+    assert latest == pinned2 != before
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        read_layout_manifest,
+    )
+    assert read_layout_manifest(spark, ppath).count() == emb.count()
+
+
+def test_pq_generation_twolevel_roundtrip(spark, genlayout):
+    """Two-level generation build: stored rows match the flat
+    generation contract (manifest-resolved full corpus, pinned reads
+    stable) under the hierarchical quantizer."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        read_layout_manifest,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit_twolevel,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.pq import (
+        ivf_pq_probe_twolevel,
+        pq_train,
+        write_ivf_pq_layout_generation_twolevel,
+    )
+
+    emb, half, cents, dim, path, _ = genlayout
+    books = pq_train(emb, m=8, ksub=16, iters=1)
+    cc, fi, dim2 = kmeans_fit_twolevel(emb, 3, 3, 1, 1)
+    ppath = os.path.join(os.path.dirname(path), "codes2l")
+    v1 = write_ivf_pq_layout_generation_twolevel(
+        emb, cc, fi, 3, dim2, books, ppath)
+    assert read_layout_manifest(spark, ppath, version=v1).count() \
+        == emb.count()
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select("vec_id", "embedding"))
+    out = ivf_pq_probe_twolevel(spark, ppath, queries, cc, fi, 3, books,
+                                nprobe=4, k=TOPK, nprobe_coarse=2,
+                                probe_lists="literal", index_version=v1)
+    assert out.count() > 0
