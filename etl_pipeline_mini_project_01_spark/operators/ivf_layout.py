@@ -98,6 +98,46 @@ def commit_layout_manifest(spark: SparkSession, path: str) -> int | None:
                          os.path.join(local, MANIFEST_SUBDIR))
 
 
+def commit_layout_manifest_incremental(spark: SparkSession, path: str,
+                                        touched: list[int]
+                                        ) -> int | None:
+    """Delta-append manifest commit (the Delta-log `add`-action shape):
+    merge the PREVIOUS manifest's rows for untouched clusters with a
+    re-listing of ONLY the `touched` cluster directories - an
+    O(|touched|) listing instead of the full-commit O(k), which is the
+    difference between a daily delta append paying |delta|-sized work
+    and paying index-sized work at k~1e5 lists. Falls back to the full
+    listing for manifest-less layouts; None for non-local paths (same
+    scope as commit_layout_manifest)."""
+    from ..sources.versioned import write_version
+
+    if not _is_local_path(path):
+        return None
+    prev = manifest_clusters(path)
+    if prev is None:
+        return commit_layout_manifest(spark, path)
+    local = _strip_scheme(path)
+    tset = set(int(c) for c in touched)
+    rows = [(c, f) for c, fs in sorted(prev.items())
+            if c not in tset for f in fs]
+    for c in sorted(tset):
+        cdir = os.path.join(local, f"cluster={c}")
+        if not os.path.isdir(cdir):
+            continue
+        rows.extend((c, f"cluster={c}/{f}")
+                    for f in sorted(os.listdir(cdir))
+                    if f.endswith(".parquet")
+                    and not f.startswith(("_", ".")))
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["cluster", "file"])
+    if not rows:
+        pdf = pdf.astype({"cluster": "int32", "file": "object"})
+    mdf = spark.createDataFrame(pdf, schema="cluster int, file string")
+    return write_version(mdf.coalesce(1),
+                         os.path.join(local, MANIFEST_SUBDIR))
+
+
 def manifest_clusters(path: str, version: int | None = None
                       ) -> dict[int, list[str]] | None:
     """A committed file manifest as {cluster: [file, ...]} (paths
@@ -226,9 +266,20 @@ def append_to_ivf_layout(delta: DataFrame, cents: list[list[float]],
     Re-clustering (a NEW model) is deliberately NOT this path - that
     is a versioned rewrite via `write_ivf_layout` (see module
     docstring), because a model swap moves standing rows between
-    directories."""
-    write_ivf_layout(delta, cents, dim, path, id_col, vec_col, kernel,
-                     mode="append")
+    directories.
+
+    The manifest commit is INCREMENTAL (r9): the touched clusters come
+    from one |delta|-sized distinct job, and only those directories are
+    re-listed - the previous manifest's rows carry the rest - so the
+    daily append never pays the index-sized k-directory listing the
+    full-rewrite commit (rightly) does."""
+    assigned = (_assign(_scaled(delta, vec_col), cents, dim, kernel)
+                .drop("xi", "xd", "centroid_dist"))
+    routed = assigned.repartition("cluster")
+    routed.write.partitionBy("cluster").mode("append").parquet(path)
+    touched = [int(r["cluster"]) for r in
+               assigned.select("cluster").distinct().collect()]
+    commit_layout_manifest_incremental(delta.sparkSession, path, touched)
 
 
 def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],

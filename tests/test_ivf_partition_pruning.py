@@ -707,3 +707,61 @@ def test_serving_probe_uses_bounded_discovery(spark, layout):
         for f in os.listdir(os.path.join(path, f"cluster={c}"))
         if f.endswith(".parquet") and not f.startswith(("_", ".")))
     assert scanned == want, (scanned, want)
+
+
+def test_append_manifest_commit_is_incremental(spark, monkeypatch):
+    """The daily-append manifest commit re-lists ONLY the touched
+    cluster directories (the previous manifest carries the rest) and
+    the merged manifest equals what a full listing would produce."""
+    import os as _os
+
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        append_to_ivf_layout,
+        manifest_clusters,
+        write_ivf_layout,
+    )
+    from etl_pipeline_mini_project_01_spark.operators import ivf_layout
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    standing = emb.filter("vec_id >= 10")
+    delta = emb.filter("vec_id < 10").localCheckpoint()
+    cents, dim = kmeans_fit(standing, k=K, iters=ITERS)
+    root = tempfile.mkdtemp(prefix="ivf_incrmf_")
+    path = root + "/emb"
+    write_ivf_layout(standing, cents, dim, path)
+
+    touched = {int(r.cluster) for r in
+               kmeans_transform(delta, cents, dim)
+               .select("cluster").distinct().collect()}
+    listed: list[str] = []
+    real_listdir = _os.listdir
+
+    def spy_listdir(p):
+        listed.append(str(p))
+        return real_listdir(p)
+
+    monkeypatch.setattr(ivf_layout.os, "listdir", spy_listdir)
+    append_to_ivf_layout(delta, cents, dim, path)
+    monkeypatch.undo()
+
+    # only touched cluster dirs were listed (manifest internals aside)
+    cluster_listings = {e.rsplit("cluster=", 1)[1] for e in listed
+                        if "cluster=" in e}
+    assert cluster_listings == {str(c) for c in touched}, (
+        cluster_listings, touched)
+
+    # merged manifest == a from-scratch full listing
+    def _full_listing():
+        out = {}
+        for entry in sorted(real_listdir(path)):
+            if not entry.startswith("cluster="):
+                continue
+            c = int(entry.split("=", 1)[1])
+            out[c] = sorted(
+                f"{entry}/{f}"
+                for f in real_listdir(_os.path.join(path, entry))
+                if f.endswith(".parquet") and not f.startswith(("_", ".")))
+        return out
+
+    assert manifest_clusters(path) == _full_listing()
+    shutil.rmtree(root, ignore_errors=True)
