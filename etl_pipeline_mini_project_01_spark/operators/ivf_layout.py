@@ -108,7 +108,13 @@ def commit_layout_manifest_incremental(spark: SparkSession, path: str,
     difference between a daily delta append paying |delta|-sized work
     and paying index-sized work at k~1e5 lists. Falls back to the full
     listing for manifest-less layouts; None for non-local paths (same
-    scope as commit_layout_manifest)."""
+    scope as commit_layout_manifest).
+
+    Arbitration grade: write_version - LAST WRITER WINS, the
+    single-pipeline ownership contract shared with the append path
+    itself (two concurrent appends' parquet commits already interleave
+    arbitrarily). Racing INDEX REBUILDS belong on the generation path,
+    whose CAS commit serializes them."""
     from ..sources.versioned import write_version
 
     if not _is_local_path(path):
@@ -386,6 +392,48 @@ def commit_generation_manifest(spark: SparkSession, path: str, gen: str,
         "window)")
 
 
+def compact_layout_generation(spark: SparkSession, path: str,
+                              files_per_cluster: int = 1,
+                              id_col: str = "vec_id",
+                              max_retries: int = 5) -> int:
+    """OPTIMIZE for layouts: rewrite the LATEST manifest's rows as a
+    fresh generation with `files_per_cluster` files per cluster -
+    bin-packing the sliver files daily appends accumulate (every
+    append adds >= 1 file per touched cluster; after N days a posting
+    list is N reads of parquet footers instead of one sequential
+    scan). No re-assignment runs - the stored cluster id IS the
+    routing key - so the cost is one read + one cluster-routed write
+    of the live rows, and the commit is the same CAS manifest swap as
+    a model rebuild: probes never observe a half-compacted index,
+    pinned probes keep the pre-compaction generation until vacuum.
+    Works on both layout conventions (an append-origin layout's first
+    compaction migrates it to the generation convention; its old bare
+    `cluster=` directories stay until `vacuum_layout_generations`,
+    which removes UNREFERENCED bare dirs by the same age-gated rule as
+    gen= trees). Returns the committed manifest version."""
+    import uuid as _uuid
+
+    if not _is_local_path(path):
+        raise ValueError("generation layouts need a driver-local path "
+                         "(the manifest IS the read path)")
+    lay = read_layout_manifest(spark, path)
+    if "gen" in lay.columns:
+        lay = lay.drop("gen")
+    if files_per_cluster < 1:
+        raise ValueError(f"files_per_cluster must be >= 1, "
+                         f"got {files_per_cluster}")
+    if files_per_cluster == 1:
+        routed = lay.repartition("cluster")
+    else:
+        routed = lay.repartition(
+            F.col("cluster"),
+            F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
+    gen = f"gen={_uuid.uuid4().hex[:12]}"
+    stage = os.path.join(_strip_scheme(path), gen)
+    routed.write.partitionBy("cluster").mode("errorifexists").parquet(stage)
+    return commit_generation_manifest(spark, path, gen, max_retries)
+
+
 def read_layout_manifest(spark: SparkSession, path: str,
                          version: int | None = None,
                          clusters: list[int] | None = None) -> DataFrame:
@@ -429,21 +477,35 @@ def vacuum_layout_generations(path: str, keep_last: int = 2,
 
     local = _strip_scheme(path)
     mroot = os.path.join(local, MANIFEST_SUBDIR)
+    if not os.path.isdir(mroot):
+        # a layout with no manifest log has no membership authority to
+        # vacuum against - refusing beats deleting everything as
+        # "unreferenced"
+        return []
     vacuum_versions(mroot, keep_last=keep_last,
                     stage_retention_sec=stage_retention_sec)
     live: set[str] = set()
+    readable = 0
     for v in list_versions(mroot):
         try:
             mf = manifest_clusters(path, v) or {}
         except FileNotFoundError:      # crashed zero-byte claim
             continue
+        readable += 1
         for fs in mf.values():
             live.update(f.split("/", 1)[0] for f in fs)
+    if not readable:
+        return []
     removed: list[str] = []
+    # `live` holds each referenced file's FIRST path segment, so it
+    # covers both conventions: `gen=<uuid>` trees and the bare
+    # `cluster=N` dirs an append-origin layout used before its first
+    # compaction migrated it - those become reclaimable the moment no
+    # retained manifest references them.
     for entry in sorted(os.listdir(local)):
         full = os.path.join(local, entry)
-        if (not entry.startswith("gen=") or entry in live
-                or not os.path.isdir(full)):
+        if (not (entry.startswith("gen=") or entry.startswith("cluster="))
+                or entry in live or not os.path.isdir(full)):
             continue
         try:
             aged = (time.time() - os.path.getmtime(full)

@@ -245,3 +245,73 @@ def test_pq_generation_twolevel_roundtrip(spark, genlayout):
                                 nprobe=4, k=TOPK, nprobe_coarse=2,
                                 probe_lists="literal", index_version=v1)
     assert out.count() > 0
+
+
+def test_compaction_binpacks_and_migrates(spark):
+    """compact_layout_generation: after N appends a cluster holds N
+    sliver files; compaction rewrites the live rows as one file per
+    cluster in a fresh generation - content identical, probes cut over
+    atomically, and the append-origin bare directories become
+    reclaimable once no retained manifest references them."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        append_to_ivf_layout,
+        compact_layout_generation,
+        manifest_clusters,
+        write_ivf_layout,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents, dim = kmeans_fit(emb, k=K, iters=1)
+    root = tempfile.mkdtemp(prefix="ivf_compact_")
+    path = root + "/emb"
+    write_ivf_layout(emb.filter("vec_id % 3 = 0"), cents, dim, path)
+    append_to_ivf_layout(emb.filter("vec_id % 3 = 1"), cents, dim, path)
+    append_to_ivf_layout(emb.filter("vec_id % 3 = 2"), cents, dim, path)
+
+    mf = manifest_clusters(path)
+    assert max(len(fs) for fs in mf.values()) >= 2     # slivers piled up
+    before = sorted((r.vec_id, int(r.cluster)) for r in
+                    read_layout_manifest(spark, path)
+                    .select("vec_id", "cluster").collect())
+
+    v = compact_layout_generation(spark, path)
+    mf2 = manifest_clusters(path)
+    assert all(len(fs) == 1 for fs in mf2.values())    # bin-packed
+    assert all(fs[0].startswith("gen=") for fs in mf2.values())
+    after = sorted((r.vec_id, int(r.cluster)) for r in
+                   read_layout_manifest(spark, path)
+                   .select("vec_id", "cluster").collect())
+    assert after == before                             # content identical
+
+    # probes read the compacted generation
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").select("embedding").first()[0]]
+    hits = ivf_probe_pruned(spark, path, qv, cents, NPROBE, 1).collect()
+    assert hits and hits[0].vec_id == 0
+
+    # the bare append-origin dirs die once their manifests rotate out
+    removed = vacuum_layout_generations(path, keep_last=1,
+                                        stage_retention_sec=0.0)
+    assert removed and all(e.startswith("cluster=") for e in removed)
+    assert sorted((r.vec_id, int(r.cluster)) for r in
+                  read_layout_manifest(spark, path)
+                  .select("vec_id", "cluster").collect()) == before
+    with pytest.raises(FileNotFoundError):
+        read_layout_manifest(spark, path, version=v - 1)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_generation_vacuum_refuses_manifestless_layout(spark, tmp_path):
+    """A layout with no manifest log has no membership authority -
+    vacuum must refuse rather than sweep every directory as
+    'unreferenced'."""
+    import pandas as pd
+
+    p = str(tmp_path / "bare")
+    (spark.createDataFrame(pd.DataFrame({"vec_id": [1, 2],
+                                         "cluster": [0, 1]}))
+     .write.partitionBy("cluster").parquet(p))
+    assert vacuum_layout_generations(p, keep_last=1,
+                                     stage_retention_sec=0.0) == []
+    assert sorted(e for e in os.listdir(p) if e.startswith("cluster=")) \
+        == ["cluster=0", "cluster=1"]
