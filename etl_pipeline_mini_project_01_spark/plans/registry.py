@@ -131,6 +131,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
 #:   s2_retry_backoff, sessionization_gaps, stats_quantile_sketch,
 #:   stream_tumbling_counts, text_quality_scores, tfidf_top_terms,
 #:   x1_token_frequencies.
+#: Of r10's 12 free slots, one should give E50 (multi-table
+#: transactions, sources/transactions.py - pytest-only as of r9) its
+#: first driver row: the versioned_time_travel ledger recipe extends
+#: naturally (two tables, write-then-pin, as-of txn reads, orphan
+#: enumeration - every value input-derivable).
 #:
 #: CAPACITY POLICY (VERDICT r4 #7): the 50-slot window and the 2-round
 #: staleness bound give a hard ceiling of 50 x 3 = 150 sustainable
