@@ -413,3 +413,108 @@ def versioned_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (spark.createDataFrame(steps, "step string, value double")
             .orderBy("step"))
+
+
+_TXN_ORACLE = """
+WITH o1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders
+            WHERE o_orderdate < DATE '1995-01-01'),
+l1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+       WHERE l_shipdate < DATE '1995-01-01'),
+o2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders),
+l2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem)
+SELECT s.step, s.value
+FROM o1, l1, o2, l2, LATERAL (VALUES
+    ('1_t1_orders_rows', o1.c),
+    ('2_t1_lineitem_rows', l1.c),
+    ('3_latest_txn_after_unpinned_write', CAST(1 AS BIGINT)),
+    ('4_orders_rows_visible_after_unpinned', o1.c),
+    ('5_unpinned_orphan_versions', CAST(1 AS BIGINT)),
+    ('6_latest_txn', CAST(2 AS BIGINT)),
+    ('7_t2_orders_rows', o2.c),
+    ('8_t2_lineitem_rows', l2.c),
+    ('9_asof_t1_orders_rows', o1.c),
+    ('A_orphans_after_pin', CAST(0 AS BIGINT))) s(step, value)
+ORDER BY s.step
+"""
+
+
+@register("txn_multi_table", oracle=_TXN_ORACLE)
+def txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E50 as a driver row (sources/transactions.py): multi-table
+    transactions over versioned tables, run end-to-end and reduced to
+    input-derivable invariants:
+
+      * txn 1 pins a consistent two-table state (pre-1995 orders +
+        pre-1995-shipdate lineitem);
+      * a per-table version committed WITHOUT a pin (all orders as
+        orders@v2) is durable but INVISIBLE to transactional readers -
+        the latest snapshot still serves txn 1's orders rows, and the
+        orphan enumerator names exactly that one unpinned version
+        (write-then-pin atomicity, the crash-at-step-1 shape);
+      * txn 2 pins (orders@v2, lineitem@v2) and BOTH tables flip at
+        once; the as-of read of txn 1 still returns the old orders
+        count (cross-table time travel); no orphans remain.
+
+    Every value is stated by the oracle from the input alone. The
+    reference loads its bronze/silver/gold tables in separate
+    autocommitted writes (/root/reference/src/loader/*.py) - a reader
+    between two of them sees a torn cross-table state; this layer is
+    the atomic multi-table cut."""
+    from ..catalog import load_table
+    from ..sources.transactions import (commit_txn, latest_txn,
+                                        read_txn_snapshot,
+                                        unpinned_table_versions)
+    from ..sources.versioned import write_version
+
+    if not hasattr(txn_multi_table, "_run_tag"):
+        txn_multi_table._run_tag = uuid.uuid4().hex[:8]
+    tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+           + "_" + txn_multi_table._run_tag)
+    root = f"/tmp/spark_graft_txn_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o_pre = orders.where(F.col("o_orderdate") < F.lit("1995-01-01"))
+    l_pre = lineitem.where(F.col("l_shipdate") < F.lit("1995-01-01"))
+
+    ov1 = write_version(o_pre, os.path.join(root, "orders"))
+    lv1 = write_version(l_pre, os.path.join(root, "lineitem"))
+    t1 = commit_txn(root, {"orders": ov1, "lineitem": lv1}, 0)
+
+    snap1 = read_txn_snapshot(spark, root)
+    t1_orders = snap1["orders"].count()
+    t1_lineitem = snap1["lineitem"].count()
+
+    # durable-but-unpinned per-table write (the crash-at-step-1 shape)
+    ov2 = write_version(orders, os.path.join(root, "orders"))
+    latest_after_unpinned = latest_txn(root)
+    visible_orders = read_txn_snapshot(spark, root)["orders"].count()
+    orphans = unpinned_table_versions(root)
+    n_orphans = sum(len(v) for v in orphans.values())
+
+    lv2 = write_version(lineitem, os.path.join(root, "lineitem"))
+    t2 = commit_txn(root, {"orders": ov2, "lineitem": lv2}, t1)
+    snap2 = read_txn_snapshot(spark, root)
+    t2_orders = snap2["orders"].count()
+    t2_lineitem = snap2["lineitem"].count()
+    asof_t1_orders = read_txn_snapshot(spark, root,
+                                       txn=t1)["orders"].count()
+    orphans_after = sum(len(v) for v in
+                        unpinned_table_versions(root).values())
+
+    steps = [
+        ("1_t1_orders_rows", int(t1_orders)),
+        ("2_t1_lineitem_rows", int(t1_lineitem)),
+        ("3_latest_txn_after_unpinned_write", int(latest_after_unpinned)),
+        ("4_orders_rows_visible_after_unpinned", int(visible_orders)),
+        ("5_unpinned_orphan_versions", int(n_orphans)),
+        ("6_latest_txn", int(t2)),
+        ("7_t2_orders_rows", int(t2_orders)),
+        ("8_t2_lineitem_rows", int(t2_lineitem)),
+        ("9_asof_t1_orders_rows", int(asof_t1_orders)),
+        ("A_orphans_after_pin", int(orphans_after)),
+    ]
+    return (spark.createDataFrame(steps, "step string, value bigint")
+            .orderBy("step"))

@@ -67,25 +67,26 @@ WINDOW_ROUND = 9
 #: registered queries each round. Round-9 window (VERDICT r8 #1) = (a)
 #: the 35 round-6-only greens (the precomputed r9 rotation debt - at
 #: WINDOW_ROUND=9 the staleness guard fails without every one of them),
-#: (b) the THREE new r9 registrations (the stored IVF-PQ probe
+#: (b) the FOUR new r9 registrations (the stored IVF-PQ probe
 #: composition, VERDICT r8 #4; the E48 versioned streaming sink,
-#: VERDICT r8 #5; and the E49 generation-versioned layout swap built
-#: on the r9 manifest seam), (c) four queries whose implementing code
-#: changed
+#: VERDICT r8 #5; the E49 generation-versioned layout swap built on
+#: the r9 manifest seam; and the E50 multi-table transaction ledger),
+#: (c) four queries whose implementing code changed
 #: this round (the pq_encode passthrough build fix + plan-mode
 #: de-broadcast in operators/pq.py -> pq_codes_rerank_topk; the
 #: plan-mode de-broadcast + layout file manifest in
 #: operators/ivf_layout.py -> ann_ivf_layout_probe +
 #: ann_ivf_hier_layout_probe; the vacuum stage-dir age gate in
-#: sources/versioned.py -> versioned_time_travel), and (d) 8
+#: sources/versioned.py -> versioned_time_travel), and (d) 7
 #: round-7-only greens rotated proactively - all 46 r7 names fall due
 #: at r10, so prefilling the flagship/ANN-adjacent ones now leaves r10
-#: with 38 debt names + 12 free slots instead of 46 + 4.
+#: with 39 debt names + 11 free slots instead of 46 + 4.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- new this round (need a FIRST driver row) ------------------------
     "ann_ivfpq_stored_probe",         # E44xE47: stored IVF-PQ serve path
     "versioned_stream_sink",          # E48: CAS-committing stream sink
     "ivf_generation_swap",            # E49: lock-free index swap
+    "txn_multi_table",                # E50: multi-table transactions
     # -- code changed this round (old rows stopped vouching) -------------
     "pq_codes_rerank_topk",           # pq.py encode passthrough + probes
     "ann_ivf_layout_probe",           # ivf_layout.py de-broadcast+manifest
@@ -110,17 +111,16 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "g6_daily_event_trends", "j7_star_join_region_revenue",
     "silver_fact_build", "sim_ivf_probe_topk", "ann_ivf_kmeans_recall",
     "dedup_editdistance_pairs", "dedup_ngram_jaccard",
-    "f1_html_clean",
 )
 
-#: Round-10 rotation debt, precomputed: after the r9 driver run the 38
+#: Round-10 rotation debt, precomputed: after the r9 driver run the 39
 #: round-7-only greens NOT in the r9 window fall due (at WINDOW_ROUND=10
-#: every one needs a slot, leaving 12 for r10's new/changed code):
+#: every one needs a slot, leaving 11 for r10's new/changed code):
 #:   a12_daily_modal_event_type, a14_table_stats,
 #:   a1_language_distribution, a2_event_type_distribution,
 #:   a3_engagement_stats, a5_latest_user_snapshot, a7_dedup_keep_first,
 #:   a8_null_profile, asof_join_latest_order, curation_docs_ledger,
-#:   curation_funnel,
+#:   curation_funnel, f1_html_clean,
 #:   decontamination_scores, dq_violation_summary, f11_user_activity_age,
 #:   f12_engagement_ratio, f2_json_array_ops, f4_json_field_extraction,
 #:   f5_json_roundtrip, f9_date_dimension, g2_top_performing_content,
@@ -131,11 +131,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
 #:   s2_retry_backoff, sessionization_gaps, stats_quantile_sketch,
 #:   stream_tumbling_counts, text_quality_scores, tfidf_top_terms,
 #:   x1_token_frequencies.
-#: Of r10's 12 free slots, one should give E50 (multi-table
-#: transactions, sources/transactions.py - pytest-only as of r9) its
-#: first driver row: the versioned_time_travel ledger recipe extends
-#: naturally (two tables, write-then-pin, as-of txn reads, orphan
-#: enumeration - every value input-derivable).
 #:
 #: CAPACITY POLICY (VERDICT r4 #7): the 50-slot window and the 2-round
 #: staleness bound give a hard ceiling of 50 x 3 = 150 sustainable
