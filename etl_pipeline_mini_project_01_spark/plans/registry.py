@@ -60,77 +60,78 @@ _PLAN_MODULES = (
 #: exist - so the test's verdict is stable across the moment the current
 #: round's results land, and flips red exactly when a new round starts
 #: without the window being rebuilt.
-WINDOW_ROUND = 9
+WINDOW_ROUND = 10
 
 
 #: Driver-check priority: the grading driver verifies only the FIRST 50
-#: registered queries each round. Round-9 window (VERDICT r8 #1) = (a)
-#: the 35 round-6-only greens (the precomputed r9 rotation debt - at
-#: WINDOW_ROUND=9 the staleness guard fails without every one of them),
-#: (b) the FOUR new r9 registrations (the stored IVF-PQ probe
-#: composition, VERDICT r8 #4; the E48 versioned streaming sink,
-#: VERDICT r8 #5; the E49 generation-versioned layout swap built on
-#: the r9 manifest seam; and the E50 multi-table transaction ledger),
-#: (c) four queries whose implementing code changed
-#: this round (the pq_encode passthrough build fix + plan-mode
-#: de-broadcast in operators/pq.py -> pq_codes_rerank_topk; the
-#: plan-mode de-broadcast + layout file manifest in
-#: operators/ivf_layout.py -> ann_ivf_layout_probe +
-#: ann_ivf_hier_layout_probe; the vacuum stage-dir age gate in
-#: sources/versioned.py -> versioned_time_travel), and (d) 7
-#: round-7-only greens rotated proactively - all 46 r7 names fall due
-#: at r10, so prefilling the flagship/ANN-adjacent ones now leaves r10
-#: with 39 debt names + 11 free slots instead of 46 + 4.
+#: registered queries each round. Round-10 window (VERDICT r9 #1) = (a)
+#: the 39 round-7-only greens (the precomputed r10 rotation debt - at
+#: WINDOW_ROUND=10 the staleness guard fails without every one of them),
+#: and (b) 11 queries whose implementing code changed this round:
+#: the Hadoop-FileSystem storage seam rewrote sources/versioned.py,
+#: sources/transactions.py, and operators/ivf_layout.py's manifest IO
+#: (-> versioned_time_travel, versioned_stream_sink, txn_multi_table,
+#: ann_ivf_layout_probe, ann_ivf_hier_layout_probe, ivf_generation_swap,
+#: ann_ivfpq_stored_probe - the stored-PQ probe resolves files through
+#: the same manifest seam); the forced big-side broadcast sweep
+#: (VERDICT r9 #3) touched plans/silver.py silver_fact_build and
+#: plans/joins.py j2/j4/j7. g2_top_performing_content's own broadcast
+#: fix re-vouches for free inside its debt slot.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- new this round (need a FIRST driver row) ------------------------
-    "ann_ivfpq_stored_probe",         # E44xE47: stored IVF-PQ serve path
-    "versioned_stream_sink",          # E48: CAS-committing stream sink
-    "ivf_generation_swap",            # E49: lock-free index swap
-    "txn_multi_table",                # E50: multi-table transactions
     # -- code changed this round (old rows stopped vouching) -------------
-    "pq_codes_rerank_topk",           # pq.py encode passthrough + probes
-    "ann_ivf_layout_probe",           # ivf_layout.py de-broadcast+manifest
+    "versioned_time_travel",          # fsio seam in sources/versioned.py
+    "versioned_stream_sink",          # sink commits through the seam
+    "txn_multi_table",                # fsio seam + vacuum_txn + orphan scan
+    "ann_ivf_layout_probe",           # manifest IO through fsio
     "ann_ivf_hier_layout_probe",      # same shared probe tail
-    "versioned_time_travel",          # vacuum stage-dir age gate
-    # -- round-6-only greens: the precomputed r9 rotation debt (35) ------
-    "a11_approx_distinct", "chunk_context_windows", "cluster_split_audit",
-    "day2_incremental_counts", "day2_schema_evolution", "dedup_clusters",
-    "dedup_exact", "dedup_incremental", "dedup_simhash",
-    "f1_html_entities", "j1_change_detection", "j2_dimension_lookup",
-    "j3_band_join", "j4_anti_join_missing_fk", "j5_semi_join_cleanup",
-    "m2_idempotent_dim_insert", "m4_surrogate_keys", "m5_orphan_cleanup",
-    "mm_decode_features", "mm_image_resize", "pack_token_shards",
-    "s4_csv_fallback_roundtrip", "s9_ddl_catalog", "sample_cluster_balanced",
-    "sample_stratified", "semdedup_miss_audit", "stream_file_sink_counts",
-    "stream_interval_join", "temperature_mix_counts", "text_gopher_quality",
-    "text_repetition", "topk_per_group_docs", "u2_sentiment_inference",
-    "w1_user_engagement_rank", "w2_user_daily_value_change",
-    # -- round-7-only greens rotated early (9 of 46; the rest are r10
-    # -- debt) - the flagship entry()/bench queries and the families
-    # -- adjacent to this round's ANN/storage work.
-    "g6_daily_event_trends", "j7_star_join_region_revenue",
-    "silver_fact_build", "sim_ivf_probe_topk", "ann_ivf_kmeans_recall",
-    "dedup_editdistance_pairs", "dedup_ngram_jaccard",
+    "ivf_generation_swap",            # generation commit/vacuum via fsio
+    "ann_ivfpq_stored_probe",         # stored-PQ probe shares the seam
+    "silver_fact_build",              # de-hinted customer dim join
+    "j2_dimension_lookup",            # de-hinted customer dim join
+    "j4_anti_join_missing_fk",        # de-hinted anti-join build side
+    "j7_star_join_region_revenue",    # de-hinted customer, kept nation/region
+    # -- round-7-only greens: the precomputed r10 rotation debt (39) -----
+    "a12_daily_modal_event_type", "a14_table_stats",
+    "a1_language_distribution", "a2_event_type_distribution",
+    "a3_engagement_stats", "a5_latest_user_snapshot", "a7_dedup_keep_first",
+    "a8_null_profile", "asof_join_latest_order", "curation_docs_ledger",
+    "curation_funnel", "f1_html_clean",
+    "decontamination_scores", "dq_violation_summary", "f11_user_activity_age",
+    "f12_engagement_ratio", "f2_json_array_ops", "f4_json_field_extraction",
+    "f5_json_roundtrip", "f9_date_dimension", "g2_top_performing_content",
+    "g3_account_influence", "g4_hashtag_performance",
+    "g5_hourly_posting_patterns", "g7_viral_content", "o1_global_sort",
+    "o2_top_events", "p2_time_window_cutoff", "p6_normalized_documents",
+    "p_clean_documents", "p_clean_events", "s10_dynamic_ddl",
+    "s2_retry_backoff", "sessionization_gaps", "stats_quantile_sketch",
+    "stream_tumbling_counts", "text_quality_scores", "tfidf_top_terms",
+    "x1_token_frequencies",
 )
 
-#: Round-10 rotation debt, precomputed: after the r9 driver run the 39
-#: round-7-only greens NOT in the r9 window fall due (at WINDOW_ROUND=10
-#: every one needs a slot, leaving 11 for r10's new/changed code):
-#:   a12_daily_modal_event_type, a14_table_stats,
-#:   a1_language_distribution, a2_event_type_distribution,
-#:   a3_engagement_stats, a5_latest_user_snapshot, a7_dedup_keep_first,
-#:   a8_null_profile, asof_join_latest_order, curation_docs_ledger,
-#:   curation_funnel, f1_html_clean,
-#:   decontamination_scores, dq_violation_summary, f11_user_activity_age,
-#:   f12_engagement_ratio, f2_json_array_ops, f4_json_field_extraction,
-#:   f5_json_roundtrip, f9_date_dimension, g2_top_performing_content,
-#:   g3_account_influence, g4_hashtag_performance,
-#:   g5_hourly_posting_patterns, g7_viral_content, o1_global_sort,
-#:   o2_top_events, p2_time_window_cutoff, p6_normalized_documents,
-#:   p_clean_documents, p_clean_events, s10_dynamic_ddl,
-#:   s2_retry_backoff, sessionization_gaps, stats_quantile_sketch,
-#:   stream_tumbling_counts, text_quality_scores, tfidf_top_terms,
-#:   x1_token_frequencies.
+#: Round-11 rotation debt, precomputed from the CORRECTNESS_r01..r09
+#: union (newest green round per name, with every r10-window name
+#: advanced to r10): 46 round-8-only greens fall due at WINDOW_ROUND=11,
+#: leaving only FOUR slots for r11 new/changed code - keep r11's
+#: code-touching changes to <= 4 contract rows (or fold them into debt
+#: names, as g2's broadcast fix was this round):
+#:   a6_dedup_latest_version, ann_multitable_recall,
+#:   decontamination_bloom, dedup_minhash_lsh, dedup_substring_spans,
+#:   digest_run_summary, g1_daily_engagement_summary,
+#:   kmeans_embedding_clusters, kmeans_incremental_assign,
+#:   kmeans_twolevel_clusters, m1_scd2_account_dim, mm_binary_metadata,
+#:   mm_frame_sample, olap_cube_type_weekend, olap_grouping_sets,
+#:   olap_pivot_status_qty, olap_rollup_returnflag_status,
+#:   p7_top_positive_docs, pii_redaction, q1_pricing_summary,
+#:   rangejoin_value_bands, rolling_7day_user_value,
+#:   semdedup_incremental, semdedup_prune, session_window_native,
+#:   setops_user_segments, sim_cosine_topk, sim_embedding_near_dups,
+#:   sim_lsh_buckets, skew_salted_aggregate, split_train_val_test,
+#:   sql_surface_daily_trends, sql_surface_star_revenue, stats_moments,
+#:   stats_value_quantiles, stream_dedup_events, stream_sliding_value_avg,
+#:   stream_stateful_running_totals, stream_static_join_segments,
+#:   text_fingerprint, text_language_id, text_token_counts,
+#:   training_mix_shards, u2_sentiment_distribution, u3_udtf_tokenize,
+#:   w_rank_family.
 #:
 #: CAPACITY POLICY (VERDICT r4 #7): the 50-slot window and the 2-round
 #: staleness bound give a hard ceiling of 50 x 3 = 150 sustainable
