@@ -131,9 +131,18 @@ def g2_top_performing_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id % |documents|, with |documents| derived via a broadcast
     1-row count join (scalar-subquery shape; no driver-side count), so
     every SF exercises the whole documents table. F6 preview, F16/A10
-    guarded rate, W1 rank."""
-    docs = F.broadcast(load_table(spark, sf_dir, "documents"))
-    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    guarded rate, W1 rank.
+
+    No broadcast HINT on documents/customer (VERDICT r9 #1): both grow
+    with the corpus, and a hint overrides AQE's size check - forcing a
+    full-documents broadcast (text payloads included) is an
+    OOM-by-construction at 100x. The 1000-row top-k side makes any
+    join strategy cheap; AQE broadcasts whichever side is genuinely
+    small at runtime. Only the 1-row count relation keeps its hint.
+    Plan-guarded in tests/test_gold.py::
+    test_g2_no_forced_bigside_broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    cust = load_table(spark, sf_dir, "customer")
     n_docs = F.broadcast(
         load_table(spark, sf_dir, "documents")
         .agg(F.count(F.lit(1)).alias("__n_docs")))

@@ -76,8 +76,11 @@ def j7_star_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey",
                                                         "o_custkey")
-    cust = F.broadcast(load_table(spark, sf_dir, "customer")
-                       .select("c_custkey", "c_nationkey"))
+    # customer: NO hint (VERDICT r9 nit - it scales linearly; AQE
+    # broadcasts it while small, degrades to a shuffle join at 100x).
+    # nation/region keep theirs: genuinely constant-sized (25/5 rows).
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey"))
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     revenue = (F.col("l_extendedprice").cast("decimal(18,2)")
@@ -211,11 +214,12 @@ ORDER BY e.user_id
 )
 def j4_anti_join_missing_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: referential-integrity anti-join (silver_etl.py:452-459 missing-FK
-    validation): events whose user has no BUILDING-segment customer row."""
+    validation): events whose user has no BUILDING-segment customer row.
+    No hint on the (customer-scaled) build side - AQE size-checks it."""
     events = load_table(spark, sf_dir, "events")
-    dim = F.broadcast(load_table(spark, sf_dir, "customer")
-                      .filter(F.col("c_mktsegment") == "BUILDING")
-                      .select("c_custkey"))
+    dim = (load_table(spark, sf_dir, "customer")
+           .filter(F.col("c_mktsegment") == "BUILDING")
+           .select("c_custkey"))
     return (
         events.join(dim, events.user_id == dim.c_custkey, "left_anti")
         .groupBy("user_id")
@@ -261,9 +265,12 @@ LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
 )
 def j2_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: chained left dimension lookups on the fact (silver_etl.py:
-    385-395); both dims broadcast - fact never shuffles."""
+    385-395). nation keeps its broadcast hint (constant 25 rows);
+    customer does NOT (VERDICT r9 nit - linear growth): AQE broadcasts
+    it while it fits, so the fact still avoids a shuffle at dim sizes
+    where that is actually safe."""
     events = load_table(spark, sf_dir, "events")
-    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    cust = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     return (
         events.join(cust, events.user_id == cust.c_custkey, "left")

@@ -190,9 +190,12 @@ def silver_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     (F9), account FK via broadcast dim lookup (J2), band FK via the score
     bands (J3 semantics folded to a CASE - same half-open intervals),
     degenerate dims, additive derived measure (F15: value + props.k with
-    COALESCE-0 null handling)."""
+    COALESCE-0 null handling). The customer dim carries NO broadcast
+    hint (VERDICT r9 nit): it grows linearly under TPC-H scaling, so the
+    strategy is AQE's size-checked call - broadcast while it fits, a
+    correct shuffle join at the scale where it no longer does."""
     events = load_table(spark, sf_dir, "events")
-    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    cust = load_table(spark, sf_dir, "customer")
     k = F.get_json_object("props", "$.k").cast("double")
     band_key = (F.when(F.col("value") >= 150, 4)
                 .when(F.col("value") >= 100, 3)

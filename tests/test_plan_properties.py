@@ -344,3 +344,49 @@ def test_twolevel_kernels_are_arrow_batched(spark):
     plan = _plan(spark, "kmeans_twolevel_clusters")
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_no_forced_bigside_broadcast(spark):
+    """VERDICT r9 #3: no GROWING relation (documents, customer) may
+    carry a broadcast HINT - a hint overrides AQE's size check, which
+    at 100x forces an OOM-by-construction build of the full table.
+    With auto-broadcast disabled, the only BroadcastExchanges left are
+    the deliberately-hinted CONSTANT relations: g2's 1-row document
+    count, j2/j7's nation/region (25/5 rows). silver_fact_build and j4
+    hint nothing, so they must plan zero broadcasts."""
+    from etl_pipeline_mini_project_01_spark.plans.registry import QUERIES
+
+    expected = {
+        "g2_top_performing_content": 1,   # the 1-row __n_docs scalar
+        "silver_fact_build": 0,
+        "j2_dimension_lookup": 1,         # nation
+        "j4_anti_join_missing_fk": 0,
+        "j7_star_join_region_revenue": 2, # nation + region
+    }
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    try:
+        for name, n_hinted in expected.items():
+            df = QUERIES[name](spark, SF_DIR)
+            # AFTER the build: load_table's harden() re-asserts the
+            # engine's 64MB threshold mid-build, and physical planning
+            # (lazy, first queryExecution access) reads the conf then.
+            conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            plan = df._jdf.queryExecution().sparkPlan().toString()
+            # sparkPlan() precedes EnsureRequirements, so exchanges are
+            # not inserted yet - count broadcast JOIN nodes instead.
+            got = (plan.count("BroadcastHashJoin")
+                   + plan.count("BroadcastNestedLoopJoin"))
+            assert got == n_hinted, (
+                f"{name}: {got} broadcast joins with auto-broadcast "
+                f"off, expected {n_hinted} (only constant-sized hinted "
+                f"dims may broadcast)\n{plan}")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
