@@ -69,3 +69,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def steps_frame(spark: SparkSession, steps: list[tuple],
+                schema: str) -> DataFrame:
+    """A tiny control-plane DataFrame (contract-row step ledgers and
+    the like) built through pandas -> Arrow ingestion. The list-of-
+    tuples createDataFrame path plans a Python-RDD scan whose single
+    job measured 5-8 s REGARDLESS of row count (python worker
+    round-trip); Arrow ingestion is ~0.4 s (ADVICE r9 - same reason
+    commit_layout_manifest switched)."""
+    import pandas as pd
+
+    cols = [c.strip().split()[0] for c in schema.split(",")]
+    pdf = pd.DataFrame(steps, columns=cols)
+    return spark.createDataFrame(pdf, schema=schema)

@@ -33,6 +33,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import fsio
 from .kmeans import _assign, _scaled
 
 #: The layout's FILE MANIFEST lives under this subdirectory as a
@@ -43,47 +44,31 @@ from .kmeans import _assign, _scaled
 MANIFEST_SUBDIR = "_index"
 
 
-def _is_local_path(path: str) -> bool:
-    """True for scheme-less local-filesystem paths - the scope of every
-    driver-side os.*/pyarrow fast path in this module (ADVICE r8: on
-    hdfs://, s3a:// etc. os.path.isdir silently answers False, so the
-    bounded-listing/manifest optimizations must DECLARE their scope and
-    fall back loudly-documented, not degrade silently). `file:` URIs
-    count as local after stripping the scheme."""
-    scheme = path.split("://", 1)
-    return len(scheme) == 1 or scheme[0] == "file"
-
-
-def _strip_scheme(path: str) -> str:
-    return path[7:] if path.startswith("file://") else path
-
-
-def commit_layout_manifest(spark: SparkSession, path: str) -> int | None:
+def commit_layout_manifest(spark: SparkSession, path: str) -> int:
     """List the layout ONCE at write time and commit its cluster->file
     manifest as the next version of the versioned table at
     `path/_index` (VERDICT r8 #8 - the metastore seam: probes prune
     their file discovery from the manifest instead of re-listing up to
     k directories per plan build; the k-sized listing cost is paid
     once per commit, amortized over every probe). Returns the committed
-    manifest version, or None for non-local paths (sources/versioned.py
-    is the local-FS stand-in for a manifest service - at 100 TB this
-    commit is a conditional PUT against that service instead).
+    manifest version. IO goes through sources/fsio.py (VERDICT r9 #2):
+    scheme-less paths list via ``os.*``, ``file://``/``hdfs://``/
+    ``s3a://`` via the session's Hadoop FileSystem client - the same
+    manifest protocol everywhere; on an object store this commit is
+    the conditional-PUT shape fsio documents.
 
     Rows are (cluster int, file string-relative-to-path), one per data
     file - k x files_per_cluster rows, control-plane sized (the same
     order as the k x dim centroid model)."""
     from ..sources.versioned import write_version
 
-    if not _is_local_path(path):
-        return None
-    local = _strip_scheme(path)
     rows = []
-    for entry in sorted(os.listdir(local)):
+    for entry in sorted(fsio.listdir(path)):
         if not entry.startswith("cluster="):
             continue
         c = int(entry.split("=", 1)[1])
-        cdir = os.path.join(local, entry)
-        rows.extend((c, f"{entry}/{f}") for f in sorted(os.listdir(cdir))
+        cdir = os.path.join(path, entry)
+        rows.extend((c, f"{entry}/{f}") for f in sorted(fsio.listdir(cdir))
                     if f.endswith(".parquet") and not f.startswith(("_", ".")))
     import pandas as pd
 
@@ -95,20 +80,31 @@ def commit_layout_manifest(spark: SparkSession, path: str) -> int | None:
         pdf = pdf.astype({"cluster": "int32", "file": "object"})
     mdf = spark.createDataFrame(pdf, schema="cluster int, file string")
     return write_version(mdf.coalesce(1),
-                         os.path.join(local, MANIFEST_SUBDIR))
+                         os.path.join(path, MANIFEST_SUBDIR))
 
 
 def commit_layout_manifest_incremental(spark: SparkSession, path: str,
                                         touched: list[int]
-                                        ) -> int | None:
+                                        ) -> int:
     """Delta-append manifest commit (the Delta-log `add`-action shape):
     merge the PREVIOUS manifest's rows for untouched clusters with a
     re-listing of ONLY the `touched` cluster directories - an
     O(|touched|) listing instead of the full-commit O(k), which is the
     difference between a daily delta append paying |delta|-sized work
     and paying index-sized work at k~1e5 lists. Falls back to the full
-    listing for manifest-less layouts; None for non-local paths (same
-    scope as commit_layout_manifest).
+    listing for manifest-less layouts.
+
+    A touched cluster's previous rows come in two conventions: bare
+    ``cluster=N/...`` files are REDISCOVERED by the re-listing (so the
+    old rows are dropped, not carried, to avoid duplicates), while
+    ``gen=.../cluster=N/...`` rows - present after
+    `compact_layout_generation` migrated an append-origin layout - are
+    NOT visible under the bare directory and are CARRIED THROUGH
+    verbatim (ADVICE r9: dropping them made the first append after a
+    compaction silently unlink every compacted row, which the next
+    vacuum then deleted - data loss; pinned by
+    tests/test_layout_generations.py::test_append_after_compaction_
+    keeps_compacted_rows).
 
     Arbitration grade: write_version - LAST WRITER WINS, the
     single-pipeline ownership contract shared with the append path
@@ -117,21 +113,20 @@ def commit_layout_manifest_incremental(spark: SparkSession, path: str,
     whose CAS commit serializes them."""
     from ..sources.versioned import write_version
 
-    if not _is_local_path(path):
-        return None
     prev = manifest_clusters(path)
     if prev is None:
         return commit_layout_manifest(spark, path)
-    local = _strip_scheme(path)
     tset = set(int(c) for c in touched)
     rows = [(c, f) for c, fs in sorted(prev.items())
             if c not in tset for f in fs]
     for c in sorted(tset):
-        cdir = os.path.join(local, f"cluster={c}")
-        if not os.path.isdir(cdir):
+        rows.extend((c, f) for f in prev.get(c, ())
+                    if not f.startswith("cluster="))
+        cdir = os.path.join(path, f"cluster={c}")
+        if not fsio.isdir(cdir):
             continue
         rows.extend((c, f"cluster={c}/{f}")
-                    for f in sorted(os.listdir(cdir))
+                    for f in sorted(fsio.listdir(cdir))
                     if f.endswith(".parquet")
                     and not f.startswith(("_", ".")))
     import pandas as pd
@@ -141,7 +136,7 @@ def commit_layout_manifest_incremental(spark: SparkSession, path: str,
         pdf = pdf.astype({"cluster": "int32", "file": "object"})
     mdf = spark.createDataFrame(pdf, schema="cluster int, file string")
     return write_version(mdf.coalesce(1),
-                         os.path.join(local, MANIFEST_SUBDIR))
+                         os.path.join(path, MANIFEST_SUBDIR))
 
 
 def manifest_clusters(path: str, version: int | None = None
@@ -151,19 +146,18 @@ def manifest_clusters(path: str, version: int | None = None
     `version` (time travel over the index: generation layouts commit
     one manifest version per rebuild, so `version` selects which
     generation a probe serves from). Returns None when the layout has
-    no manifest (pre-manifest layouts, non-local paths) - callers fall
-    back to directory listing; a pinned `version` that was never
-    committed or was vacuumed raises FileNotFoundError (the
-    read_version contract). Resolved DRIVER-SIDE via pyarrow (one
-    small parquet read, no Spark job): literal-mode probes stay
-    zero-jobs-before-the-scan, and plan builds at k>=10^4 directories
-    skip the k-sized listing entirely (the r8 curve measured ~4 s of
-    pure directory listing at k=2400)."""
-    if not _is_local_path(path):
-        return None
-    root = os.path.join(_strip_scheme(path), MANIFEST_SUBDIR)
-    import json
-
+    no manifest (pre-manifest layouts) - callers fall back to
+    directory listing; a pinned `version` that was never committed or
+    was vacuumed raises FileNotFoundError (the read_version contract).
+    Resolved DRIVER-SIDE (one small parquet read, no Spark job):
+    literal-mode probes stay zero-jobs-before-the-scan, and plan
+    builds at k>=10^4 directories skip the k-sized listing entirely
+    (the r8 curve measured ~4 s of pure directory listing at k=2400).
+    Scheme-qualified paths read the manifest bytes through the
+    session's Hadoop client into pyarrow - still one driver-side read,
+    so the bounded-discovery win now holds on hdfs://s3a:// too
+    (VERDICT r9 #2)."""
+    root = os.path.join(path, MANIFEST_SUBDIR)
     import pyarrow.parquet as pq
 
     if version is None:
@@ -171,26 +165,30 @@ def manifest_clusters(path: str, version: int | None = None
         # names a version whose snapshot dir fully landed before the
         # pointer swap.
         ptr = os.path.join(root, "_LATEST")
-        if not os.path.exists(ptr):
+        if not fsio.exists(ptr):
             return None
-        with open(ptr, encoding="utf-8") as fh:
-            vdir = json.load(fh)["dir"]
+        vdir = fsio.read_json(ptr)["dir"]
     else:
         mpath = os.path.join(root, "_versions", f"v{version:08d}.json")
-        if not os.path.exists(mpath) or os.path.getsize(mpath) == 0:
+        if not fsio.exists(mpath) or fsio.getsize(mpath) == 0:
             raise FileNotFoundError(
                 f"index manifest version {version} of {path} does not "
                 "exist (never committed, crashed, or vacuumed)")
-        with open(mpath, encoding="utf-8") as fh:
-            vdir = json.load(fh)["dir"]
+        vdir = fsio.read_json(mpath)["dir"]
     snap = os.path.join(root, vdir)
     out: dict[int, list[str]] = {}
     # One part file in practice (the commit coalesces to 1); iterate so
     # Spark's _SUCCESS marker never reaches the parquet reader.
-    for part in sorted(os.listdir(snap)):
+    for part in sorted(fsio.listdir(snap)):
         if not part.endswith(".parquet") or part.startswith(("_", ".")):
             continue
-        tab = pq.read_table(os.path.join(snap, part))
+        full = os.path.join(snap, part)
+        if fsio.has_scheme(full):
+            import io
+
+            tab = pq.read_table(io.BytesIO(fsio.read_bytes(full)))
+        else:
+            tab = pq.read_table(full)
         for c, f in zip(tab["cluster"].to_pylist(),
                         tab["file"].to_pylist()):
             out.setdefault(int(c), []).append(f)
@@ -318,21 +316,16 @@ def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],
         once their manifests rotate out.
 
     Returns the committed manifest version (= the generation's pin).
-    Local-filesystem scope, like the rest of the manifest seam. Do not
-    mix with `write_ivf_layout` on the same path - the overwrite
+    Do not mix with `write_ivf_layout` on the same path - the overwrite
     builder's manifest names bare `cluster=` paths, the generation
     builder's are `gen=`-qualified; one path, one convention."""
     import uuid as _uuid
 
-    if not _is_local_path(path):
-        raise ValueError("generation layouts need a driver-local path "
-                         "(the manifest IS the read path)")
     if files_per_cluster < 1:
         raise ValueError(f"files_per_cluster must be >= 1, "
                          f"got {files_per_cluster}")
-    local = _strip_scheme(path)
     gen = f"gen={_uuid.uuid4().hex[:12]}"
-    stage = os.path.join(local, gen)
+    stage = os.path.join(path, gen)
     assigned = (_assign(_scaled(emb, vec_col), cents, dim, kernel)
                 .drop("xi", "xd", "centroid_dist"))
     if files_per_cluster == 1:
@@ -359,18 +352,17 @@ def commit_generation_manifest(spark: SparkSession, path: str, gen: str,
     from ..sources.versioned import (VersionConflict, list_versions,
                                      write_version_cas)
 
-    local = _strip_scheme(path)
-    stage = os.path.join(local, gen)
+    stage = os.path.join(path, gen)
     import pandas as pd
 
     rows = []
-    for entry in sorted(os.listdir(stage)):
+    for entry in sorted(fsio.listdir(stage)):
         if not entry.startswith("cluster="):
             continue
         c = int(entry.split("=", 1)[1])
         cdir = os.path.join(stage, entry)
         rows.extend((c, f"{gen}/{entry}/{f}")
-                    for f in sorted(os.listdir(cdir))
+                    for f in sorted(fsio.listdir(cdir))
                     if f.endswith(".parquet")
                     and not f.startswith(("_", ".")))
     pdf = pd.DataFrame(rows, columns=["cluster", "file"])
@@ -378,7 +370,7 @@ def commit_generation_manifest(spark: SparkSession, path: str, gen: str,
         pdf = pdf.astype({"cluster": "int32", "file": "object"})
     mdf = (spark.createDataFrame(pdf, schema="cluster int, file string")
            .coalesce(1))
-    mroot = os.path.join(local, MANIFEST_SUBDIR)
+    mroot = os.path.join(path, MANIFEST_SUBDIR)
     for _ in range(max_retries):
         head = max(list_versions(mroot), default=0)
         try:
@@ -413,9 +405,6 @@ def compact_layout_generation(spark: SparkSession, path: str,
     gen= trees). Returns the committed manifest version."""
     import uuid as _uuid
 
-    if not _is_local_path(path):
-        raise ValueError("generation layouts need a driver-local path "
-                         "(the manifest IS the read path)")
     lay = read_layout_manifest(spark, path)
     if "gen" in lay.columns:
         lay = lay.drop("gen")
@@ -429,7 +418,7 @@ def compact_layout_generation(spark: SparkSession, path: str,
             F.col("cluster"),
             F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
     gen = f"gen={_uuid.uuid4().hex[:12]}"
-    stage = os.path.join(_strip_scheme(path), gen)
+    stage = os.path.join(path, gen)
     routed.write.partitionBy("cluster").mode("errorifexists").parquet(stage)
     return commit_generation_manifest(spark, path, gen, max_retries)
 
@@ -449,15 +438,32 @@ def read_layout_manifest(spark: SparkSession, path: str,
         raise ValueError(f"{path} has no committed layout manifest - "
                          "generation layouts are read through it")
     keys = sorted(mf) if clusters is None else sorted(set(clusters))
-    files = [os.path.join(_strip_scheme(path), f)
-             for c in keys for f in mf.get(c, ())]
+    files = [f for c in keys for f in mf.get(c, ())]
     if not files:
-        files = [os.path.join(_strip_scheme(path), f)
-                 for c in sorted(mf) for f in mf[c]]
+        files = [f for c in sorted(mf) for f in mf[c]]
     if not files:
         raise ValueError(f"manifest version {version} of {path} names "
                          "no files (empty generation)")
-    return spark.read.option("basePath", path).parquet(*files)
+    # A manifest may legally mix conventions: after a compaction the
+    # compacted rows live under gen=<uuid>/cluster=N while later
+    # appends land in bare cluster=N dirs (the carried-through merge,
+    # ADVICE r9). One basePath read would see conflicting partition
+    # column names at the same level, so each convention is read with
+    # its own partition shape and unioned (the synthetic `gen` column
+    # is index plumbing, not payload - dropped).
+    bare = [f for f in files if f.startswith("cluster=")]
+    gens = [f for f in files if not f.startswith("cluster=")]
+
+    def _read(rel: list[str]) -> DataFrame:
+        return (spark.read.option("basePath", path)
+                .parquet(*[os.path.join(path, f) for f in rel]))
+
+    parts = []
+    if bare:
+        parts.append(_read(bare))
+    if gens:
+        parts.append(_read(gens).drop("gen"))
+    return parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
 
 def vacuum_layout_generations(path: str, keep_last: int = 2,
@@ -475,9 +481,8 @@ def vacuum_layout_generations(path: str, keep_last: int = 2,
 
     from ..sources.versioned import list_versions, vacuum_versions
 
-    local = _strip_scheme(path)
-    mroot = os.path.join(local, MANIFEST_SUBDIR)
-    if not os.path.isdir(mroot):
+    mroot = os.path.join(path, MANIFEST_SUBDIR)
+    if not fsio.isdir(mroot):
         # a layout with no manifest log has no membership authority to
         # vacuum against - refusing beats deleting everything as
         # "unreferenced"
@@ -502,21 +507,14 @@ def vacuum_layout_generations(path: str, keep_last: int = 2,
     # `cluster=N` dirs an append-origin layout used before its first
     # compaction migrated it - those become reclaimable the moment no
     # retained manifest references them.
-    for entry in sorted(os.listdir(local)):
-        full = os.path.join(local, entry)
-        if (not (entry.startswith("gen=") or entry.startswith("cluster="))
-                or entry in live or not os.path.isdir(full)):
+    for entry in sorted(fsio.scandir(path), key=lambda e: e.name):
+        if (not (entry.name.startswith("gen=")
+                 or entry.name.startswith("cluster="))
+                or entry.name in live or not entry.is_dir):
             continue
-        try:
-            aged = (time.time() - os.path.getmtime(full)
-                    >= stage_retention_sec)
-        except OSError:                # raced a concurrent commit
-            aged = False
-        if aged:
-            import shutil
-
-            shutil.rmtree(full, ignore_errors=True)
-            removed.append(entry)
+        if time.time() - entry.mtime >= stage_retention_sec:
+            fsio.rmtree(os.path.join(path, entry.name))
+            removed.append(entry.name)
     return removed
 
 
@@ -654,15 +652,15 @@ def _read_probed_dirs(spark: SparkSession, path: str,
     ~nprobe*|Q| dirs. Probing a leaf the layout never materialized
     (empty posting list -> no directory/manifest rows) is legal, so
     missing entries are dropped; if NONE exist the plain read keeps the
-    empty-result path well-defined. Scope (ADVICE r8): both fast paths
-    are driver-local-filesystem only - for URI-scheme paths (hdfs://,
-    s3a://) this falls back to the full listing, correct but without
-    the bounded-discovery win; at that scale the manifest lives in a
-    manifest service, not on the driver's FS. With no probe list
-    (plan mode without a manifest) the full listing + DPP applies.
-    A pinned `version` (generation layouts) is manifest-ONLY - no
-    listing fallback exists, because directories of other generations
-    must never enter the file index."""
+    empty-result path well-defined. Both fast paths run on every
+    filesystem (VERDICT r9 #2): manifest resolution and the probed-dir
+    existence checks go through sources/fsio.py, so the
+    bounded-discovery win holds on hdfs://s3a:// roots too (served by
+    the session's Hadoop client), not just the driver-local FS. With
+    no probe list (plan mode without a manifest) the full listing +
+    DPP applies. A pinned `version` (generation layouts) is
+    manifest-ONLY - no listing fallback exists, because directories of
+    other generations must never enter the file index."""
     if version is not None:
         return read_layout_manifest(spark, path, version, literal_probes)
     if literal_probes:
@@ -671,14 +669,12 @@ def _read_probed_dirs(spark: SparkSession, path: str,
             # back to ALL manifest files (never a directory listing -
             # on a generation layout that would mix generations)
             return read_layout_manifest(spark, path, None, literal_probes)
-        if _is_local_path(path):
-            local = _strip_scheme(path)
-            dirs = [os.path.join(local, f"cluster={c}")
-                    for c in literal_probes]
-            dirs = [d for d in dirs if os.path.isdir(d)]
-            if dirs:
-                return (spark.read.option("basePath", path)
-                        .parquet(*dirs))
+        dirs = [os.path.join(path, f"cluster={c}")
+                for c in literal_probes]
+        dirs = [d for d in dirs if fsio.isdir(d)]
+        if dirs:
+            return (spark.read.option("basePath", path)
+                    .parquet(*dirs))
     return spark.read.parquet(path)
 
 

@@ -435,18 +435,13 @@ def write_ivf_pq_layout_generation(emb: DataFrame,
     alongside the version - the manifest versions the files, the
     caller's model registry versions the centroids/codebooks they were
     encoded under). Returns the committed manifest version."""
+    import os
     import uuid as _uuid
 
-    from .ivf_layout import (_is_local_path, _strip_scheme,
-                             commit_generation_manifest)
-
-    if not _is_local_path(path):
-        raise ValueError("generation layouts need a driver-local path "
-                         "(the manifest IS the read path)")
-    import os
+    from .ivf_layout import commit_generation_manifest
 
     gen = f"gen={_uuid.uuid4().hex[:12]}"
-    stage = os.path.join(_strip_scheme(path), gen)
+    stage = os.path.join(path, gen)
     _ivf_pq_routed(emb, cents, dim, codebooks, id_col, vec_col, kernel,
                    files_per_cluster) \
         .write.partitionBy("cluster").mode("errorifexists").parquet(stage)
@@ -464,21 +459,16 @@ def write_ivf_pq_layout_generation_twolevel(
     """The two-level-quantizer generation rebuild - same contract as
     :func:`write_ivf_pq_layout_generation` with the O(n*sqrt(k)*dim)
     assignment (the build-scale half at corpus-scaled k)."""
+    import os
     import uuid as _uuid
 
-    from .ivf_layout import (_is_local_path, _strip_scheme,
-                             commit_generation_manifest)
+    from .ivf_layout import commit_generation_manifest
 
-    if not _is_local_path(path):
-        raise ValueError("generation layouts need a driver-local path "
-                         "(the manifest IS the read path)")
     if any(len(fl) > k2 for fl in fine):
         raise ValueError("a fine list exceeds the nominal k2 "
                          f"({max(len(fl) for fl in fine)} > {k2})")
-    import os
-
     gen = f"gen={_uuid.uuid4().hex[:12]}"
-    stage = os.path.join(_strip_scheme(path), gen)
+    stage = os.path.join(path, gen)
     _ivf_pq_routed_twolevel(emb, coarse_cents, fine, k2, dim, codebooks,
                             id_col, vec_col, kernel, files_per_cluster) \
         .write.partitionBy("cluster").mode("errorifexists").parquet(stage)

@@ -26,6 +26,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (plan-module idiom)
 
+from ..catalog import steps_frame
 from ..pipeline import incremental_bronze_append
 from ..sources.io import compact_table, vacuum_orphans, write_table_clustered
 from .registry import register
@@ -91,7 +92,7 @@ def day2_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("7_orphans_removed", len(removed)),
         ("8_rows_after_vacuum", int(rows_after_vacuum)),
     ]
-    return (spark.createDataFrame(steps, "step string, value bigint")
+    return (steps_frame(spark, steps, "step string, value bigint")
             .orderBy("step"))
 
 
@@ -144,7 +145,7 @@ def day2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("6_v2_source_rows", int(merged.where(F.col("source") == "v2")
                                  .count())),
     ]
-    return (spark.createDataFrame(steps, "step string, value bigint")
+    return (steps_frame(spark, steps, "step string, value bigint")
             .orderBy("step"))
 
 
@@ -195,8 +196,8 @@ def s9_ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             n_cols = len(spark.table(f"{layer}.{tbl.name}").columns)
             rows.append((layer, tbl.name, n_cols))
-    return (spark.createDataFrame(
-        rows, "layer string, table_name string, n_columns bigint")
+    return (steps_frame(
+        spark, rows, "layer string, table_name string, n_columns bigint")
         .orderBy("layer", "table_name"))
 
 
@@ -284,7 +285,7 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("7_latest_rows_after_vacuum", int(latest_after)),
         ("8_v1_survives_vacuum", v1_survives),
     ]
-    return (spark.createDataFrame(steps, "step string, value bigint")
+    return (steps_frame(spark, steps, "step string, value bigint")
             .orderBy("step"))
 
 
@@ -411,7 +412,7 @@ def versioned_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("6_vacuum_removed", float(len(removed))),
         ("7_keys_after_vacuum", float(keys_after)),
     ]
-    return (spark.createDataFrame(steps, "step string, value double")
+    return (steps_frame(spark, steps, "step string, value double")
             .orderBy("step"))
 
 
@@ -516,5 +517,5 @@ def txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("9_asof_t1_orders_rows", int(asof_t1_orders)),
         ("A_orphans_after_pin", int(orphans_after)),
     ]
-    return (spark.createDataFrame(steps, "step string, value bigint")
+    return (steps_frame(spark, steps, "step string, value bigint")
             .orderBy("step"))

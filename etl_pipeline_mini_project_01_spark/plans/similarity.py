@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..catalog import load_table
+from ..catalog import load_table, steps_frame
 from .registry import register
 
 N_QUERIES = 5
@@ -1988,5 +1988,5 @@ def ivf_generation_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("8_v1_survives_vacuum", v1_survives),
         ("9_latest_rows_after_vacuum", int(rows_after)),
     ]
-    return (spark.createDataFrame(steps, "step string, value bigint")
+    return (steps_frame(spark, steps, "step string, value bigint")
             .orderBy("step"))

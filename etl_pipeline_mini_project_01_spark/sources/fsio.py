@@ -1,0 +1,340 @@
+"""Filesystem seam for the storage layer (VERDICT r9 #2): versioned
+tables, multi-table transactions, and layout manifests do small
+control-plane IO (list a directory, claim a manifest with
+create-if-absent, atomically swap a pointer, read a pointer file).
+Before this seam that IO was driver-local ``os.*`` only, so on
+``hdfs://`` / ``s3a://`` the probed-dir pruning silently fell back to
+full listings and the versioned/transaction layers did not run at all.
+
+Dispatch rule, applied per call on the path string:
+
+* a SCHEME-LESS path (``/tmp/x``) uses ``os.*`` / built-in IO - the
+  zero-dependency fast path, byte-identical to the old behavior;
+* a path with a URI scheme (``file:``, ``file://``, ``hdfs://``,
+  ``s3a://``, ...) routes through the Hadoop FileSystem API of the
+  ACTIVE SparkSession's JVM (``spark._jvm`` - no new dependencies;
+  the session already holds a configured Hadoop client for its own
+  reads/writes). ``file:``-scheme paths therefore exercise the exact
+  JVM code path the remote schemes use, which is what the
+  ``file://``-parametrized test batteries pin (behavior-identical to
+  the ``os.*`` path on the same directory). This also fixes the
+  ADVICE r9 single-slash form: ``file:/tmp/x`` has a scheme and is
+  handled by Hadoop's own URI normalization instead of being
+  mis-fed to ``os.listdir``.
+
+Atomicity grades, stated honestly (they are the underlying
+FileSystem's, not this module's):
+
+* ``claim_excl`` maps to ``FileSystem.create(path, overwrite=false)``
+  - atomic on HDFS (namenode arbitration) and on POSIX-backed
+  ``file:``; on S3A it is atomic only where the store supports
+  conditional writes (If-None-Match) - otherwise best-effort
+  check-then-create, which is exactly the documented reason Delta on
+  S3 needs a coordination service for multi-writer commits;
+* ``replace`` maps to ``FileContext.rename(..., Rename.OVERWRITE)``
+  - atomic on HDFS and POSIX, copy+delete (non-atomic) on raw S3A;
+* ``pointer_lock`` is a real ``flock`` only on the local fast path;
+  on remote filesystems it is a no-op and the monotonic pointer
+  publish is best-effort (the version LOG, whose claims go through
+  ``claim_excl``, stays the single arbitration authority - readers
+  needing strictness rebase on ``latest_readable_version``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import tempfile
+from contextlib import contextmanager
+from typing import NamedTuple
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def has_scheme(path: str) -> bool:
+    """True when the path carries a URI scheme (``file:``, ``hdfs://``,
+    ``s3a://``, ... - single- or double-slash forms alike) and must be
+    handled by the Hadoop FileSystem API rather than ``os.*``."""
+    return bool(_SCHEME_RE.match(path))
+
+
+def _jfs(path: str):
+    """(jvm, FileSystem, Path) for a scheme-qualified path, from the
+    active SparkSession's JVM."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        spark = getattr(SparkSession, "_instantiatedSession", None)
+    if spark is None:
+        raise RuntimeError(
+            f"no active SparkSession: scheme-qualified storage paths "
+            f"({path!r}) are served by the session's Hadoop FileSystem "
+            "client")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, jpath
+
+
+def _is_java_exc(exc, *class_names: str) -> bool:
+    je = getattr(exc, "java_exception", None)
+    if je is None:
+        return False
+    seen = set()
+    while je is not None and id(je) not in seen:
+        seen.add(id(je))
+        if any(n in je.getClass().getName() for n in class_names):
+            return True
+        je = je.getCause()
+    return False
+
+
+class Entry(NamedTuple):
+    name: str
+    is_dir: bool
+    mtime: float
+    size: int
+
+
+def exists(path: str) -> bool:
+    if not has_scheme(path):
+        return os.path.exists(path)
+    _, fs, p = _jfs(path)
+    return bool(fs.exists(p))
+
+
+def isdir(path: str) -> bool:
+    if not has_scheme(path):
+        return os.path.isdir(path)
+    _, fs, p = _jfs(path)
+    return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
+
+
+def getsize(path: str) -> int:
+    if not has_scheme(path):
+        return os.path.getsize(path)
+    _, fs, p = _jfs(path)
+    return int(fs.getFileStatus(p).getLen())
+
+
+def getmtime(path: str) -> float:
+    if not has_scheme(path):
+        return os.path.getmtime(path)
+    _, fs, p = _jfs(path)
+    return fs.getFileStatus(p).getModificationTime() / 1000.0
+
+
+def listdir(path: str) -> list[str]:
+    """Child names (files and directories), unsorted like os.listdir."""
+    if not has_scheme(path):
+        return os.listdir(path)
+    _, fs, p = _jfs(path)
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def scandir(path: str) -> list[Entry]:
+    """Child entries with the metadata vacuum sweeps need - ONE listing
+    RPC on remote filesystems instead of a stat per child."""
+    if not has_scheme(path):
+        out = []
+        for de in os.scandir(path):
+            st = de.stat(follow_symlinks=False)
+            out.append(Entry(de.name, de.is_dir(follow_symlinks=False),
+                             st.st_mtime, st.st_size))
+        return out
+    _, fs, p = _jfs(path)
+    return [Entry(st.getPath().getName(), bool(st.isDirectory()),
+                  st.getModificationTime() / 1000.0, int(st.getLen()))
+            for st in fs.listStatus(p)]
+
+
+def makedirs(path: str) -> None:
+    if not has_scheme(path):
+        os.makedirs(path, exist_ok=True)
+        return
+    _, fs, p = _jfs(path)
+    fs.mkdirs(p)
+
+
+def remove(path: str) -> None:
+    if not has_scheme(path):
+        os.remove(path)
+        return
+    _, fs, p = _jfs(path)
+    fs.delete(p, False)
+
+
+def rmtree(path: str) -> None:
+    """Recursive delete, ignore-errors semantics (vacuum sweeps)."""
+    if not has_scheme(path):
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    try:
+        _, fs, p = _jfs(path)
+        fs.delete(p, True)
+    except Exception:
+        pass
+
+
+def rename(src: str, dst: str) -> None:
+    """No-overwrite move (stage dir -> final snapshot name). Raises
+    OSError when the filesystem refuses (dst exists on HDFS)."""
+    if not has_scheme(src):
+        os.rename(src, dst)
+        return
+    jvm, fs, s = _jfs(src)
+    dp = jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(s, dp):
+        raise OSError(f"rename {src} -> {dst} refused by the filesystem "
+                      "(destination exists?)")
+
+
+def replace(src: str, dst: str) -> None:
+    """Overwriting move (pointer swap). ``os.replace`` locally; the
+    FileContext OVERWRITE rename through the JVM remotely."""
+    if not has_scheme(src):
+        os.replace(src, dst)
+        return
+    from pyspark.sql import SparkSession
+
+    jvm, fs, s = _jfs(src)
+    spark = (SparkSession.getActiveSession()
+             or SparkSession._instantiatedSession)
+    dp = jvm.org.apache.hadoop.fs.Path(dst)
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        dp.toUri(), spark._jsc.hadoopConfiguration())
+    gw = spark.sparkContext._gateway
+    ren = jvm.org.apache.hadoop.fs.Options.Rename
+    arr = gw.new_array(ren, 1)
+    arr[0] = ren.OVERWRITE
+    fc.rename(s, dp, arr)
+
+
+def read_bytes(path: str) -> bytes:
+    if not has_scheme(path):
+        with open(path, "rb") as fh:
+            return fh.read()
+    jvm, fs, p = _jfs(path)
+    try:
+        stream = fs.open(p)
+    except Exception as exc:
+        if _is_java_exc(exc, "FileNotFoundException"):
+            raise FileNotFoundError(path) from None
+        raise
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def read_json(path: str):
+    return json.loads(read_bytes(path).decode("utf-8"))
+
+
+def write_bytes(path: str, data: bytes, overwrite: bool = True) -> None:
+    if not has_scheme(path):
+        with open(path, "wb") as fh:
+            fh.write(data)
+        return
+    _, fs, p = _jfs(path)
+    out = fs.create(p, overwrite)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def write_json_atomic(path: str, obj, tmp_prefix: str = "._tmp_") -> None:
+    """Write JSON so readers never observe a partial file: stage under a
+    unique sibling name, then overwrite-rename into place."""
+    payload = json.dumps(obj).encode("utf-8")
+    parent, _ = path.rsplit("/", 1) if "/" in path else (".", path)
+    if not has_scheme(path):
+        fd, tmp = tempfile.mkstemp(dir=parent, prefix=tmp_prefix)
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, path)
+        return
+    import uuid
+
+    tmp = f"{parent}/{tmp_prefix}{uuid.uuid4().hex}"
+    write_bytes(tmp, payload, overwrite=True)
+    replace(tmp, path)
+
+
+class ExclClaim:
+    """A create-if-absent claim on a manifest path, held open so the
+    caller can interleave work (rename the staged snapshot) between the
+    CLAIM (the arbitration point) and the CONTENT write - the
+    write_version_cas commit order. ``finalize_json`` writes the
+    content, flushes to durable storage and closes."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fd: int | None = None
+        self._jout = None
+        if not has_scheme(path):
+            self._fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            return
+        _, fs, p = _jfs(path)
+        try:
+            self._jout = fs.create(p, False)
+        except Exception as exc:
+            if _is_java_exc(exc, "FileAlreadyExistsException",
+                            "AlreadyBeingCreatedException"):
+                raise FileExistsError(path) from None
+            raise
+
+    def finalize_json(self, obj) -> None:
+        payload = json.dumps(obj).encode("utf-8")
+        if self._fd is not None:
+            with os.fdopen(self._fd, "wb") as fh:
+                fh.write(payload)
+                fh.flush()
+                os.fsync(fh.fileno())
+            self._fd = None
+            return
+        try:
+            self._jout.write(bytearray(payload))
+            self._jout.hflush()
+        finally:
+            self._jout.close()
+            self._jout = None
+
+
+def claim_excl(path: str) -> ExclClaim:
+    """Atomically create-if-absent (the conditional-PUT shape). Raises
+    FileExistsError when another committer holds the name."""
+    return ExclClaim(path)
+
+
+@contextmanager
+def pointer_lock(root: str, name: str):
+    """Short critical section for the monotonic pointer publish: a real
+    ``flock`` on the local fast path; a documented no-op on remote
+    filesystems (see module docstring - the version log is the
+    arbitration authority there, the pointer is best-effort)."""
+    if not has_scheme(root):
+        import fcntl
+
+        with open(os.path.join(root, name), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+        return
+    yield
+
+
+def join(*parts: str) -> str:
+    """Path join that is correct for both POSIX paths and URIs (both
+    use ``/``; os.path.join would also work on Linux, this just states
+    the intent)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = f"{out.rstrip('/')}/{p}"
+    return out

@@ -38,19 +38,21 @@ What this buys, stated as reader guarantees:
   * TIME TRAVEL: any retained transaction number replays the exact
     cross-table state as of that commit.
 
-Scope: the local-FS stand-in contract of sources/versioned.py (the
-txn manifest claim is a conditional PUT against a manifest service at
-100 TB). Tables named in a transaction must live UNDER txn_root by
-their manifest name (the keys of `tables`)."""
+Scope: control-plane IO goes through sources/fsio.py (VERDICT r9 #2),
+so txn roots may be scheme-less local paths OR ``file://`` / ``hdfs://``
+/ ``s3a://`` URIs served by the session's Hadoop FileSystem client; the
+txn manifest claim is ``create(overwrite=false)`` - a conditional PUT,
+with the atomicity grade of the underlying filesystem (see fsio).
+Tables named in a transaction must live UNDER txn_root by their
+manifest name (the keys of `tables`)."""
 
 from __future__ import annotations
 
-import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import fsio
 from .versioned import VersionConflict, read_version
 
 _TDIR = "_txns"
@@ -70,19 +72,18 @@ def list_txns(root: str) -> list[int]:
     zero-byte claims - they burn numbers exactly like versioned.py's
     manifest log)."""
     d = _txn_dir(root)
-    if not os.path.isdir(d):
+    if not fsio.isdir(d):
         return []
-    return sorted(int(f[1:-5]) for f in os.listdir(d)
+    return sorted(int(f[1:-5]) for f in fsio.listdir(d)
                   if f.startswith("t") and f.endswith(".json"))
 
 
 def latest_txn(root: str) -> int:
     """Newest published transaction, 0 when none committed."""
     p = os.path.join(root, _LATEST)
-    if not os.path.exists(p):
+    if not fsio.exists(p):
         return 0
-    with open(p, encoding="utf-8") as fh:
-        return int(json.load(fh)["txn"])
+    return int(fsio.read_json(p)["txn"])
 
 
 def read_txn_manifest(root: str, txn: int | None = None) -> dict[str, int]:
@@ -91,21 +92,19 @@ def read_txn_manifest(root: str, txn: int | None = None) -> dict[str, int]:
     FileNotFoundError for never-claimed, crashed, or vacuumed txns."""
     if txn is None:
         p = os.path.join(root, _LATEST)
-        if not os.path.exists(p):
+        if not fsio.exists(p):
             return {}
-        with open(p, encoding="utf-8") as fh:
-            return dict(json.load(fh)["tables"])
+        return dict(fsio.read_json(p)["tables"])
     mp = _tpath(root, txn)
-    if not os.path.exists(mp):
+    if not fsio.exists(mp):
         raise FileNotFoundError(
             f"transaction {txn} of {root} does not exist "
             f"(claimed: {list_txns(root)})")
-    if os.path.getsize(mp) == 0:
+    if fsio.getsize(mp) == 0:
         raise FileNotFoundError(
             f"transaction {txn} of {root} is a crashed claim "
             "(number burned, never finalized)")
-    with open(mp, encoding="utf-8") as fh:
-        return dict(json.load(fh)["tables"])
+    return dict(fsio.read_json(mp)["tables"])
 
 
 def commit_txn(root: str, tables: dict[str, int],
@@ -119,11 +118,11 @@ def commit_txn(root: str, tables: dict[str, int],
     at some future read."""
     for name, v in tables.items():
         mp = os.path.join(root, name, "_versions", f"v{v:08d}.json")
-        if not os.path.exists(mp) or os.path.getsize(mp) == 0:
+        if not fsio.exists(mp) or fsio.getsize(mp) == 0:
             raise ValueError(
                 f"cannot pin {name}@v{v}: that version is not a "
                 "readable commit of the table")
-    os.makedirs(_txn_dir(root), exist_ok=True)
+    fsio.makedirs(_txn_dir(root))
     head = max(list_txns(root), default=0)
     if head != expected_txn:
         raise VersionConflict(
@@ -131,37 +130,27 @@ def commit_txn(root: str, tables: dict[str, int],
             f"but the log is at {head}")
     t = expected_txn + 1
     try:
-        fd = os.open(_tpath(root, t), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        claim = fsio.claim_excl(_tpath(root, t))
     except FileExistsError:
         raise VersionConflict(
             f"transaction {t} of {root} was claimed by a concurrent "
             "committer; re-read and retry") from None
     manifest = {"txn": t, "tables": {n: int(v) for n, v in tables.items()}}
-    with os.fdopen(fd, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
+    claim.finalize_json(manifest)
     _publish_latest_txn(root, manifest)
     return t
 
 
 def _publish_latest_txn(root: str, manifest: dict) -> None:
-    """Monotonic _LATEST publish under a short flock section - the
+    """Monotonic _LATEST publish under a short lock section - the
     same shape as versioned.py's pointer swap, so a slow committer of
-    txn N can never regress the pointer past a published N+1."""
-    import fcntl
-
-    with open(os.path.join(root, "._txn_ptr_lock"), "w") as lk:
-        fcntl.flock(lk, fcntl.LOCK_EX)
-        try:
-            if latest_txn(root) >= manifest["txn"]:
-                return
-            fd, tmp = tempfile.mkstemp(dir=root, prefix="._latest_txn_")
-            with os.fdopen(fd, "w", encoding="utf-8") as fh:
-                json.dump(manifest, fh)
-            os.replace(tmp, os.path.join(root, _LATEST))
-        finally:
-            fcntl.flock(lk, fcntl.LOCK_UN)
+    txn N can never locally regress the pointer past a published N+1
+    (on remote filesystems the lock is fsio's documented no-op)."""
+    with fsio.pointer_lock(root, "._txn_ptr_lock"):
+        if latest_txn(root) >= manifest["txn"]:
+            return
+        fsio.write_json_atomic(os.path.join(root, _LATEST), manifest,
+                               tmp_prefix="._latest_txn_")
 
 
 def read_txn_snapshot(spark: SparkSession, root: str,
@@ -187,14 +176,25 @@ def read_txn_snapshot(spark: SparkSession, root: str,
     return out
 
 
-def unpinned_table_versions(root: str) -> dict[str, list[int]]:
-    """Per-table versions NO retained transaction pins - the orphans a
-    crashed write-then-pin leaves at step 1, plus versions whose txns
-    were vacuumed. These are the safe inputs to per-table
-    vacuum_versions runs (the txn layer never deletes data itself;
-    retention stays a per-table decision)."""
-    from .versioned import list_versions
+def list_txn_tables(root: str) -> list[str]:
+    """Every versioned table living under the txn root - enumerated by
+    the presence of a `_versions` manifest log, NOT by appearing in a
+    retained transaction pin (ADVICE r9: a table whose versions were
+    staged but never pinned - the crash-at-step-1 shape on a brand-new
+    table, or one whose pinning txns were all vacuumed - must still be
+    visible to the orphan sweep)."""
+    if not fsio.isdir(root):
+        return []
+    out = []
+    for e in fsio.scandir(root):
+        if (e.is_dir and not e.name.startswith(("_", "."))
+                and fsio.isdir(os.path.join(root, e.name, "_versions"))):
+            out.append(e.name)
+    return sorted(out)
 
+
+def _pinned_versions(root: str) -> dict[str, set[int]]:
+    """{table: versions} pinned by ANY retained (readable) txn."""
     pinned: dict[str, set[int]] = {}
     for t in list_txns(root):
         try:
@@ -203,10 +203,95 @@ def unpinned_table_versions(root: str) -> dict[str, list[int]]:
             continue
         for n, v in pins.items():
             pinned.setdefault(n, set()).add(v)
+    return pinned
+
+
+def unpinned_table_versions(root: str) -> dict[str, list[int]]:
+    """Per-table versions NO retained transaction pins - the orphans a
+    crashed write-then-pin leaves at step 1, plus versions whose txns
+    were vacuumed. These are the safe inputs to reclamation
+    (:func:`vacuum_txn` consumes exactly this set; the enumeration
+    itself never deletes anything). Tables are discovered by their
+    `_versions` log, so a never-pinned table's snapshots are named
+    too."""
+    from .versioned import list_versions
+
+    pinned = _pinned_versions(root)
     out: dict[str, list[int]] = {}
-    for name in sorted(pinned):
+    for name in list_txn_tables(root):
         vs = list_versions(os.path.join(root, name))
-        orphans = [v for v in vs if v not in pinned[name]]
+        orphans = [v for v in vs if v not in pinned.get(name, set())]
         if orphans:
             out[name] = orphans
     return out
+
+
+def vacuum_txns(root: str, keep_last: int = 2) -> list[int]:
+    """Rotate the TRANSACTION log down to the newest `keep_last`
+    readable manifests (crashed zero-byte claims older than the cut
+    are removed too - their numbers stay burned). The published
+    _LATEST txn is always retained, mirroring vacuum_versions'
+    keep-the-pointer rule. Returns the removed txn numbers. Pins held
+    by removed transactions stop protecting table versions - run
+    :func:`vacuum_txn` afterwards (or instead) to reclaim."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    txns = list_txns(root)
+    keep = set(txns[-keep_last:]) | {latest_txn(root)}
+    drop = [t for t in txns if t not in keep]
+    for t in drop:
+        fsio.remove(_tpath(root, t))
+    return drop
+
+
+def vacuum_txn(root: str, keep_last_txns: int = 2,
+               stage_retention_sec: float = 24 * 3600.0
+               ) -> dict[str, list[int]]:
+    """Transaction-aware storage reclamation (VERDICT r9 #4): rotate
+    the txn log to `keep_last_txns`, then for every table under the
+    root remove exactly the snapshots that are
+
+      * pinned by NO retained transaction (per-table `vacuum_versions`
+        cannot be trusted here: its newest-N rule could delete a
+        version an OLD retained txn still pins - a time-travel break -
+        or retain unpinned orphans forever), AND
+      * not the table's newest readable version (the table-level read
+        path - `latest_version` / a bare `read_version(None)` - stays
+        servable even for tables no retained txn pins), AND
+      * older than `stage_retention_sec` by manifest mtime (the
+        write-then-pin protocol makes a freshly-committed-but-not-yet-
+        pinned version indistinguishable from crash debris - the age
+        gate is what lets an IN-FLIGHT committer survive a concurrent
+        vacuum, the same rule as versioned.py's CAS stage dirs; 0.0
+        force-sweeps under single-owner maintenance).
+
+    Removal order per snapshot mirrors vacuum_versions: manifest
+    first, directory second - a crash mid-vacuum leaves an orphan
+    directory (re-vacuumable), never a manifest naming nothing.
+    Returns {table: [removed versions]}."""
+    import time
+
+    from .versioned import latest_readable_version, latest_version
+
+    vacuum_txns(root, keep_last=keep_last_txns)
+    pinned = _pinned_versions(root)
+    removed: dict[str, list[int]] = {}
+    now = time.time()
+    for name in list_txn_tables(root):
+        troot = os.path.join(root, name)
+        keep = pinned.get(name, set()) | {latest_version(troot),
+                                          latest_readable_version(troot)}
+        gone: list[int] = []
+        mdir = os.path.join(troot, "_versions")
+        for e in fsio.scandir(mdir):
+            if not (e.name.startswith("v") and e.name.endswith(".json")):
+                continue
+            v = int(e.name[1:-5])
+            if v in keep or now - e.mtime < stage_retention_sec:
+                continue
+            fsio.remove(os.path.join(mdir, e.name))
+            fsio.rmtree(os.path.join(troot, f"v{v:08d}"))
+            gone.append(v)
+        if gone:
+            removed[name] = sorted(gone)
+    return removed

@@ -26,8 +26,15 @@ commit protocol: deterministic, replayable).
 
 At 100 TB the same protocol works with a manifest service or object
 store (conditional PUT of _LATEST); the per-version directories are
-exactly Delta's data files. Transaction arbitration comes in two
-grades (VERDICT r7 #7):
+exactly Delta's data files. All control-plane IO goes through
+sources/fsio.py (VERDICT r9 #2): scheme-less roots use driver-local
+``os.*`` exactly as before, while ``file://`` / ``hdfs://`` / ``s3a://``
+roots are served by the active session's Hadoop FileSystem client -
+the O_CREAT|O_EXCL claim becomes ``FileSystem.create(overwrite=false)``
+and the ``os.replace`` pointer swap becomes a FileContext OVERWRITE
+rename, with the atomicity grade of the underlying filesystem (atomic
+on HDFS/POSIX; see fsio's module docstring for the S3A caveat).
+Transaction arbitration comes in two grades (VERDICT r7 #7):
 
   * `write_version` - LAST WRITER WINS on the version NUMBER only
     (two racers can never corrupt each other's snapshots, but both
@@ -46,10 +53,10 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+from . import fsio
 
 _VDIR = "_versions"
 _LATEST = "_LATEST"
@@ -68,10 +75,9 @@ def _manifest_dir(root: str) -> str:
 def latest_version(root: str) -> int:
     """Newest committed version, 0 when the table does not exist."""
     p = os.path.join(root, _LATEST)
-    if not os.path.exists(p):
+    if not fsio.exists(p):
         return 0
-    with open(p, encoding="utf-8") as fh:
-        return int(json.load(fh)["version"])
+    return int(fsio.read_json(p)["version"])
 
 
 def latest_readable_version(root: str) -> int:
@@ -85,7 +91,7 @@ def latest_readable_version(root: str) -> int:
     silently dropped from every future snapshot."""
     d = _manifest_dir(root)
     for v in reversed(list_versions(root)):
-        if os.path.getsize(os.path.join(d, f"v{v:08d}.json")) > 0:
+        if fsio.getsize(os.path.join(d, f"v{v:08d}.json")) > 0:
             return v
     return 0
 
@@ -93,9 +99,9 @@ def latest_readable_version(root: str) -> int:
 def list_versions(root: str) -> list[int]:
     """All committed versions, ascending."""
     d = _manifest_dir(root)
-    if not os.path.isdir(d):
+    if not fsio.isdir(d):
         return []
-    return sorted(int(f[1:-5]) for f in os.listdir(d)
+    return sorted(int(f[1:-5]) for f in fsio.listdir(d)
                   if f.startswith("v") and f.endswith(".json"))
 
 
@@ -103,8 +109,8 @@ def write_version(df: DataFrame, root: str,
                   partition_by: list[str] | None = None) -> int:
     """Commit `df` as the next version of the table at `root` and
     return its number. The snapshot directory is fully written before
-    any manifest exists; the _LATEST swap is a single os.replace."""
-    os.makedirs(_manifest_dir(root), exist_ok=True)
+    any manifest exists; the _LATEST swap is one atomic replace."""
+    fsio.makedirs(_manifest_dir(root))
     # Next version from the MANIFEST LOG, not _LATEST (ADVICE r6): a
     # writer that crashed after landing _versions/vN.json but before
     # the _LATEST swap leaves _LATEST at N-1 while vN exists - deriving
@@ -121,8 +127,7 @@ def write_version(df: DataFrame, root: str,
     w.parquet(os.path.join(root, vdir))
     manifest = {"version": v, "dir": vdir}
     mpath = os.path.join(_manifest_dir(root), f"{vdir}.json")
-    with open(mpath, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh)
+    fsio.write_bytes(mpath, json.dumps(manifest).encode("utf-8"))
     _publish_latest(root, manifest)
     return v
 
@@ -130,22 +135,15 @@ def write_version(df: DataFrame, root: str,
 def _publish_latest(root: str, manifest: dict) -> None:
     """Monotonic pointer publish: replace _LATEST only if this
     manifest is newer than the current pointer, under a short flock
-    critical section (the local-FS stand-in for an object store's
-    conditional PUT). A slow committer of version N can therefore
-    never regress the pointer past an already-published N+1."""
-    import fcntl
-
-    with open(os.path.join(root, "._ptr_lock"), "w") as lk:
-        fcntl.flock(lk, fcntl.LOCK_EX)
-        try:
-            if latest_version(root) >= manifest["version"]:
-                return
-            fd, tmp = tempfile.mkstemp(dir=root, prefix="._latest_")
-            with os.fdopen(fd, "w", encoding="utf-8") as fh:
-                json.dump(manifest, fh)
-            os.replace(tmp, os.path.join(root, _LATEST))
-        finally:
-            fcntl.flock(lk, fcntl.LOCK_UN)
+    critical section (local fast path; on remote filesystems the lock
+    is a documented no-op and the publish is best-effort monotonic -
+    fsio.pointer_lock). A slow committer of version N can therefore
+    never locally regress the pointer past an already-published N+1."""
+    with fsio.pointer_lock(root, "._ptr_lock"):
+        if latest_version(root) >= manifest["version"]:
+            return
+        fsio.write_json_atomic(os.path.join(root, _LATEST), manifest,
+                               tmp_prefix="._latest_")
 
 
 def write_version_cas(df: DataFrame, root: str, expected_version: int,
@@ -171,7 +169,7 @@ def write_version_cas(df: DataFrame, root: str, expected_version: int,
       5. _LATEST advances via the monotonic publish."""
     import uuid
 
-    os.makedirs(_manifest_dir(root), exist_ok=True)
+    fsio.makedirs(_manifest_dir(root))
     head = max(list_versions(root), default=0)
     if head != expected_version:
         raise VersionConflict(
@@ -186,18 +184,15 @@ def write_version_cas(df: DataFrame, root: str, expected_version: int,
     w.parquet(stage)
     mpath = os.path.join(_manifest_dir(root), f"{vdir}.json")
     try:
-        fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        claim = fsio.claim_excl(mpath)
     except FileExistsError:
-        shutil.rmtree(stage, ignore_errors=True)
+        fsio.rmtree(stage)
         raise VersionConflict(
             f"version {v} of {root} was claimed by a concurrent "
             "committer; re-read and retry") from None
     manifest = {"version": v, "dir": vdir}
-    with os.fdopen(fd, "w", encoding="utf-8") as fh:
-        os.rename(stage, os.path.join(root, vdir))
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
+    fsio.rename(stage, os.path.join(root, vdir))
+    claim.finalize_json(manifest)
     _publish_latest(root, manifest)
     return v
 
@@ -209,16 +204,15 @@ def read_version(spark: SparkSession, root: str,
     if version is None:
         version = latest_version(root)
     mpath = os.path.join(_manifest_dir(root), f"v{version:08d}.json")
-    if not os.path.exists(mpath):
+    if not fsio.exists(mpath):
         raise FileNotFoundError(
             f"version {version} of {root} does not exist "
             f"(committed: {list_versions(root)})")
-    if os.path.getsize(mpath) == 0:
+    if fsio.getsize(mpath) == 0:
         raise FileNotFoundError(
             f"version {version} of {root} is a crashed CAS commit "
             "(manifest claimed, never finalized)")
-    with open(mpath, encoding="utf-8") as fh:
-        manifest = json.load(fh)
+    manifest = fsio.read_json(mpath)
     return spark.read.parquet(os.path.join(root, manifest["dir"]))
 
 
@@ -263,25 +257,23 @@ def vacuum_versions(root: str, keep_last: int = 2,
     drop = [v for v in versions if v not in keep]
     for v in drop:
         vdir = f"v{v:08d}"
-        os.remove(os.path.join(_manifest_dir(root), f"{vdir}.json"))
-        shutil.rmtree(os.path.join(root, vdir), ignore_errors=True)
+        fsio.remove(os.path.join(_manifest_dir(root), f"{vdir}.json"))
+        fsio.rmtree(os.path.join(root, vdir))
     kept = ({f"v{v:08d}" for v in list_versions(root)}
             | {f"v{latest_version(root):08d}"})
-    for entry in os.listdir(root):
-        full = os.path.join(root, entry)
-        if (entry.startswith("v") and entry not in kept
-                and os.path.isdir(full) and entry[1:].isdigit()):
-            shutil.rmtree(full, ignore_errors=True)
-        elif entry.startswith("._stage_") and os.path.isdir(full):
-            # crashed CAS commits stage here before claiming a version;
-            # age-gate so a LIVE committer's stage dir survives
-            try:
-                import time
+    import time
 
-                aged = (time.time() - os.path.getmtime(full)
-                        >= stage_retention_sec)
-            except OSError:      # raced: the commit just renamed it
-                aged = False
-            if aged:
-                shutil.rmtree(full, ignore_errors=True)
+    for entry in fsio.scandir(root):
+        full = os.path.join(root, entry.name)
+        if (entry.name.startswith("v") and entry.name not in kept
+                and entry.is_dir and entry.name[1:].isdigit()):
+            fsio.rmtree(full)
+        elif entry.name.startswith("._stage_") and entry.is_dir:
+            # crashed CAS commits stage here before claiming a version;
+            # age-gate so a LIVE committer's stage dir survives (the
+            # scandir mtime may itself race a concurrent commit's
+            # rename - a vanished entry is simply skipped by rmtree's
+            # ignore-errors semantics)
+            if time.time() - entry.mtime >= stage_retention_sec:
+                fsio.rmtree(full)
     return drop

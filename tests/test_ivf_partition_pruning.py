@@ -626,17 +626,38 @@ def test_plan_mode_dpp_fallback_without_manifest(spark, layout):
     sh.rmtree(os.path.dirname(bare), ignore_errors=True)
 
 
-def test_manifest_skips_non_local_paths(spark):
-    """ADVICE r8: URI-scheme paths must DECLINE the driver-local fast
-    paths (manifest + bounded listing) instead of silently probing the
-    wrong filesystem."""
+def test_manifest_serves_scheme_qualified_paths(spark, tmp_path):
+    """VERDICT r9 #2 (supersedes the r8 decline-on-scheme rule): a
+    URI-scheme path routes the manifest IO through the session's
+    Hadoop FileSystem client instead of declining. Committing on the
+    plain path and reading through the ``file://`` form of the SAME
+    directory (and vice versa) must be behavior-identical - that is
+    the JVM code path hdfs://s3a:// take. The single-slash
+    ``file:/...`` normalization Spark emits must work too (ADVICE
+    r9)."""
     from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
         commit_layout_manifest,
         manifest_clusters,
     )
 
-    assert manifest_clusters("hdfs://nn/warehouse/layout") is None
-    assert commit_layout_manifest(spark, "s3a://bucket/layout") is None
+    root = tmp_path / "scheme_layout"
+    (root / "cluster=0").mkdir(parents=True)
+    (root / "cluster=1").mkdir()
+    for c in (0, 1):
+        (root / f"cluster={c}" / "part-000.parquet").write_bytes(b"")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pq.write_table(pa.table({"vec_id": [c]}),
+                       root / f"cluster={c}" / "part-000.parquet")
+
+    v = commit_layout_manifest(spark, f"file://{root}")
+    assert v == 1
+    plain = manifest_clusters(str(root))
+    via_uri = manifest_clusters(f"file://{root}")
+    via_single_slash = manifest_clusters(f"file:{root}")
+    assert plain == via_uri == via_single_slash
+    assert sorted(plain) == [0, 1]
+    assert plain[0] == ["cluster=0/part-000.parquet"]
 
 
 def test_float_plan_mode_no_broadcast_on_query_side(spark, layout):

@@ -315,3 +315,57 @@ def test_generation_vacuum_refuses_manifestless_layout(spark, tmp_path):
                                      stage_retention_sec=0.0) == []
     assert sorted(e for e in os.listdir(p) if e.startswith("cluster=")) \
         == ["cluster=0", "cluster=1"]
+
+
+@pytest.mark.parametrize("scheme", ["plain", "file_uri"])
+def test_append_after_compaction_keeps_compacted_rows(spark, scheme):
+    """ADVICE r9 (medium): the documented lifecycle write -> append ->
+    compact -> vacuum (bare dirs reclaimed) -> APPEND AGAIN used to
+    lose data silently - the incremental manifest commit rebuilt each
+    touched cluster's rows by listing only the bare cluster=N
+    directory, discarding the previous manifest's gen= rows for that
+    cluster, so every pre-compaction row became unreadable (and then
+    vacuumable). Now gen=-qualified rows are carried through: after
+    the second append EVERY row (compacted + both appends) resolves
+    through the manifest, across vacuums. Runs on a scheme-less root
+    and the file:// JVM path alike."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        append_to_ivf_layout,
+        compact_layout_generation,
+        manifest_clusters,
+        write_ivf_layout,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents, dim = kmeans_fit(emb, k=K, iters=1)
+    root = tempfile.mkdtemp(prefix="ivf_apc_")
+    path = (root + "/emb") if scheme == "plain" else f"file://{root}/emb"
+
+    write_ivf_layout(emb.filter("vec_id % 4 = 0"), cents, dim, path)
+    append_to_ivf_layout(emb.filter("vec_id % 4 = 1"), cents, dim, path)
+    compact_layout_generation(spark, path)
+    # the documented lifecycle: bare append-origin dirs reclaimed once
+    # no retained manifest references them
+    vacuum_layout_generations(path, keep_last=1, stage_retention_sec=0.0)
+
+    append_to_ivf_layout(emb.filter("vec_id % 4 = 2"), cents, dim, path)
+
+    got = sorted(r.vec_id for r in read_layout_manifest(spark, path)
+                 .select("vec_id").collect())
+    want = sorted(r.vec_id for r in
+                  emb.filter("vec_id % 4 in (0, 1, 2)")
+                  .select("vec_id").collect())
+    assert got == want                      # nothing silently unlinked
+
+    # the merged manifest names BOTH conventions for touched clusters
+    mf = manifest_clusters(path)
+    allfiles = [f for fs in mf.values() for f in fs]
+    assert any(f.startswith("gen=") for f in allfiles)
+    assert any(f.startswith("cluster=") for f in allfiles)
+
+    # and a second vacuum must not reclaim what the merged manifest pins
+    vacuum_layout_generations(path, keep_last=1, stage_retention_sec=0.0)
+    got2 = sorted(r.vec_id for r in read_layout_manifest(spark, path)
+                  .select("vec_id").collect())
+    assert got2 == want
+    shutil.rmtree(root, ignore_errors=True)

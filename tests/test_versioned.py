@@ -1,16 +1,24 @@
 """Versioned tables + time travel (sources/versioned.py): dense
 version numbering, as-of reads, atomic _LATEST swap semantics, orphan
-cleanup, and the SCD2 history-replay use case the layer exists for."""
+cleanup, and the SCD2 history-replay use case the layer exists for.
+
+The whole battery is parametrized over a scheme-less root AND the
+``file://`` form of the same directory (VERDICT r9 #2): the latter
+routes every control-plane operation through the session's Hadoop
+FileSystem client - the exact JVM code path hdfs://s3a:// roots take -
+and must be behavior-identical. Raw filesystem assertions therefore go
+through sources/fsio.py, which dispatches per-path the same way the
+engine does."""
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import tempfile
 
 import pytest
 
+from etl_pipeline_mini_project_01_spark.sources import fsio
 from etl_pipeline_mini_project_01_spark.sources.versioned import (
     latest_version,
     list_versions,
@@ -20,10 +28,10 @@ from etl_pipeline_mini_project_01_spark.sources.versioned import (
 )
 
 
-@pytest.fixture()
-def root():
+@pytest.fixture(params=["plain", "file_uri"])
+def root(request):
     d = tempfile.mkdtemp(prefix="vtbl_")
-    yield d + "/t"
+    yield (d + "/t") if request.param == "plain" else f"file://{d}/t"
     shutil.rmtree(d, ignore_errors=True)
 
 
@@ -66,18 +74,17 @@ def test_scd2_replay_use_case(spark, root):
 
 
 def test_latest_swap_is_atomic_file(spark, root):
-    """_LATEST is a complete JSON manifest (os.replace target), and a
-    reader that resolved a version BEFORE a new commit still reads its
+    """_LATEST is a complete JSON manifest (atomic-replace target), and
+    a reader that resolved a version BEFORE a new commit still reads its
     immutable snapshot afterwards - no rename-out-from-under."""
     write_version(spark.createDataFrame([(1,)], "k bigint"), root)
     pinned = read_version(spark, root, 1)
-    with open(os.path.join(root, "_LATEST"), encoding="utf-8") as fh:
-        m = json.load(fh)
+    m = fsio.read_json(os.path.join(root, "_LATEST"))
     assert m == {"version": 1, "dir": "v00000001"}
     write_version(spark.createDataFrame([(2,)], "k bigint"), root)
     # the pinned plan still reads snapshot 1's directory
     assert [tuple(r) for r in pinned.collect()] == [(1,)]
-    assert not [f for f in os.listdir(root) if f.startswith("._latest_")]
+    assert not [f for f in fsio.listdir(root) if f.startswith("._latest_")]
 
 
 def test_crashed_commit_does_not_wedge_future_writes(spark, root):
@@ -87,13 +94,11 @@ def test_crashed_commit_does_not_wedge_future_writes(spark, root):
     N+1 and swaps _LATEST forward; the crashed snapshot stays readable
     by explicit version (it was fully written before its manifest)."""
     write_version(spark.createDataFrame([(1,)], "k bigint"), root)
-    with open(os.path.join(root, "_LATEST"), encoding="utf-8") as fh:
-        latest_v1 = fh.read()
+    latest_v1 = fsio.read_bytes(os.path.join(root, "_LATEST"))
     write_version(spark.createDataFrame([(2,)], "k bigint"), root)
     # simulate the crash window: roll _LATEST back to v1 while v2's
     # manifest + directory remain on disk
-    with open(os.path.join(root, "_LATEST"), "w", encoding="utf-8") as fh:
-        fh.write(latest_v1)
+    fsio.write_bytes(os.path.join(root, "_LATEST"), latest_v1)
     assert latest_version(root) == 1          # readers: consistent v1
     v3 = write_version(spark.createDataFrame([(3,)], "k bigint"), root)
     assert v3 == 3                            # not a re-collision on 2
@@ -115,12 +120,12 @@ def test_vacuum_keeps_recent_and_sweeps_orphans(spark, root):
     for i in range(4):
         write_version(spark.createDataFrame([(i,)], "k bigint"), root)
     # a crashed writer's orphan: directory without a manifest
-    os.makedirs(os.path.join(root, "v00000099"))
+    fsio.makedirs(os.path.join(root, "v00000099"))
     removed = vacuum_versions(root, keep_last=2)
     assert removed == [1, 2]
     assert list_versions(root) == [3, 4]
-    assert not os.path.exists(os.path.join(root, "v00000001"))
-    assert not os.path.exists(os.path.join(root, "v00000099"))
+    assert not fsio.exists(os.path.join(root, "v00000001"))
+    assert not fsio.exists(os.path.join(root, "v00000099"))
     assert [tuple(r) for r in read_version(spark, root, 3).collect()] \
         == [(2,)]
     with pytest.raises(FileNotFoundError):
@@ -134,11 +139,9 @@ def test_vacuum_keeps_the_latest_pointer_live(spark, root):
     actually resolve) - dropping v1 would leave _LATEST pointing at a
     deleted snapshot and read_version(root) raising."""
     write_version(spark.createDataFrame([(1,)], "k bigint"), root)
-    with open(os.path.join(root, "_LATEST"), encoding="utf-8") as fh:
-        latest_v1 = fh.read()
+    latest_v1 = fsio.read_bytes(os.path.join(root, "_LATEST"))
     write_version(spark.createDataFrame([(2,)], "k bigint"), root)
-    with open(os.path.join(root, "_LATEST"), "w", encoding="utf-8") as fh:
-        fh.write(latest_v1)                   # the crash window
+    fsio.write_bytes(os.path.join(root, "_LATEST"), latest_v1)  # crash window
     removed = vacuum_versions(root, keep_last=1)
     assert removed == []                      # v1 is _LATEST, v2 is tail
     assert latest_version(root) == 1
@@ -177,13 +180,16 @@ def test_cas_racing_committers_exactly_one_wins(spark, root):
     assert sorted(map(tuple, read_version(spark, root).collect())) \
         == [(2, "b")]
     # no stage-dir litter from the conflicted attempt
-    assert not [e for e in os.listdir(root) if e.startswith("._stage_")]
+    assert not [e for e in fsio.listdir(root) if e.startswith("._stage_")]
 
 
 def test_cas_claim_race_on_manifest_file(spark, root):
     """The arbitration point itself: when the loser passes the
     fast-path head check but the winner lands the manifest first, the
-    O_EXCL claim - not the stale head read - must reject it."""
+    create-if-absent claim - not the stale head read - must reject it.
+    The race is injected at fsio.claim_excl, so the same test exercises
+    the os.open O_EXCL arbitration (plain root) AND the Hadoop
+    create(overwrite=false) arbitration (file:// root)."""
     from unittest import mock
 
     from etl_pipeline_mini_project_01_spark.sources import versioned
@@ -193,22 +199,21 @@ def test_cas_claim_race_on_manifest_file(spark, root):
     )
     write_version_cas(spark.createDataFrame([(1,)], "k bigint"), root, 0)
     df = spark.createDataFrame([(2,)], "k bigint")
-    real_open = os.open
+    real_claim = fsio.claim_excl
 
-    def winner_lands_first(path, flags, *a, **kw):
-        if path.endswith("v00000002.json") and (flags & os.O_EXCL):
+    def winner_lands_first(path):
+        if path.endswith("v00000002.json") and not fsio.exists(path):
             # simulate the concurrent winner claiming between the head
             # check and our claim
-            fd = real_open(path, os.O_CREAT | os.O_WRONLY)
-            os.write(fd, b'{"version": 2, "dir": "v00000002"}')
-            os.close(fd)
-        return real_open(path, flags, *a, **kw)
+            fsio.write_bytes(path,
+                             b'{"version": 2, "dir": "v00000002"}')
+        return real_claim(path)
 
-    with mock.patch.object(versioned.os, "open",
+    with mock.patch.object(versioned.fsio, "claim_excl",
                            side_effect=winner_lands_first):
         with pytest.raises(VersionConflict, match="claimed by a concurrent"):
             write_version_cas(df, root, expected_version=1)
-    assert not [e for e in os.listdir(root) if e.startswith("._stage_")]
+    assert not [e for e in fsio.listdir(root) if e.startswith("._stage_")]
 
 
 def test_cas_crashed_claim_burns_number_but_recovers(spark, root):
@@ -221,8 +226,8 @@ def test_cas_crashed_claim_burns_number_but_recovers(spark, root):
     )
     write_version_cas(spark.createDataFrame([(1,)], "k bigint"), root, 0)
     # simulate the crash: claimed manifest, no content, staged dir left
-    open(os.path.join(root, "_versions", "v00000002.json"), "w").close()
-    os.makedirs(os.path.join(root, "._stage_deadbeef"))
+    fsio.write_bytes(os.path.join(root, "_versions", "v00000002.json"), b"")
+    fsio.makedirs(os.path.join(root, "._stage_deadbeef"))
     with pytest.raises(FileNotFoundError, match="crashed CAS commit"):
         read_version(spark, root, 2)
     assert latest_version(root) == 1          # readers undisturbed
@@ -231,7 +236,7 @@ def test_cas_crashed_claim_burns_number_but_recovers(spark, root):
     # a FRESH stage dir is indistinguishable from a live committer's -
     # the default retention must leave it alone (ADVICE r8) ...
     vacuum_versions(root, keep_last=3)
-    assert os.path.exists(os.path.join(root, "._stage_deadbeef"))
+    assert fsio.exists(os.path.join(root, "._stage_deadbeef"))
     # ... and only an aged-out one is swept
     vacuum_versions(root, keep_last=3, stage_retention_sec=0.0)
-    assert not os.path.exists(os.path.join(root, "._stage_deadbeef"))
+    assert not fsio.exists(os.path.join(root, "._stage_deadbeef"))

@@ -1116,6 +1116,121 @@ def run_daily_ingest(spark, sf_dir: str, k_clusters: int
     return walls, checks
 
 
+def run_compaction(spark, sf_dir: str, k_clusters: int,
+                   n_appends: int = 8
+                   ) -> tuple[dict[str, float], dict[str, bool],
+                              dict[str, float]]:
+    """E49 compaction on the curve (VERDICT r9 #5) - the OPTIMIZE
+    story a long-lived index lives or dies by. Untimed bootstrap = a
+    standing layout + `n_appends` daily appends under a frozen model,
+    which leaves every touched posting list as ~n_appends+1 sliver
+    files (each append adds >= 1 file per touched cluster). Timed
+    series, warm (second run of two):
+      * `compact_probe_presliver` / `compact_probe_postcompact` - the
+        SAME literal-mode batch probe before and after
+        `compact_layout_generation` (the footer-read tax slivers
+        charge every probe, and its removal);
+      * `compact_wall` - the compaction itself (one read + one
+        cluster-routed write of the live rows + a CAS manifest swap).
+    Metrics: manifest file count before/after (the bin-pack target:
+    files_per_cluster=1 -> exactly one file per non-empty cluster).
+    Invariants: the row set is IDENTICAL across the swap; a probe
+    pinned to the pre-compaction manifest version still serves
+    (lock-free cutover); post-vacuum the reclaimed entries are exactly
+    the bare append-origin dirs."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        append_to_ivf_layout,
+        compact_layout_generation,
+        ivf_probe_pruned_batch,
+        manifest_clusters,
+        read_layout_manifest,
+        vacuum_layout_generations,
+        write_ivf_layout,
+    )
+    from etl_pipeline_mini_project_01_spark.operators.kmeans import (
+        kmeans_fit,
+    )
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        list_versions,
+    )
+    import shutil
+
+    spark.catalog.clearCache()
+    walls: dict[str, float] = {}
+    checks: dict[str, bool] = {}
+    metrics: dict[str, float] = {}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mod = n_appends + 1
+    base_emb = emb.filter(f"vec_id % {mod} = 0")
+    cents, dim = kmeans_fit(base_emb, k=k_clusters, iters=1,
+                            kernel=KERNEL)
+    path = os.path.join(REPO, ".scratch",
+                        f"compact_layout_{os.path.basename(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_layout(base_emb, cents, dim, path, kernel=KERNEL)
+    for r in range(1, mod):
+        append_to_ivf_layout(emb.filter(f"vec_id % {mod} = {r}"),
+                             cents, dim, path, kernel=KERNEL)
+
+    mf = manifest_clusters(path)
+    metrics["compact_files_before"] = sum(len(fs) for fs in mf.values())
+    metrics["compact_clusters"] = len(mf)
+    queries = (emb.select("vec_id", "embedding")
+               .orderBy("vec_id").limit(IVF_N_QUERIES).localCheckpoint())
+
+    def _probe():
+        return ivf_probe_pruned_batch(
+            spark, path, queries, cents, dim, nprobe=IVF_NPROBE,
+            k=IVF_TOP_K, kernel=KERNEL, probe_lists="literal")
+
+    _consume(_probe())                       # warm-up
+    t0 = time.perf_counter()
+    _consume(_probe())
+    walls["compact_probe_presliver"] = round(time.perf_counter() - t0, 3)
+    before_rows = sorted(
+        (r.vec_id, int(r.cluster)) for r in
+        read_layout_manifest(spark, path)
+        .select("vec_id", "cluster").collect())
+    pre_version = max(list_versions(os.path.join(path, "_index")))
+
+    t0 = time.perf_counter()
+    compact_layout_generation(spark, path, files_per_cluster=1)
+    walls["compact_wall"] = round(time.perf_counter() - t0, 3)
+
+    mf2 = manifest_clusters(path)
+    metrics["compact_files_after"] = sum(len(fs) for fs in mf2.values())
+    checks["compact_binpack_target"] = all(
+        len(fs) == 1 for fs in mf2.values())
+    after_rows = sorted(
+        (r.vec_id, int(r.cluster)) for r in
+        read_layout_manifest(spark, path)
+        .select("vec_id", "cluster").collect())
+    checks["compact_rowset_identical"] = after_rows == before_rows
+    pinned = sorted(
+        (r.vec_id, int(r.cluster)) for r in
+        read_layout_manifest(spark, path, version=pre_version)
+        .select("vec_id", "cluster").collect())
+    checks["compact_pinned_presliver_serves"] = pinned == before_rows
+
+    _consume(_probe())                       # warm-up on the new gen
+    t0 = time.perf_counter()
+    _consume(_probe())
+    walls["compact_probe_postcompact"] = round(
+        time.perf_counter() - t0, 3)
+
+    removed = vacuum_layout_generations(path, keep_last=1,
+                                        stage_retention_sec=0.0)
+    checks["compact_vacuum_reclaims_bare_dirs"] = (
+        bool(removed) and all(e.startswith("cluster=") for e in removed))
+    checks["compact_rowset_survives_vacuum"] = sorted(
+        (r.vec_id, int(r.cluster)) for r in
+        read_layout_manifest(spark, path)
+        .select("vec_id", "cluster").collect()) == before_rows
+    shutil.rmtree(path, ignore_errors=True)
+    return walls, checks, metrics
+
+
 #: Unbiasedness tolerance for the sampled miss audit at the base point
 #: (measured base deltas: flat 0.0004, twolevel 0.016 at frac=0.3).
 AUDIT_TOL = 0.1
@@ -1256,6 +1371,19 @@ def main() -> None:
                              for k, v in pbase_metrics.items()})
         big_metrics.update({f"pq_big_{k}": v
                             for k, v in pbig_metrics.items()})
+    if "compact" in stages:
+        cbase, cbase_checks, cbase_metrics = run_compaction(
+            spark, BASE_SF, 8)
+        cbig, cbig_checks, cbig_metrics = run_compaction(
+            spark, big_dir, 8 * n)
+        base.update(cbase)
+        big.update(cbig)
+        base_checks.update(cbase_checks)
+        big_checks.update(cbig_checks)
+        base_metrics.update({f"compact_base_{k}": v
+                             for k, v in cbase_metrics.items()})
+        big_metrics.update({f"compact_big_{k}": v
+                            for k, v in cbig_metrics.items()})
     if "manifest" in stages:
         mchecks, mmetrics = run_manifest_index(spark)
         base_checks.update(mchecks)
@@ -1343,6 +1471,15 @@ def main() -> None:
         "ivfpq_probe_warm": _pair("ivfpq_probe_warm", "ivfpq_probe_warm"),
         "pq_fullprec_scan": _pair("pq_fullprec_scan",
                                   "pq_fullprec_scan"),
+        # E49 compaction (VERDICT r9 #5): probe walls before (slivered)
+        # and after (bin-packed) the generation compaction, plus the
+        # compaction wall itself; the file-count collapse is in
+        # *_metrics (compact_files_before -> compact_files_after).
+        "compact_probe_presliver": _pair("compact_probe_presliver",
+                                         "compact_probe_presliver"),
+        "compact_probe_postcompact": _pair("compact_probe_postcompact",
+                                           "compact_probe_postcompact"),
+        "compact_wall": _pair("compact_wall", "compact_wall"),
         # audit walls are not base/big pairs: the sampled big point is
         # DESIGNED to stay ~constant (the fraction shrinks as the
         # corpus grows), so report raw walls + fractions instead.
