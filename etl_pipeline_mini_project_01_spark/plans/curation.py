@@ -473,10 +473,14 @@ ORDER BY doc_id, rank
 @register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document. Two hash aggregations (term
-    frequency per (doc, term); document frequency per term) + a broadcast
-    join of the small per-term df table; the corpus shuffles once, on
-    (doc_id, tok). n_docs rides in as a broadcast single-row aggregate -
-    never a hardcoded literal, so the op is scale-agnostic. Float parity:
+    frequency per (doc, term); document frequency per term) + a join of
+    the per-term df table. The df relation is VOCABULARY-sized - it
+    grows with the corpus (Heaps' law) - so it carries NO broadcast
+    hint (VERDICT r9 #3 class): AQE broadcasts it while it fits and
+    falls back to a correct tok-keyed shuffle join at the scale where
+    a forced build would OOM. n_docs rides in as a broadcast single-row
+    aggregate - never a hardcoded literal, so the op is scale-agnostic.
+    Float parity:
     JVM Math.log and DuckDB libm ln disagree by 1 ulp, so the raw tfidf
     double is the RANKING key only, never an output column - the emitted
     rank is stable because score gaps between distinct (tf, df) pairs are
@@ -490,7 +494,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("df")))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "tok")
+        tf.join(df_, "tok")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",

@@ -362,6 +362,8 @@ def test_no_forced_bigside_broadcast(spark):
         "j2_dimension_lookup": 1,         # nation
         "j4_anti_join_missing_fk": 0,
         "j7_star_join_region_revenue": 2, # nation + region
+        "tfidf_top_terms": 1,             # the 1-row n_docs scalar;
+                                          # the vocab-sized df is unhinted
     }
     conf = spark.conf
     saved = {k: conf.get(k, None) for k in

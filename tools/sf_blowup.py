@@ -44,21 +44,35 @@ KEYMAP: dict[str, tuple[str, ...]] = {
 }
 
 
+def _write_single(df, out: str, table: str) -> None:
+    """One FILE per table (like the harness testdata - DuckDB oracle
+    views read `<dir>/<t>.parquet` as a file, not a directory)."""
+    import shutil
+
+    stage = os.path.join(out, f"._stage_{table}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in sorted(os.listdir(stage))
+                if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    dst = os.path.join(out, f"{table}.parquet")
+    if os.path.exists(dst):
+        os.remove(dst)
+    os.rename(os.path.join(stage, part), dst)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def blow_up(spark, n: int, out: str) -> None:
     os.makedirs(out, exist_ok=True)
     r = F.col("r")
     rng = spark.range(n).withColumnRenamed("id", "r")
 
     for t in ("region", "nation"):            # constant dims: copy
-        load_table(spark, BASE_SF, t).write.mode("overwrite") \
-            .parquet(os.path.join(out, f"{t}.parquet"))
+        _write_single(load_table(spark, BASE_SF, t), out, t)
 
     for t, keys in KEYMAP.items():
         df = load_table(spark, BASE_SF, t)
         cols = [((F.col(c) * n + r).alias(c) if c in keys else F.col(c))
                 for c in df.columns]
-        (df.crossJoin(rng).select(*cols)
-         .write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet")))
+        _write_single(df.crossJoin(rng).select(*cols), out, t)
 
     docs = load_table(spark, BASE_SF, "documents")
     salted = F.concat_ws(" ", F.transform(
@@ -66,11 +80,12 @@ def blow_up(spark, n: int, out: str) -> None:
         lambda w, i: F.when(i % 2 == 1,
                             F.concat(w, F.lit("_"), r.cast("string")))
         .otherwise(w)))
-    (docs.crossJoin(rng)
-     .select((F.col("doc_id") * n + r).alias("doc_id"),
-             F.when(r == 0, F.col("text")).otherwise(salted).alias("text"),
-             *[c for c in docs.columns if c not in ("doc_id", "text")])
-     .write.mode("overwrite").parquet(os.path.join(out, "documents.parquet")))
+    _write_single(
+        docs.crossJoin(rng)
+        .select((F.col("doc_id") * n + r).alias("doc_id"),
+                F.when(r == 0, F.col("text")).otherwise(salted).alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")]),
+        out, "documents")
 
     emb = load_table(spark, BASE_SF, "embeddings")
     nudged = F.transform(
@@ -78,11 +93,12 @@ def blow_up(spark, n: int, out: str) -> None:
         lambda v, i: (v.cast("double")
                       + r.cast("double") * 0.001
                       * ((i % 7).cast("double") - 3.0)).cast("float"))
-    (emb.crossJoin(rng)
-     .select((F.col("vec_id") * n + r).alias("vec_id"),
-             nudged.alias("embedding"),
-             *[c for c in emb.columns if c not in ("vec_id", "embedding")])
-     .write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet")))
+    _write_single(
+        emb.crossJoin(rng)
+        .select((F.col("vec_id") * n + r).alias("vec_id"),
+                nudged.alias("embedding"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")]),
+        out, "embeddings")
 
 
 def main() -> None:
