@@ -133,6 +133,19 @@ CHECK_PRIORITY: tuple[str, ...] = (
 #:   training_mix_shards, u2_sentiment_distribution, u3_udtf_tokenize,
 #:   w_rank_family.
 #:
+#: r11 slot plan for the 4 free slots (decided r10): (1)
+#: j1_change_detection - plans/joins.py:184 still force-broadcasts the
+#: customer-derived `cur` relation (the one growing-relation hint left
+#: after the r10 sweep; j1 was r9-green and outside the r10 window, so
+#: the de-hint waits for a slot rather than orphaning its vouching);
+#: (2-3) the capacity folds (VERDICT r9 #7): extend the inference
+#: contract row to cover u3_udtf_tokenize's surface and one multimodal
+#: composite to cover mm_binary_metadata + mm_frame_sample, re-vouch
+#: the extended rows, and only then delete the standalone names (all
+#: three are r11-debt names anyway, so their last standalone check and
+#: the composite's first check land in the same window); (4) spare for
+#: whatever code r11 actually touches.
+#:
 #: CAPACITY POLICY (VERDICT r4 #7): the 50-slot window and the 2-round
 #: staleness bound give a hard ceiling of 50 x 3 = 150 sustainable
 #: registrations (each name needs a slot at least every third round).
