@@ -181,8 +181,15 @@ def rmtree(path: str) -> None:
 
 def rename(src: str, dst: str) -> None:
     """No-overwrite move (stage dir -> final snapshot name). Raises
-    OSError when the filesystem refuses (dst exists on HDFS)."""
+    OSError when the destination exists - Hadoop's rename refuses it
+    natively; the local path checks first (POSIX rename would silently
+    overwrite, which is never what a snapshot publish wants; the
+    check-then-rename window is immaterial because every destination
+    name is single-writer by construction - claimed via the manifest
+    log before the rename)."""
     if not has_scheme(src):
+        if os.path.exists(dst):
+            raise OSError(f"rename {src} -> {dst}: destination exists")
         os.rename(src, dst)
         return
     jvm, fs, s = _jfs(src)
