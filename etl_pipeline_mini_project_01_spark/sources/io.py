@@ -40,6 +40,11 @@ def atomic_overwrite(df: DataFrame, path: str,
 
     Readers of `path` never observe a partial table; equivalent of
     REFRESH MATERIALIZED VIEW CONCURRENTLY (gold_refresh.py:52-55).
+    Driver-local-path scope, deliberately: this is the LEGACY rename
+    dance (a reader holding the old directory can lose files mid-scan,
+    as SCALE.md documents) - scheme-qualified / multi-reader
+    tables belong on sources/versioned.py, whose snapshot+manifest
+    protocol runs on any filesystem via sources/fsio.py.
     """
     staging = path.rstrip("/") + ".__staging__"
     backup = path.rstrip("/") + ".__old__"

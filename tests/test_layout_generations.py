@@ -368,4 +368,13 @@ def test_append_after_compaction_keeps_compacted_rows(spark, scheme):
     got2 = sorted(r.vec_id for r in read_layout_manifest(spark, path)
                   .select("vec_id").collect())
     assert got2 == want
+
+    # the serving path works over the MIXED manifest: a probe for a
+    # compacted row and one for a freshly-appended row both hit
+    for probe_id in (0, 2):                 # residue 0 = compacted, 2 = new
+        qv = [float(x) for x in
+              emb.filter(f"vec_id = {probe_id}").select("embedding")
+              .first()[0]]
+        hits = ivf_probe_pruned(spark, path, qv, cents, NPROBE, 1).collect()
+        assert hits and hits[0].vec_id == probe_id
     shutil.rmtree(root, ignore_errors=True)
