@@ -392,3 +392,50 @@ def test_no_forced_bigside_broadcast(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Standing guard over EVERY registered query's physical plan: no
+    CartesianProduct anywhere, no row-at-a-time BatchEvalPython UDFs,
+    and BroadcastNestedLoopJoin only where a constant-size broadcast
+    side makes it the intended shape (audited r10):
+
+      * the 1-row scalar-subquery broadcasts (g2/tfidf n_docs,
+        temperature_mix totals x2, the recall rows' truth count);
+      * j3's 4-row band table (theta join - BNLJ over a constant
+        broadcast IS the plan);
+      * sim_cosine_topk's N_QUERIES-bounded query batch (score-all
+        scan by design).
+
+    u3_udtf_tokenize is the one BatchEvalPython exception: the Python
+    UDTF surface itself (Spark plans UDTFs as BatchEvalPythonUDTF;
+    the arrow-optimized variant lands with its r11 composite fold -
+    plans/registry.py r11 slot plan). A NEW query tripping this guard
+    needs the same written justification, not an allowlist edit."""
+    from etl_pipeline_mini_project_01_spark.plans.registry import (
+        QUERIES,
+        load_all_plans,
+    )
+
+    load_all_plans()
+    bnlj_allowed = {
+        "ann_ivf_kmeans_recall": 1, "ann_multitable_recall": 1,
+        "g2_top_performing_content": 1, "j3_band_join": 1,
+        "sim_cosine_topk": 1, "temperature_mix_counts": 2,
+        "tfidf_top_terms": 1,
+    }
+    python_eval_allowed = {"u3_udtf_tokenize"}
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().sparkPlan().toString()
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BatchEvalPython" in plan and name not in python_eval_allowed:
+            flags.append("BatchEvalPython")
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        if n_bnlj > bnlj_allowed.get(name, 0):
+            flags.append(f"BroadcastNestedLoopJoin x{n_bnlj}")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
