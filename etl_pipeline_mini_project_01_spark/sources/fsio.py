@@ -25,19 +25,24 @@ Dispatch rule, applied per call on the path string:
 Atomicity grades, stated honestly (they are the underlying
 FileSystem's, not this module's):
 
-* ``claim_excl`` maps to ``FileSystem.create(path, overwrite=false)``
-  - atomic on HDFS (namenode arbitration) and on POSIX-backed
-  ``file:``; on S3A it is atomic only where the store supports
-  conditional writes (If-None-Match) - otherwise best-effort
-  check-then-create, which is exactly the documented reason Delta on
-  S3 needs a coordination service for multi-writer commits;
+* ``claim_excl`` maps to each filesystem's NATIVE atomic
+  create-if-absent: ``O_CREAT|O_EXCL`` for local paths INCLUDING
+  ``file:``-scheme URIs (Hadoop's RawLocalFileSystem
+  ``create(overwrite=false)`` is check-then-create - a real race two
+  concurrent committers hit, caught by the true-concurrency battery),
+  ``FileSystem.create(overwrite=false)`` on HDFS (namenode-atomic);
+  on S3A it is atomic only where the store supports conditional
+  writes (If-None-Match) - otherwise best-effort check-then-create,
+  which is exactly the documented reason Delta on S3 needs a
+  coordination service for multi-writer commits;
 * ``replace`` maps to ``FileContext.rename(..., Rename.OVERWRITE)``
   - atomic on HDFS and POSIX, copy+delete (non-atomic) on raw S3A;
-* ``pointer_lock`` is a real ``flock`` only on the local fast path;
-  on remote filesystems it is a no-op and the monotonic pointer
-  publish is best-effort (the version LOG, whose claims go through
-  ``claim_excl``, stays the single arbitration authority - readers
-  needing strictness rebase on ``latest_readable_version``).
+* ``pointer_lock`` is a real ``flock`` wherever the root is local
+  (scheme-less and ``file:`` alike); on remote filesystems it is a
+  no-op and the monotonic pointer publish is best-effort (the version
+  LOG, whose claims go through ``claim_excl``, stays the single
+  arbitration authority - readers needing strictness rebase on
+  ``latest_readable_version``).
 """
 
 from __future__ import annotations
@@ -272,19 +277,41 @@ def write_json_atomic(path: str, obj, tmp_prefix: str = "._tmp_") -> None:
     replace(tmp, path)
 
 
+def _local_form(path: str) -> str | None:
+    """The POSIX path of a ``file:``-scheme URI (single- or
+    double-slash form), or None when the path is on a remote scheme."""
+    if not has_scheme(path):
+        return path
+    if path.split(":", 1)[0].lower() != "file":
+        return None
+    from urllib.parse import urlparse
+
+    return urlparse(path).path
+
+
 class ExclClaim:
     """A create-if-absent claim on a manifest path, held open so the
     caller can interleave work (rename the staged snapshot) between the
     CLAIM (the arbitration point) and the CONTENT write - the
     write_version_cas commit order. ``finalize_json`` writes the
-    content, flushes to durable storage and closes."""
+    content, flushes to durable storage and closes.
+
+    The claim maps to each filesystem's NATIVE atomic create-if-absent:
+    O_CREAT|O_EXCL for local paths - INCLUDING ``file:``-scheme URIs,
+    because Hadoop's RawLocalFileSystem.create(overwrite=false) is
+    check-then-create, a real race window two concurrent committers hit
+    (caught by the true-concurrency battery) - and
+    ``FileSystem.create(overwrite=false)`` for remote schemes, where
+    HDFS's namenode arbitrates atomically (see the module docstring
+    for the S3A grade)."""
 
     def __init__(self, path: str):
         self.path = path
         self._fd: int | None = None
         self._jout = None
-        if not has_scheme(path):
-            self._fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        local = _local_form(path)
+        if local is not None:
+            self._fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             return
         _, fs, p = _jfs(path)
         try:
@@ -321,13 +348,17 @@ def claim_excl(path: str) -> ExclClaim:
 @contextmanager
 def pointer_lock(root: str, name: str):
     """Short critical section for the monotonic pointer publish: a real
-    ``flock`` on the local fast path; a documented no-op on remote
-    filesystems (see module docstring - the version log is the
-    arbitration authority there, the pointer is best-effort)."""
-    if not has_scheme(root):
+    ``flock`` wherever the root is local - scheme-less AND
+    ``file:``-scheme URIs (the JVM path offers no lock primitive, and
+    without one two concurrent publishers can regress the pointer) - a
+    documented no-op on remote filesystems (see module docstring: the
+    version log is the arbitration authority there, the pointer is
+    best-effort)."""
+    local = _local_form(root)
+    if local is not None:
         import fcntl
 
-        with open(os.path.join(root, name), "w") as lk:
+        with open(os.path.join(local, name), "w") as lk:
             fcntl.flock(lk, fcntl.LOCK_EX)
             try:
                 yield

@@ -36,10 +36,15 @@ rename, with the atomicity grade of the underlying filesystem (atomic
 on HDFS/POSIX; see fsio's module docstring for the S3A caveat).
 Transaction arbitration comes in two grades (VERDICT r7 #7):
 
-  * `write_version` - LAST WRITER WINS on the version NUMBER only
-    (two racers can never corrupt each other's snapshots, but both
-    may believe they extended the same parent). The single-pipeline
-    ownership contract, the reference's own operating model.
+  * `write_version` - NO parent check (two racers may both believe
+    they extended the same parent; the pointer is last-writer-wins),
+    but each writer gets its OWN dense version number through an
+    internally-retried atomic claim, staging under a scratch dir and
+    renaming in only after the claim - so concurrent writers can
+    never collide on a snapshot directory (the r10 true-concurrency
+    battery caught the old final-name TOCTOU doing exactly that).
+    The single-pipeline ownership contract, the reference's own
+    operating model, now safe under accidental concurrency too.
   * `write_version_cas` - optimistic concurrency: the caller names
     the parent version it built on, and the commit succeeds only if
     it can atomically claim parent+1 (O_CREAT|O_EXCL on the manifest
@@ -51,7 +56,6 @@ Transaction arbitration comes in two grades (VERDICT r7 #7):
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -106,30 +110,54 @@ def list_versions(root: str) -> list[int]:
 
 
 def write_version(df: DataFrame, root: str,
-                  partition_by: list[str] | None = None) -> int:
+                  partition_by: list[str] | None = None,
+                  max_retries: int = 20) -> int:
     """Commit `df` as the next version of the table at `root` and
-    return its number. The snapshot directory is fully written before
-    any manifest exists; the _LATEST swap is one atomic replace."""
+    return its number. The snapshot is FULLY staged under a
+    `._stage_*` scratch dir, then the version number is claimed
+    atomically (create-if-absent on its manifest) and the staged dir
+    renamed to its final `vNNNNNNNN` name - a claim collision just
+    re-reads the log and claims the next number WITHOUT re-staging
+    (no parent check: this is the no-expectation grade; callers that
+    must know their parent use `write_version_cas`). The old shape
+    wrote the snapshot directly at its final name and raced: two
+    concurrent writers computed the same max(log)+1, passed
+    errorifexists together, and interleaved task files in ONE
+    directory - caught by the true-concurrency battery.
+
+    Version numbers come from the MANIFEST LOG, not _LATEST (ADVICE
+    r6): a writer that crashed after landing _versions/vN.json but
+    before the _LATEST swap leaves _LATEST at N-1 while vN exists -
+    the log is the allocation authority; _LATEST is only the readers'
+    pointer. Crash windows mirror write_version_cas: before the claim
+    -> a stage orphan (age-gated vacuum sweep); between claim and
+    content -> a zero-byte manifest (number burned, log allocates
+    past it)."""
+    import uuid
+
     fsio.makedirs(_manifest_dir(root))
-    # Next version from the MANIFEST LOG, not _LATEST (ADVICE r6): a
-    # writer that crashed after landing _versions/vN.json but before
-    # the _LATEST swap leaves _LATEST at N-1 while vN exists - deriving
-    # from _LATEST would recompute v=N and fail forever on
-    # errorifexists. The log is the allocation authority; _LATEST is
-    # only the readers' pointer (a crashed commit's snapshot stays
-    # invisible to `read_version(None)` until the next commit, but its
-    # fully-written dir+manifest remain readable by explicit version).
-    v = max(list_versions(root), default=0) + 1
-    vdir = f"v{v:08d}"
+    stage = os.path.join(root, f"._stage_{uuid.uuid4().hex}")
     w = df.write.mode("errorifexists")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(os.path.join(root, vdir))
-    manifest = {"version": v, "dir": vdir}
-    mpath = os.path.join(_manifest_dir(root), f"{vdir}.json")
-    fsio.write_bytes(mpath, json.dumps(manifest).encode("utf-8"))
-    _publish_latest(root, manifest)
-    return v
+    w.parquet(stage)
+    for _ in range(max_retries):
+        v = max(list_versions(root), default=0) + 1
+        vdir = f"v{v:08d}"
+        mpath = os.path.join(_manifest_dir(root), f"{vdir}.json")
+        try:
+            claim = fsio.claim_excl(mpath)
+        except FileExistsError:
+            continue               # number taken: re-read, re-claim
+        manifest = {"version": v, "dir": vdir}
+        fsio.rename(stage, os.path.join(root, vdir))
+        claim.finalize_json(manifest)
+        _publish_latest(root, manifest)
+        return v
+    fsio.rmtree(stage)
+    raise VersionConflict(
+        f"gave up allocating a version of {root} after {max_retries} "
+        "claim collisions")
 
 
 def _publish_latest(root: str, manifest: dict) -> None:

@@ -214,3 +214,34 @@ def test_vacuum_txn_age_gate_spares_inflight_write_then_pin(spark, root):
     snap = read_txn_snapshot(spark, root)
     assert sorted(r.k for r in snap["orders"].collect()) == [1, 2]
     assert unpinned_table_versions(root) == {}
+
+
+def test_txn_true_concurrency_exactly_n_commits(spark, root):
+    """REAL interleaving for the transaction log: four committers each
+    stage their own per-table version (step 1) then race the txn-number
+    CAS (step 2-3) with the standard re-read-and-retry loop. Exactly
+    four transactions land, each pinning exactly the version its
+    committer staged - no pin set is torn or overwritten - on both
+    filesystem backends."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def committer(i: int) -> tuple[int, int]:
+        ov = write_version(_df(spark, [100 + i]),
+                           os.path.join(root, "orders"))
+        for _ in range(40):
+            head = max(list_txns(root), default=0)
+            try:
+                return commit_txn(root, {"orders": ov}, head), ov
+            except VersionConflict:
+                continue
+        raise AssertionError(f"committer {i} starved after 40 retries")
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(committer, range(4)))
+
+    txns = sorted(t for t, _ in results)
+    assert txns == [1, 2, 3, 4]
+    assert latest_txn(root) == 4
+    for t, ov in results:
+        assert read_txn_manifest(root, t) == {"orders": ov}
+    assert unpinned_table_versions(root) == {}

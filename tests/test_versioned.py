@@ -240,3 +240,45 @@ def test_cas_crashed_claim_burns_number_but_recovers(spark, root):
     # ... and only an aged-out one is swept
     vacuum_versions(root, keep_last=3, stage_retention_sec=0.0)
     assert not fsio.exists(os.path.join(root, "._stage_deadbeef"))
+
+
+def test_cas_true_concurrency_exactly_n_commits(spark, root):
+    """REAL interleaving, not injected: four committers race the CAS
+    retry loop concurrently (threads sharing the session - each stages
+    its own snapshot, claims optimistically, re-reads the head and
+    re-stages on conflict). Exactly four versions must land - dense
+    numbering, no torn or lost commit - and each committer's own rows
+    must be readable at the version it was told it won. Runs on both
+    the os.* O_EXCL arbitration and the Hadoop create(overwrite=false)
+    arbitration via the root parametrization."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        VersionConflict,
+        write_version_cas,
+    )
+
+    def committer(i: int) -> int:
+        df = spark.createDataFrame([(i, f"writer{i}")],
+                                   "k bigint, s string")
+        for _ in range(40):
+            head = max(list_versions(root), default=0)
+            try:
+                return write_version_cas(df, root, expected_version=head)
+            except VersionConflict:
+                continue
+        raise AssertionError(f"committer {i} starved after 40 retries")
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        wins = list(pool.map(committer, range(4)))
+
+    assert sorted(wins) == [1, 2, 3, 4]        # dense, no burns, no loss
+    assert list_versions(root) == [1, 2, 3, 4]
+    assert latest_version(root) == 4
+    for i, v in enumerate(wins):
+        assert [tuple(r) for r in read_version(spark, root, v).collect()] \
+            == [(i, f"writer{i}")]
+    # no stage litter from any conflicted attempt
+    import etl_pipeline_mini_project_01_spark.sources.fsio as fsio_
+    assert not [e for e in fsio_.listdir(root)
+                if e.startswith("._stage_")]
