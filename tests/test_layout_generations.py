@@ -378,3 +378,40 @@ def test_append_after_compaction_keeps_compacted_rows(spark, scheme):
         hits = ivf_probe_pruned(spark, path, qv, cents, NPROBE, 1).collect()
         assert hits and hits[0].vec_id == probe_id
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_generation_rebuilds_true_concurrency(spark):
+    """REAL interleaving for the lock-free swap: three rebuilds race
+    `write_ivf_layout_generation` on one path. Each must land as its
+    own consecutive manifest version (the CAS loop re-claims without
+    re-staging), every version must resolve to exactly ONE complete
+    generation (never a mix - each rebuild writes a disjoint corpus
+    slice, so a mixed read shows a wrong row count), and the latest
+    pointer must name one of the three."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents, dim = kmeans_fit(emb, k=4, iters=1)
+    root = tempfile.mkdtemp(prefix="ivf_genconc_")
+    path = root + "/emb"
+
+    slices = {i: emb.filter(F.col("vec_id") % 3 == i).localCheckpoint()
+              for i in range(3)}
+    counts = {i: slices[i].count() for i in range(3)}
+
+    def rebuild(i: int) -> int:
+        return write_ivf_layout_generation(slices[i], cents, dim, path,
+                                           max_retries=20)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        wins = list(pool.map(rebuild, range(3)))
+
+    assert sorted(wins) == [1, 2, 3]           # dense, no loss
+    for i, v in enumerate(wins):
+        got = read_layout_manifest(spark, path, version=v)
+        assert got.count() == counts[i]        # one whole generation
+        assert (got.select("vec_id")
+                .filter(F.col("vec_id") % 3 != i).count()) == 0
+    latest = read_layout_manifest(spark, path).count()
+    assert latest == counts[wins.index(3)]
+    shutil.rmtree(root, ignore_errors=True)
