@@ -1966,8 +1966,12 @@ def ivf_generation_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1_rows = read_layout_manifest(spark, path, version=v1).count()
     latest = read_layout_manifest(spark, path)
     v2_rows = read_layout_manifest(spark, path, version=v2).count()
-    distinct_ids = latest.select("vec_id").distinct().count()
-    total_rows = latest.count()
+    # One agg job states both latest-read invariants (a listing-based
+    # read would double-count every even id: total != distinct).
+    ltot = latest.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("d")).first()
+    total_rows, distinct_ids = int(ltot["n"]), int(ltot["d"])
     removed = vacuum_layout_generations(path, keep_last=1,
                                         stage_retention_sec=0.0)
     try:
