@@ -84,27 +84,33 @@ def commit_layout_manifest(spark: SparkSession, path: str) -> int:
 
 
 def commit_layout_manifest_incremental(spark: SparkSession, path: str,
-                                        touched: list[int]
+                                        touched: list[int],
+                                        pre_files: dict[int, set[str]],
                                         ) -> int:
     """Delta-append manifest commit (the Delta-log `add`-action shape):
-    merge the PREVIOUS manifest's rows for untouched clusters with a
-    re-listing of ONLY the `touched` cluster directories - an
+    every PREVIOUS manifest row is carried through verbatim, plus one
+    new row per file the append just landed - computed as the diff of
+    each `touched` cluster directory's listing against `pre_files`,
+    the caller's PRE-WRITE snapshot of those same directories. An
     O(|touched|) listing instead of the full-commit O(k), which is the
     difference between a daily delta append paying |delta|-sized work
     and paying index-sized work at k~1e5 lists. Falls back to the full
     listing for manifest-less layouts.
 
-    A touched cluster's previous rows come in two conventions: bare
-    ``cluster=N/...`` files are REDISCOVERED by the re-listing (so the
-    old rows are dropped, not carried, to avoid duplicates), while
-    ``gen=.../cluster=N/...`` rows - present after
-    `compact_layout_generation` migrated an append-origin layout - are
-    NOT visible under the bare directory and are CARRIED THROUGH
-    verbatim (ADVICE r9: dropping them made the first append after a
-    compaction silently unlink every compacted row, which the next
-    vacuum then deleted - data loss; pinned by
-    tests/test_layout_generations.py::test_append_after_compaction_
-    keeps_compacted_rows).
+    Why a pre-write snapshot and not a re-listing: a bare `cluster=N`
+    directory is NOT membership authority - after
+    `compact_layout_generation` migrated the layout to `gen=` files,
+    the pre-compaction sliver files legally linger there until
+    `vacuum_layout_generations` (and a crashed earlier append's files
+    linger forever unreferenced). Adopting everything the listing
+    shows either DUPLICATED every pre-compaction row (compact ->
+    append with no vacuum between: the row existed in the carried
+    `gen=` file AND the re-adopted sliver) or - the ADVICE r9 shape -
+    dropped the `gen=` rows wholesale. The add-action diff names
+    exactly the files THIS append wrote, under either convention, with
+    or without an intervening vacuum; both lifecycles are pinned by
+    tests/test_layout_generations.py (append_after_compaction x
+    {vacuumed, unvacuumed}).
 
     Arbitration grade: write_version - LAST WRITER WINS, the
     single-pipeline ownership contract shared with the append path
@@ -117,18 +123,18 @@ def commit_layout_manifest_incremental(spark: SparkSession, path: str,
     if prev is None:
         return commit_layout_manifest(spark, path)
     tset = set(int(c) for c in touched)
-    rows = [(c, f) for c, fs in sorted(prev.items())
-            if c not in tset for f in fs]
+    rows = [(c, f) for c, fs in sorted(prev.items()) for f in fs]
     for c in sorted(tset):
-        rows.extend((c, f) for f in prev.get(c, ())
-                    if not f.startswith("cluster="))
         cdir = os.path.join(path, f"cluster={c}")
         if not fsio.isdir(cdir):
             continue
+        seen = pre_files.get(c, set())
         rows.extend((c, f"cluster={c}/{f}")
                     for f in sorted(fsio.listdir(cdir))
                     if f.endswith(".parquet")
-                    and not f.startswith(("_", ".")))
+                    and not f.startswith(("_", "."))
+                    and f not in seen)
+    rows.sort()
     import pandas as pd
 
     pdf = pd.DataFrame(rows, columns=["cluster", "file"])
@@ -274,16 +280,28 @@ def append_to_ivf_layout(delta: DataFrame, cents: list[list[float]],
 
     The manifest commit is INCREMENTAL (r9): the touched clusters come
     from one |delta|-sized distinct job, and only those directories are
-    re-listed - the previous manifest's rows carry the rest - so the
+    listed - the previous manifest's rows carry the rest - so the
     daily append never pays the index-sized k-directory listing the
-    full-rewrite commit (rightly) does."""
+    full-rewrite commit (rightly) does. The touched directories are
+    snapshotted BEFORE the parquet write so the commit adopts exactly
+    the files this append landed (the add-action diff; see
+    commit_layout_manifest_incremental for why a bare directory
+    listing is not membership authority)."""
     assigned = (_assign(_scaled(delta, vec_col), cents, dim, kernel)
                 .drop("xi", "xd", "centroid_dist"))
-    routed = assigned.repartition("cluster")
-    routed.write.partitionBy("cluster").mode("append").parquet(path)
     touched = [int(r["cluster"]) for r in
                assigned.select("cluster").distinct().collect()]
-    commit_layout_manifest_incremental(delta.sparkSession, path, touched)
+    pre_files = {}
+    for c in touched:
+        cdir = os.path.join(path, f"cluster={c}")
+        pre_files[c] = ({f for f in fsio.listdir(cdir)
+                         if f.endswith(".parquet")
+                         and not f.startswith(("_", "."))}
+                        if fsio.isdir(cdir) else set())
+    routed = assigned.repartition("cluster")
+    routed.write.partitionBy("cluster").mode("append").parquet(path)
+    commit_layout_manifest_incremental(delta.sparkSession, path, touched,
+                                       pre_files)
 
 
 def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],

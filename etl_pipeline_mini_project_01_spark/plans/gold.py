@@ -139,8 +139,8 @@ def g2_top_performing_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOM-by-construction at 100x. The 1000-row top-k side makes any
     join strategy cheap; AQE broadcasts whichever side is genuinely
     small at runtime. Only the 1-row count relation keeps its hint.
-    Plan-guarded in tests/test_gold.py::
-    test_g2_no_forced_bigside_broadcast."""
+    Plan-guarded in tests/test_plan_properties.py::
+    test_no_forced_bigside_broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     cust = load_table(spark, sf_dir, "customer")
     n_docs = F.broadcast(

@@ -165,11 +165,18 @@ def makedirs(path: str) -> None:
 
 
 def remove(path: str) -> None:
+    """Delete one file; FileNotFoundError when it does not exist, on
+    BOTH backends (``FileSystem.delete`` signals a missing path by
+    returning false rather than raising - swallowing that would make
+    the same racing-vacuum sweep crash locally and succeed remotely,
+    the exact divergence the file://-parametrized batteries exist to
+    exclude)."""
     if not has_scheme(path):
         os.remove(path)
         return
     _, fs, p = _jfs(path)
-    fs.delete(p, False)
+    if not fs.delete(p, False):
+        raise FileNotFoundError(f"remove {path}: no such file")
 
 
 def rmtree(path: str) -> None:
@@ -366,13 +373,3 @@ def pointer_lock(root: str, name: str):
                 fcntl.flock(lk, fcntl.LOCK_UN)
         return
     yield
-
-
-def join(*parts: str) -> str:
-    """Path join that is correct for both POSIX paths and URIs (both
-    use ``/``; os.path.join would also work on Linux, this just states
-    the intent)."""
-    out = parts[0]
-    for p in parts[1:]:
-        out = f"{out.rstrip('/')}/{p}"
-    return out

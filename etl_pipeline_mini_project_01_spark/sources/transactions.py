@@ -226,21 +226,45 @@ def unpinned_table_versions(root: str) -> dict[str, list[int]]:
     return out
 
 
-def vacuum_txns(root: str, keep_last: int = 2) -> list[int]:
+def vacuum_txns(root: str, keep_last: int = 2,
+                claim_retention_sec: float = 24 * 3600.0) -> list[int]:
     """Rotate the TRANSACTION log down to the newest `keep_last`
-    readable manifests (crashed zero-byte claims older than the cut
-    are removed too - their numbers stay burned). The published
-    _LATEST txn is always retained, mirroring vacuum_versions'
-    keep-the-pointer rule. Returns the removed txn numbers. Pins held
-    by removed transactions stop protecting table versions - run
-    :func:`vacuum_txn` afterwards (or instead) to reclaim."""
+    READABLE manifests - readable means finalized content, so a
+    crashed zero-byte claim at the head can never evict a readable
+    txn from the retained window (that would both break its time
+    travel and let :func:`vacuum_txn` delete the table versions it
+    pins). The published _LATEST txn is always retained, mirroring
+    vacuum_versions' keep-the-pointer rule.
+
+    Zero-byte claims outside the kept set are crash debris ONLY once
+    they are old: a fresh claim is indistinguishable from an IN-FLIGHT
+    committer between its O_EXCL win and its finalize, and removing it
+    would let a rival claim the same number - split brain. They are
+    swept only when older than `claim_retention_sec` by mtime (the
+    same presumed-dead rule as versioned.py's stage dirs; 0.0
+    force-sweeps under single-owner maintenance). Returns the removed
+    txn numbers. Pins held by removed transactions stop protecting
+    table versions - run :func:`vacuum_txn` afterwards (or instead)
+    to reclaim."""
+    import time
+
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     txns = list_txns(root)
-    keep = set(txns[-keep_last:]) | {latest_txn(root)}
-    drop = [t for t in txns if t not in keep]
-    for t in drop:
-        fsio.remove(_tpath(root, t))
+    readable = [t for t in txns
+                if fsio.getsize(_tpath(root, t)) > 0]
+    keep = set(readable[-keep_last:]) | {latest_txn(root)}
+    now = time.time()
+    drop: list[int] = []
+    for t in txns:
+        if t in keep:
+            continue
+        p = _tpath(root, t)
+        if (fsio.getsize(p) == 0
+                and now - fsio.getmtime(p) < claim_retention_sec):
+            continue                       # possibly in-flight claim
+        fsio.remove(p)
+        drop.append(t)
     return drop
 
 
@@ -273,7 +297,8 @@ def vacuum_txn(root: str, keep_last_txns: int = 2,
 
     from .versioned import latest_readable_version, latest_version
 
-    vacuum_txns(root, keep_last=keep_last_txns)
+    vacuum_txns(root, keep_last=keep_last_txns,
+                claim_retention_sec=stage_retention_sec)
     pinned = _pinned_versions(root)
     removed: dict[str, list[int]] = {}
     now = time.time()
@@ -294,4 +319,15 @@ def vacuum_txn(root: str, keep_last_txns: int = 2,
             gone.append(v)
         if gone:
             removed[name] = sorted(gone)
+        # crash-at-staging debris: a committer that died during its
+        # parquet write leaves a `._stage_*` dir with no manifest -
+        # invisible to the version loop above, and per-table
+        # vacuum_versions is FORBIDDEN on txn roots (it could delete a
+        # pinned version), so this is the only reclamation path such
+        # debris has. Same age gate as versioned.py: a fresh stage dir
+        # may be a live committer's.
+        for e in fsio.scandir(troot):
+            if (e.name.startswith("._stage_") and e.is_dir
+                    and now - e.mtime >= stage_retention_sec):
+                fsio.rmtree(os.path.join(troot, e.name))
     return removed

@@ -277,16 +277,39 @@ def vacuum_versions(root: str, keep_last: int = 2,
     a crashed commit the log can be AHEAD of _LATEST (vN.json exists,
     _LATEST still at N-1), and keeping only the log tail would delete
     the snapshot readers resolve - the exact wedge the keep_last>=1
-    guard exists to prevent."""
+    guard exists to prevent.
+
+    `keep_last` counts READABLE versions: a crashed zero-byte claim
+    can never consume a retention slot and evict a readable snapshot.
+    Zero-byte claims outside the kept set are themselves age-gated by
+    `stage_retention_sec` (a fresh one may be an IN-FLIGHT CAS
+    committer between its claim and its finalize; removing it would
+    let a rival claim the same number). A swept crashed claim's
+    number MAY be re-allocated when no later version exists - safe,
+    because the number never published content and the age gate says
+    no live claimant holds it."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     versions = list_versions(root)
-    keep = set(versions[-keep_last:]) | {latest_version(root)}
-    drop = [v for v in versions if v not in keep]
-    for v in drop:
+    readable = [v for v in versions
+                if fsio.getsize(
+                    os.path.join(_manifest_dir(root), f"v{v:08d}.json")) > 0]
+    keep = set(readable[-keep_last:]) | {latest_version(root)}
+    import time as _time
+
+    _now = _time.time()
+    drop = []
+    for v in versions:
+        if v in keep:
+            continue
         vdir = f"v{v:08d}"
-        fsio.remove(os.path.join(_manifest_dir(root), f"{vdir}.json"))
+        mp = os.path.join(_manifest_dir(root), f"{vdir}.json")
+        if (fsio.getsize(mp) == 0
+                and _now - fsio.getmtime(mp) < stage_retention_sec):
+            continue                       # possibly in-flight claim
+        fsio.remove(mp)
         fsio.rmtree(os.path.join(root, vdir))
+        drop.append(v)
     kept = ({f"v{v:08d}" for v in list_versions(root)}
             | {f"v{latest_version(root):08d}"})
     import time

@@ -101,3 +101,12 @@ def test_rmtree_and_remove(root):
     fsio.rmtree(d)
     assert not fsio.exists(d)
     fsio.rmtree(d)                         # ignore-errors semantics
+
+
+def test_remove_missing_raises_on_both_backends(root):
+    """fsio.remove must signal a missing file identically on the os.*
+    and Hadoop paths (FileSystem.delete returns false instead of
+    raising); a silent remote no-op would make a racing vacuum sweep
+    crash locally and succeed remotely."""
+    with pytest.raises(FileNotFoundError):
+        fsio.remove(os.path.join(root, "never_existed"))

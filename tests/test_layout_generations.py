@@ -325,7 +325,8 @@ def test_append_after_compaction_keeps_compacted_rows(spark, scheme):
     touched cluster's rows by listing only the bare cluster=N
     directory, discarding the previous manifest's gen= rows for that
     cluster, so every pre-compaction row became unreadable (and then
-    vacuumable). Now gen=-qualified rows are carried through: after
+    vacuumable). Now every previous manifest row is carried through
+    verbatim and the commit adopts only the add-action diff: after
     the second append EVERY row (compacted + both appends) resolves
     through the manifest, across vacuums. Runs on a scheme-less root
     and the file:// JVM path alike."""
@@ -377,6 +378,42 @@ def test_append_after_compaction_keeps_compacted_rows(spark, scheme):
               .first()[0]]
         hits = ivf_probe_pruned(spark, path, qv, cents, NPROBE, 1).collect()
         assert hits and hits[0].vec_id == probe_id
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_append_after_compaction_without_vacuum_no_duplicates(spark):
+    """write -> append -> compact -> APPEND with NO vacuum in between
+    (legal: compaction's docstring says the bare dirs stay until
+    vacuum_layout_generations). The pre-compaction sliver files still
+    sit in the bare cluster=N directories, already migrated into the
+    gen= files the manifest carries - an incremental commit that
+    re-adopted everything a touched directory lists would name BOTH
+    copies and the manifest read would double-count every
+    pre-compaction row. The add-action diff (pre-write snapshot of the
+    touched dirs) must adopt exactly the second append's files."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        append_to_ivf_layout,
+        compact_layout_generation,
+        write_ivf_layout,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents, dim = kmeans_fit(emb, k=K, iters=1)
+    root = tempfile.mkdtemp(prefix="ivf_apc_nv_")
+    path = root + "/emb"
+
+    write_ivf_layout(emb.filter("vec_id % 4 = 0"), cents, dim, path)
+    append_to_ivf_layout(emb.filter("vec_id % 4 = 1"), cents, dim, path)
+    compact_layout_generation(spark, path)
+    # NO vacuum: the bare sliver dirs still hold the migrated rows
+    append_to_ivf_layout(emb.filter("vec_id % 4 = 2"), cents, dim, path)
+
+    got = sorted(r.vec_id for r in read_layout_manifest(spark, path)
+                 .select("vec_id").collect())
+    want = sorted(r.vec_id for r in
+                  emb.filter("vec_id % 4 in (0, 1, 2)")
+                  .select("vec_id").collect())
+    assert got == want          # each row exactly once: no dup, no drop
     shutil.rmtree(root, ignore_errors=True)
 
 

@@ -245,3 +245,62 @@ def test_txn_true_concurrency_exactly_n_commits(spark, root):
     for t, ov in results:
         assert read_txn_manifest(root, t) == {"orders": ov}
     assert unpinned_table_versions(root) == {}
+
+
+def test_vacuum_txns_crashed_claim_cannot_evict_readable(spark, root):
+    """`keep_last` counts READABLE txns: a zero-byte crashed claim at
+    the head of the log must not consume a retention slot - otherwise
+    vacuum_txn(keep_last_txns=2) would rotate out a readable txn and
+    reclaim the data it pins (a time-travel break triggered by any
+    committer that crashed mid-claim)."""
+    from etl_pipeline_mini_project_01_spark.sources.transactions import (
+        vacuum_txn,
+    )
+
+    t1 = _commit_pair(spark, root, [1], [10], 0)
+    t2 = _commit_pair(spark, root, [1, 2], [10, 20], t1)
+    # a committer that crashed between its O_EXCL claim and finalize
+    fsio.write_bytes(os.path.join(root, "_txns", "t00000003.json"), b"")
+
+    removed = vacuum_txn(root, keep_last_txns=2, stage_retention_sec=0.0)
+    assert removed == {}                      # t1 and t2 both retained
+    assert list_txns(root) == [1, 2]          # aged-out claim swept
+    old = read_txn_snapshot(spark, root, txn=t1)
+    assert sorted(r.k for r in old["orders"].collect()) == [1]
+    assert sorted(r.k for r in old["items"].collect()) == [10]
+
+
+def test_vacuum_txns_age_gate_spares_fresh_claim(spark, root):
+    """A FRESH zero-byte claim is indistinguishable from an in-flight
+    committer between its O_EXCL win and its finalize; sweeping it
+    would let a rival claim the same txn number (split brain). The
+    default retention must leave it alone."""
+    from etl_pipeline_mini_project_01_spark.sources.transactions import (
+        vacuum_txn,
+    )
+
+    t1 = _commit_pair(spark, root, [1], [10], 0)
+    _commit_pair(spark, root, [1, 2], [10, 20], t1)
+    fsio.write_bytes(os.path.join(root, "_txns", "t00000003.json"), b"")
+
+    vacuum_txn(root, keep_last_txns=2)        # default retention
+    assert list_txns(root) == [1, 2, 3]       # the claim survived
+
+
+def test_vacuum_txn_sweeps_aged_stage_debris(spark, root):
+    """Crash-at-staging debris under a txn-root table (a `._stage_*`
+    dir with no manifest) has exactly one reclamation path - vacuum_txn
+    (per-table vacuum_versions is forbidden on txn roots). Fresh
+    debris is spared by the age gate; a force-sweep removes it."""
+    from etl_pipeline_mini_project_01_spark.sources.transactions import (
+        vacuum_txn,
+    )
+
+    _commit_pair(spark, root, [1], [10], 0)
+    debris = os.path.join(root, "orders", "._stage_deadbeef")
+    fsio.makedirs(debris)
+
+    vacuum_txn(root, keep_last_txns=2)        # default retention
+    assert fsio.exists(debris)                # possibly a live committer
+    vacuum_txn(root, keep_last_txns=2, stage_retention_sec=0.0)
+    assert not fsio.exists(debris)

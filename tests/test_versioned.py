@@ -282,3 +282,30 @@ def test_cas_true_concurrency_exactly_n_commits(spark, root):
     import etl_pipeline_mini_project_01_spark.sources.fsio as fsio_
     assert not [e for e in fsio_.listdir(root)
                 if e.startswith("._stage_")]
+
+
+def test_vacuum_keep_last_counts_readable_versions(spark, root):
+    """A zero-byte crashed claim must not consume a `keep_last` slot:
+    with [v1 readable, v2 readable, v3 crashed claim], keep_last=2
+    retains BOTH readable snapshots and sweeps only the aged-out
+    claim (whose number may then be re-allocated - it never published
+    content)."""
+    write_version(spark.createDataFrame([(1,)], "k bigint"), root)
+    write_version(spark.createDataFrame([(2,)], "k bigint"), root)
+    fsio.write_bytes(os.path.join(root, "_versions", "v00000003.json"), b"")
+
+    removed = vacuum_versions(root, keep_last=2, stage_retention_sec=0.0)
+    assert removed == [3]
+    assert sorted(r.k for r in read_version(spark, root, 1).collect()) == [1]
+    assert sorted(r.k for r in read_version(spark, root, 2).collect()) == [2]
+
+
+def test_vacuum_age_gate_spares_fresh_crashed_claim(spark, root):
+    """A fresh zero-byte claim may be an IN-FLIGHT CAS committer
+    between its claim and its finalize; removing it would let a rival
+    claim the same number. Default retention leaves it alone."""
+    write_version(spark.createDataFrame([(1,)], "k bigint"), root)
+    fsio.write_bytes(os.path.join(root, "_versions", "v00000002.json"), b"")
+
+    assert vacuum_versions(root, keep_last=1) == []
+    assert fsio.exists(os.path.join(root, "_versions", "v00000002.json"))
