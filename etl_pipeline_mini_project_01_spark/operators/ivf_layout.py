@@ -44,6 +44,39 @@ from .kmeans import _assign, _scaled
 MANIFEST_SUBDIR = "_index"
 
 
+def _manifest_rows(gen_dir: str, prefix: str) -> list[tuple[int, str]]:
+    """(cluster, relative-file) rows for every data file under a
+    `cluster=N`-partitioned tree (shared by the full-listing commit
+    and the generation commit; `prefix` qualifies the relative paths,
+    '' for a bare layout root)."""
+    rows: list[tuple[int, str]] = []
+    for entry in sorted(fsio.listdir(gen_dir)):
+        if not entry.startswith("cluster="):
+            continue
+        c = int(entry.split("=", 1)[1])
+        cdir = os.path.join(gen_dir, entry)
+        rel = f"{prefix}{entry}"
+        rows.extend((c, f"{rel}/{f}")
+                    for f in sorted(fsio.listdir(cdir))
+                    if f.endswith(".parquet")
+                    and not f.startswith(("_", ".")))
+    return rows
+
+
+def _manifest_df(spark: SparkSession, rows: list[tuple[int, str]]):
+    """(cluster, file) rows as a one-file Spark frame via pandas ->
+    Arrow ingestion: the tuple-list createDataFrame path plans a
+    Python-RDD scan whose single job measured 5-8 s regardless of row
+    count (python worker round-trip), vs ~0.4 s through Arrow."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["cluster", "file"])
+    if not rows:
+        pdf = pdf.astype({"cluster": "int32", "file": "object"})
+    return (spark.createDataFrame(pdf, schema="cluster int, file string")
+            .coalesce(1))
+
+
 def commit_layout_manifest(spark: SparkSession, path: str) -> int:
     """List the layout ONCE at write time and commit its cluster->file
     manifest as the next version of the versioned table at
@@ -62,24 +95,7 @@ def commit_layout_manifest(spark: SparkSession, path: str) -> int:
     order as the k x dim centroid model)."""
     from ..sources.versioned import write_version
 
-    rows = []
-    for entry in sorted(fsio.listdir(path)):
-        if not entry.startswith("cluster="):
-            continue
-        c = int(entry.split("=", 1)[1])
-        cdir = os.path.join(path, entry)
-        rows.extend((c, f"{entry}/{f}") for f in sorted(fsio.listdir(cdir))
-                    if f.endswith(".parquet") and not f.startswith(("_", ".")))
-    import pandas as pd
-
-    # pandas -> Arrow ingestion: the tuple-list path plans through a
-    # Python-RDD scan whose single write job measured 5-8 s regardless
-    # of row count (python worker round-trip), vs ~0.4 s via Arrow.
-    pdf = pd.DataFrame(rows, columns=["cluster", "file"])
-    if not rows:
-        pdf = pdf.astype({"cluster": "int32", "file": "object"})
-    mdf = spark.createDataFrame(pdf, schema="cluster int, file string")
-    return write_version(mdf.coalesce(1),
+    return write_version(_manifest_df(spark, _manifest_rows(path, "")),
                          os.path.join(path, MANIFEST_SUBDIR))
 
 
@@ -135,13 +151,7 @@ def commit_layout_manifest_incremental(spark: SparkSession, path: str,
                     and not f.startswith(("_", "."))
                     and f not in seen)
     rows.sort()
-    import pandas as pd
-
-    pdf = pd.DataFrame(rows, columns=["cluster", "file"])
-    if not rows:
-        pdf = pdf.astype({"cluster": "int32", "file": "object"})
-    mdf = spark.createDataFrame(pdf, schema="cluster int, file string")
-    return write_version(mdf.coalesce(1),
+    return write_version(_manifest_df(spark, rows),
                          os.path.join(path, MANIFEST_SUBDIR))
 
 
@@ -358,41 +368,71 @@ def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],
 
 
 def commit_generation_manifest(spark: SparkSession, path: str, gen: str,
-                               max_retries: int = 5) -> int:
+                               max_retries: int = 5,
+                               reconcile_base: int | None = None) -> int:
     """Shared generation-commit tail (float and PQ generation writers
     differ only in what they stage): list the fully-staged `gen=.../
     cluster=N` tree once, then CAS-claim the next manifest version
-    naming exactly its files - the optimistic loop re-claims on
-    conflict without re-staging (a generation rebases on nothing).
-    Returns the committed version; on retry exhaustion the staged tree
-    remains for vacuum_layout_generations to reclaim after the
-    retention window."""
-    from ..sources.versioned import (VersionConflict, list_versions,
-                                     write_version_cas)
+    naming exactly its files.
 
-    stage = os.path.join(path, gen)
-    import pandas as pd
+    `reconcile_base=None` is REBUILD semantics: the optimistic loop
+    re-claims on conflict without looking at the rival's content - a
+    generation replaces the whole index and rebases on nothing, so a
+    concurrently landed manifest is legitimately superseded.
 
-    rows = []
-    for entry in sorted(fsio.listdir(stage)):
-        if not entry.startswith("cluster="):
-            continue
-        c = int(entry.split("=", 1)[1])
-        cdir = os.path.join(stage, entry)
-        rows.extend((c, f"{gen}/{entry}/{f}")
-                    for f in sorted(fsio.listdir(cdir))
-                    if f.endswith(".parquet")
-                    and not f.startswith(("_", ".")))
-    pdf = pd.DataFrame(rows, columns=["cluster", "file"])
-    if not rows:
-        pdf = pdf.astype({"cluster": "int32", "file": "object"})
-    mdf = (spark.createDataFrame(pdf, schema="cluster int, file string")
-           .coalesce(1))
+    `reconcile_base=v` is COMPACTION semantics (the staged tree is a
+    REWRITE of manifest v's content, not new truth): the CAS number
+    alone would serialize version numbers but silently drop any rows
+    a concurrent APPEND committed after v - the classic lost update.
+    On conflict the loop re-reads the head manifest and reconciles:
+    if the head's rows are a superset of v's (appends only), the
+    added rows are carried into the commit alongside the compacted
+    files and the base advances; anything else (a rival rebuild or
+    compaction replaced content) aborts with VersionConflict - the
+    staged tree is stale wholesale and the caller re-runs against the
+    new truth.
+
+    Returns the committed version; on retry exhaustion or a superseded
+    base the staged tree remains for vacuum_layout_generations to
+    reclaim after the retention window."""
+    from ..sources.versioned import (VersionConflict,
+                                     latest_readable_version,
+                                     list_versions, write_version_cas)
+
+    rows = _manifest_rows(os.path.join(path, gen), f"{gen}/")
     mroot = os.path.join(path, MANIFEST_SUBDIR)
+    base_set: set[tuple[int, str]] | None = None
+    extra: list[tuple[int, str]] = []
     for _ in range(max_retries):
         head = max(list_versions(mroot), default=0)
+        if reconcile_base is not None and head != reconcile_base:
+            # The diff is always taken against the ORIGINAL base (the
+            # manifest the staged tree rewrote) - advancing the base
+            # across retries would drop rows carried on an earlier
+            # pass, and the head number itself may be an unreadable
+            # crashed claim.
+            if base_set is None:
+                base_mf = manifest_clusters(path, reconcile_base) or {}
+                base_set = {(c, f) for c, fs in base_mf.items()
+                            for f in fs}
+            head_readable = latest_readable_version(mroot)
+            head_mf = (manifest_clusters(path, head_readable)
+                       if head_readable else {}) or {}
+            head_set = {(c, f) for c, fs in head_mf.items() for f in fs}
+            if not base_set <= head_set:
+                raise VersionConflict(
+                    f"compaction of manifest v{reconcile_base} of "
+                    f"{path} was superseded: manifest "
+                    f"v{head_readable} is not an append extension of "
+                    "the base (a rival rebuild or compaction replaced "
+                    "the content) - re-run against the new truth (the "
+                    "staged tree remains; vacuum_layout_generations "
+                    "reclaims it)")
+            extra = sorted(head_set - base_set)
         try:
-            return write_version_cas(mdf, mroot, expected_version=head)
+            return write_version_cas(
+                _manifest_df(spark, sorted(rows + extra)),
+                mroot, expected_version=head)
         except VersionConflict:
             continue
     raise VersionConflict(
@@ -413,9 +453,14 @@ def compact_layout_generation(spark: SparkSession, path: str,
     list is N reads of parquet footers instead of one sequential
     scan). No re-assignment runs - the stored cluster id IS the
     routing key - so the cost is one read + one cluster-routed write
-    of the live rows, and the commit is the same CAS manifest swap as
-    a model rebuild: probes never observe a half-compacted index,
-    pinned probes keep the pre-compaction generation until vacuum.
+    of the live rows, and the commit is the CAS manifest swap in
+    RECONCILE mode: the rewrite pins its base manifest version, and a
+    concurrent append that lands mid-rewrite has its added files
+    carried into the compacted commit instead of silently vanishing
+    (a rival rebuild aborts the compaction with VersionConflict - its
+    content is the new truth). Probes never observe a half-compacted
+    index; pinned probes keep the pre-compaction generation until
+    vacuum.
     Works on both layout conventions (an append-origin layout's first
     compaction migrates it to the generation convention; its old bare
     `cluster=` directories stay until `vacuum_layout_generations`,
@@ -423,7 +468,11 @@ def compact_layout_generation(spark: SparkSession, path: str,
     gen= trees). Returns the committed manifest version."""
     import uuid as _uuid
 
-    lay = read_layout_manifest(spark, path)
+    from ..sources.versioned import latest_readable_version
+
+    base_v = latest_readable_version(os.path.join(path, MANIFEST_SUBDIR))
+    lay = read_layout_manifest(spark, path,
+                               version=base_v if base_v else None)
     if "gen" in lay.columns:
         lay = lay.drop("gen")
     if files_per_cluster < 1:
@@ -438,7 +487,8 @@ def compact_layout_generation(spark: SparkSession, path: str,
     gen = f"gen={_uuid.uuid4().hex[:12]}"
     stage = os.path.join(path, gen)
     routed.write.partitionBy("cluster").mode("errorifexists").parquet(stage)
-    return commit_generation_manifest(spark, path, gen, max_retries)
+    return commit_generation_manifest(spark, path, gen, max_retries,
+                                      reconcile_base=base_v)
 
 
 def read_layout_manifest(spark: SparkSession, path: str,
@@ -681,12 +731,15 @@ def _read_probed_dirs(spark: SparkSession, path: str,
     other generations must never enter the file index."""
     if version is not None:
         return read_layout_manifest(spark, path, version, literal_probes)
+    if literal_probes is not None and manifest_clusters(path) is not None:
+        # probed files from the manifest; empty probed unions - zero
+        # queries included - fall back to ALL manifest files (never a
+        # directory listing: on a mixed-convention or generation
+        # layout that would collide partition shapes or union
+        # generations; downstream candidate joins keep the zero-query
+        # result empty)
+        return read_layout_manifest(spark, path, None, literal_probes)
     if literal_probes:
-        if manifest_clusters(path) is not None:
-            # probed files from the manifest; empty probed unions fall
-            # back to ALL manifest files (never a directory listing -
-            # on a generation layout that would mix generations)
-            return read_layout_manifest(spark, path, None, literal_probes)
         dirs = [os.path.join(path, f"cluster={c}")
                 for c in literal_probes]
         dirs = [d for d in dirs if fsio.isdir(d)]

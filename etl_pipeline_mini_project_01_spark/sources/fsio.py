@@ -118,18 +118,33 @@ def isdir(path: str) -> bool:
     return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
 
 
+def _fnf_mapped(path: str, call):
+    """Run a JVM FileSystem call, mapping Java FileNotFoundException to
+    Python FileNotFoundError - so callers' `except FileNotFoundError`
+    handlers (racing-vacuum tolerance throughout the storage layer)
+    behave identically on both backends instead of seeing a raw
+    Py4JJavaError remotely."""
+    try:
+        return call()
+    except Exception as exc:                      # noqa: BLE001
+        if _is_java_exc(exc, "FileNotFoundException"):
+            raise FileNotFoundError(path) from None
+        raise
+
+
 def getsize(path: str) -> int:
     if not has_scheme(path):
         return os.path.getsize(path)
     _, fs, p = _jfs(path)
-    return int(fs.getFileStatus(p).getLen())
+    return int(_fnf_mapped(path, lambda: fs.getFileStatus(p)).getLen())
 
 
 def getmtime(path: str) -> float:
     if not has_scheme(path):
         return os.path.getmtime(path)
     _, fs, p = _jfs(path)
-    return fs.getFileStatus(p).getModificationTime() / 1000.0
+    st = _fnf_mapped(path, lambda: fs.getFileStatus(p))
+    return st.getModificationTime() / 1000.0
 
 
 def listdir(path: str) -> list[str]:
@@ -137,23 +152,32 @@ def listdir(path: str) -> list[str]:
     if not has_scheme(path):
         return os.listdir(path)
     _, fs, p = _jfs(path)
-    return [st.getPath().getName() for st in fs.listStatus(p)]
+    return [st.getPath().getName()
+            for st in _fnf_mapped(path, lambda: fs.listStatus(p))]
 
 
 def scandir(path: str) -> list[Entry]:
     """Child entries with the metadata vacuum sweeps need - ONE listing
-    RPC on remote filesystems instead of a stat per child."""
+    RPC on remote filesystems instead of a stat per child. An entry
+    that vanishes between the readdir and its stat (a concurrent
+    vacuum's remove, or a CAS commit's stage->vNNN rename) is SKIPPED,
+    not raised: every caller is a sweep that treats a vanished entry
+    as already-handled, and Hadoop's listStatus batches the stat into
+    the listing so the remote path never sees the window at all."""
     if not has_scheme(path):
         out = []
         for de in os.scandir(path):
-            st = de.stat(follow_symlinks=False)
-            out.append(Entry(de.name, de.is_dir(follow_symlinks=False),
-                             st.st_mtime, st.st_size))
+            try:
+                st = de.stat(follow_symlinks=False)
+                is_dir = de.is_dir(follow_symlinks=False)
+            except FileNotFoundError:
+                continue                        # vanished mid-listing
+            out.append(Entry(de.name, is_dir, st.st_mtime, st.st_size))
         return out
     _, fs, p = _jfs(path)
     return [Entry(st.getPath().getName(), bool(st.isDirectory()),
                   st.getModificationTime() / 1000.0, int(st.getLen()))
-            for st in fs.listStatus(p)]
+            for st in _fnf_mapped(path, lambda: fs.listStatus(p))]
 
 
 def makedirs(path: str) -> None:
@@ -267,14 +291,22 @@ def write_bytes(path: str, data: bytes, overwrite: bool = True) -> None:
 
 
 def write_json_atomic(path: str, obj, tmp_prefix: str = "._tmp_") -> None:
-    """Write JSON so readers never observe a partial file: stage under a
-    unique sibling name, then overwrite-rename into place."""
+    """Write JSON so readers never observe a partial file: stage under
+    a unique sibling name, fsync the content, then overwrite-rename
+    into place. The fsync matters: rename-without-fsync on a
+    delayed-allocation filesystem can surface a ZERO-LENGTH pointer
+    after power loss - which no reader treats as recoverable (a
+    missing _LATEST means "version 0", an empty one is a JSON parse
+    error) - the same crash class ExclClaim.finalize_json fsyncs
+    manifest content for."""
     payload = json.dumps(obj).encode("utf-8")
     parent, _ = path.rsplit("/", 1) if "/" in path else (".", path)
     if not has_scheme(path):
         fd, tmp = tempfile.mkstemp(dir=parent, prefix=tmp_prefix)
         with os.fdopen(fd, "wb") as fh:
             fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, path)
         return
     import uuid

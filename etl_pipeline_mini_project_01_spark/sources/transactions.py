@@ -115,7 +115,19 @@ def commit_txn(root: str, tables: dict[str, int],
     :class:`VersionConflict`. The pin set is validated against each
     table's own manifest log - pinning a version that does not exist
     (or a crashed per-table claim) is a caller bug surfaced HERE, not
-    at some future read."""
+    at some future read.
+
+    Retention contract vs a CONCURRENT `vacuum_txn`: a version older
+    than the vacuum's retention window and pinned by no retained txn
+    is fair game for reclamation, and this commit's validation cannot
+    atomically extend protection over it (the check and the sweep are
+    not one filesystem operation - the same reason Delta documents
+    "do not time-travel past the retention period"). Fresh versions -
+    the write-then-pin fast path - are inside the age gate and safe.
+    For the old-version case the pins are RE-VALIDATED after the
+    manifest lands: a commit that raced a vacuum fails loudly with
+    RuntimeError here, instead of surfacing as a FileNotFoundError in
+    some future reader's time travel."""
     for name, v in tables.items():
         mp = os.path.join(root, name, "_versions", f"v{v:08d}.json")
         if not fsio.exists(mp) or fsio.getsize(mp) == 0:
@@ -138,6 +150,24 @@ def commit_txn(root: str, tables: dict[str, int],
     manifest = {"txn": t, "tables": {n: int(v) for n, v in tables.items()}}
     claim.finalize_json(manifest)
     _publish_latest_txn(root, manifest)
+    # Post-publish re-validation (see the retention contract above): a
+    # vacuum that snapshotted its pin set before this txn landed may
+    # have reclaimed an OLD version this txn pins. Once the manifest is
+    # published the vacuum's _pinned_versions sees it, so a version
+    # that is still readable HERE is protected from then on.
+    for name, v in tables.items():
+        mp = os.path.join(root, name, "_versions", f"v{v:08d}.json")
+        try:
+            ok = fsio.getsize(mp) > 0
+        except FileNotFoundError:
+            ok = False
+        if not ok:
+            raise RuntimeError(
+                f"transaction {t} of {root} pinned {name}@v{v} but a "
+                "concurrent vacuum reclaimed that version before the "
+                "pin published - the txn is not servable; re-stage the "
+                "table and commit a new transaction (see the retention "
+                "contract in commit_txn's docstring)")
     return t
 
 
@@ -251,8 +281,13 @@ def vacuum_txns(root: str, keep_last: int = 2,
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     txns = list_txns(root)
-    readable = [t for t in txns
-                if fsio.getsize(_tpath(root, t)) > 0]
+
+    def _tsize(t: int) -> int:
+        try:
+            return fsio.getsize(_tpath(root, t))
+        except FileNotFoundError:
+            return -1                      # rival vacuum removed it
+    readable = [t for t in txns if _tsize(t) > 0]
     keep = set(readable[-keep_last:]) | {latest_txn(root)}
     now = time.time()
     drop: list[int] = []
@@ -260,10 +295,13 @@ def vacuum_txns(root: str, keep_last: int = 2,
         if t in keep:
             continue
         p = _tpath(root, t)
-        if (fsio.getsize(p) == 0
-                and now - fsio.getmtime(p) < claim_retention_sec):
-            continue                       # possibly in-flight claim
-        fsio.remove(p)
+        try:
+            if (fsio.getsize(p) == 0
+                    and now - fsio.getmtime(p) < claim_retention_sec):
+                continue                   # possibly in-flight claim
+            fsio.remove(p)
+        except FileNotFoundError:
+            continue                       # a rival vacuum got it first
         drop.append(t)
     return drop
 
@@ -314,7 +352,10 @@ def vacuum_txn(root: str, keep_last_txns: int = 2,
             v = int(e.name[1:-5])
             if v in keep or now - e.mtime < stage_retention_sec:
                 continue
-            fsio.remove(os.path.join(mdir, e.name))
+            try:
+                fsio.remove(os.path.join(mdir, e.name))
+            except FileNotFoundError:
+                continue                   # a rival vacuum got it first
             fsio.rmtree(os.path.join(troot, f"v{v:08d}"))
             gone.append(v)
         if gone:

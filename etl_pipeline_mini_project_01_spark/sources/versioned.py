@@ -95,8 +95,11 @@ def latest_readable_version(root: str) -> int:
     silently dropped from every future snapshot."""
     d = _manifest_dir(root)
     for v in reversed(list_versions(root)):
-        if fsio.getsize(os.path.join(d, f"v{v:08d}.json")) > 0:
-            return v
+        try:
+            if fsio.getsize(os.path.join(d, f"v{v:08d}.json")) > 0:
+                return v
+        except FileNotFoundError:
+            continue                   # vacuumed between list and stat
     return 0
 
 
@@ -291,9 +294,14 @@ def vacuum_versions(root: str, keep_last: int = 2,
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     versions = list_versions(root)
-    readable = [v for v in versions
-                if fsio.getsize(
-                    os.path.join(_manifest_dir(root), f"v{v:08d}.json")) > 0]
+
+    def _msize(v: int) -> int:
+        try:
+            return fsio.getsize(
+                os.path.join(_manifest_dir(root), f"v{v:08d}.json"))
+        except FileNotFoundError:
+            return -1                      # rival vacuum removed it
+    readable = [v for v in versions if _msize(v) > 0]
     keep = set(readable[-keep_last:]) | {latest_version(root)}
     import time as _time
 
@@ -304,20 +312,31 @@ def vacuum_versions(root: str, keep_last: int = 2,
             continue
         vdir = f"v{v:08d}"
         mp = os.path.join(_manifest_dir(root), f"{vdir}.json")
-        if (fsio.getsize(mp) == 0
-                and _now - fsio.getmtime(mp) < stage_retention_sec):
-            continue                       # possibly in-flight claim
-        fsio.remove(mp)
+        try:
+            if (fsio.getsize(mp) == 0
+                    and _now - fsio.getmtime(mp) < stage_retention_sec):
+                continue                   # possibly in-flight claim
+            fsio.remove(mp)
+        except FileNotFoundError:
+            continue                       # a rival vacuum got it first
         fsio.rmtree(os.path.join(root, vdir))
         drop.append(v)
-    kept = ({f"v{v:08d}" for v in list_versions(root)}
-            | {f"v{latest_version(root):08d}"})
     import time
 
     for entry in fsio.scandir(root):
         full = os.path.join(root, entry.name)
-        if (entry.name.startswith("v") and entry.name not in kept
-                and entry.is_dir and entry.name[1:].isdigit()):
+        if (entry.name.startswith("v") and entry.is_dir
+                and entry.name[1:].isdigit()):
+            # Orphan snapshot dirs (crash-mid-vacuum debris: manifest
+            # removed, dir survived). Ownership is re-checked at SWEEP
+            # time against the manifest file itself - a commit claims
+            # its manifest BEFORE the stage->vNNN rename, so a dir
+            # whose manifest exists (any size) is a live commit; a
+            # pre-computed kept set would go stale against exactly
+            # that race and rmtree a just-committed snapshot.
+            if fsio.exists(os.path.join(_manifest_dir(root),
+                                        f"{entry.name}.json")):
+                continue
             fsio.rmtree(full)
         elif entry.name.startswith("._stage_") and entry.is_dir:
             # crashed CAS commits stage here before claiming a version;

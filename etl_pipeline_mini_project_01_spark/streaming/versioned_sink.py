@@ -100,4 +100,11 @@ def run_to_versioned_sink(result: DataFrame, root: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    if latest_readable_version(root) == 0:
+        # A source with no pending data (or all-empty micro-batches)
+        # commits nothing - the happy "nothing to do" run of a fresh
+        # pipeline. The table is simply absent; return the empty
+        # result rather than letting read_version raise
+        # FileNotFoundError on a query that succeeded.
+        return result.sparkSession.createDataFrame([], result.schema)
     return read_version(result.sparkSession, root)

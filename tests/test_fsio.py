@@ -110,3 +110,14 @@ def test_remove_missing_raises_on_both_backends(root):
     crash locally and succeed remotely."""
     with pytest.raises(FileNotFoundError):
         fsio.remove(os.path.join(root, "never_existed"))
+
+
+def test_stat_missing_raises_filenotfound_on_both_backends(root):
+    """getsize/getmtime/listdir map the JVM's FileNotFoundException to
+    Python's FileNotFoundError, so the storage layer's racing-vacuum
+    handlers (`except FileNotFoundError`) behave identically on both
+    backends instead of seeing a raw Py4J error remotely."""
+    missing = os.path.join(root, "never_existed")
+    for fn in (fsio.getsize, fsio.getmtime, fsio.listdir):
+        with pytest.raises(FileNotFoundError):
+            fn(missing)

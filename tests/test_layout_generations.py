@@ -452,3 +452,128 @@ def test_generation_rebuilds_true_concurrency(spark):
     latest = read_layout_manifest(spark, path).count()
     assert latest == counts[wins.index(3)]
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_compaction_reconciles_concurrent_append(spark):
+    """Lost-update guard: a daily append that lands AFTER compaction
+    snapshotted its base manifest but BEFORE its commit must survive -
+    the CAS number alone would serialize versions, not content, and
+    the compacted manifest would silently drop the appended rows
+    (which vacuum then deletes permanently). The reconcile commit
+    carries the head-minus-base diff into the compacted manifest."""
+    import uuid as _uuid
+
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        MANIFEST_SUBDIR,
+        append_to_ivf_layout,
+        commit_generation_manifest,
+        write_ivf_layout,
+    )
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        latest_readable_version,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents, dim = kmeans_fit(emb, k=K, iters=1)
+    root = tempfile.mkdtemp(prefix="ivf_reconcile_")
+    path = root + "/emb"
+
+    write_ivf_layout(emb.filter("vec_id % 3 = 0"), cents, dim, path)
+    base_v = latest_readable_version(os.path.join(path, MANIFEST_SUBDIR))
+
+    # compaction body: stage the base content as a gen tree (what
+    # compact_layout_generation does before its commit)...
+    lay = read_layout_manifest(spark, path, version=base_v)
+    if "gen" in lay.columns:
+        lay = lay.drop("gen")
+    gen = f"gen={_uuid.uuid4().hex[:12]}"
+    (lay.repartition("cluster").write.partitionBy("cluster")
+     .mode("errorifexists").parquet(os.path.join(path, gen)))
+
+    # ... an append lands mid-rewrite ...
+    append_to_ivf_layout(emb.filter("vec_id % 3 = 1"), cents, dim, path)
+
+    # ... and the reconcile commit must carry the appended rows.
+    commit_generation_manifest(spark, path, gen, reconcile_base=base_v)
+    got = sorted(r.vec_id for r in read_layout_manifest(spark, path)
+                 .select("vec_id").collect())
+    want = sorted(r.vec_id for r in
+                  emb.filter("vec_id % 3 in (0, 1)")
+                  .select("vec_id").collect())
+    assert got == want
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_compaction_aborts_when_superseded_by_rebuild(spark):
+    """A rival REBUILD that lands mid-compaction replaces the content
+    wholesale - the head manifest is not an append extension of the
+    compaction's base, so the reconcile commit must abort with
+    VersionConflict (committing the stale rewrite would resurrect the
+    superseded corpus)."""
+    import uuid as _uuid
+
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        MANIFEST_SUBDIR,
+        commit_generation_manifest,
+        write_ivf_layout_generation,
+    )
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        VersionConflict,
+        latest_readable_version,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents, dim = kmeans_fit(emb, k=K, iters=1)
+    root = tempfile.mkdtemp(prefix="ivf_supersede_")
+    path = root + "/emb"
+
+    write_ivf_layout_generation(emb.filter("vec_id % 2 = 0"),
+                                cents, dim, path)
+    base_v = latest_readable_version(os.path.join(path, MANIFEST_SUBDIR))
+    lay = read_layout_manifest(spark, path, version=base_v).drop("gen")
+    gen = f"gen={_uuid.uuid4().hex[:12]}"
+    (lay.repartition("cluster").write.partitionBy("cluster")
+     .mode("errorifexists").parquet(os.path.join(path, gen)))
+
+    # a rival rebuild replaces the index mid-compaction
+    v2 = write_ivf_layout_generation(emb, cents, dim, path)
+
+    with pytest.raises(VersionConflict, match="superseded"):
+        commit_generation_manifest(spark, path, gen, reconcile_base=base_v)
+    # the rival's content is untouched truth
+    assert read_layout_manifest(spark, path).count() == emb.count()
+    assert read_layout_manifest(spark, path, version=v2).count() \
+        == emb.count()
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_empty_query_batch_on_mixed_convention_layout(spark):
+    """Zero queries -> empty probe list. The probed read must stay
+    manifest-resolved: a bare spark.read.parquet(path) on a mixed-
+    convention layout (gen= trees + bare cluster= dirs coexisting
+    after an unvacuumed compaction) throws 'Conflicting directory
+    structures', and on a pure-generation layout it would union
+    generations. The batch probe must return an empty result."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        append_to_ivf_layout,
+        compact_layout_generation,
+        write_ivf_layout,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents, dim = kmeans_fit(emb, k=K, iters=1)
+    root = tempfile.mkdtemp(prefix="ivf_eq_")
+    path = root + "/emb"
+    write_ivf_layout(emb.filter("vec_id % 2 = 0"), cents, dim, path)
+    append_to_ivf_layout(emb.filter("vec_id % 2 = 1"), cents, dim, path)
+    compact_layout_generation(spark, path)
+    append_to_ivf_layout(emb.filter("vec_id = 1"), cents, dim, path)
+    # mixed on disk AND in the manifest, nothing vacuumed
+
+    queries = (emb.filter("vec_id < 0")        # empty by construction
+               .select("vec_id", "embedding"))
+    out = ivf_probe_pruned_batch(spark, path, queries, cents, dim,
+                                 NPROBE, TOPK)
+    assert out.count() == 0
+    shutil.rmtree(root, ignore_errors=True)

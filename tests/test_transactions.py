@@ -304,3 +304,27 @@ def test_vacuum_txn_sweeps_aged_stage_debris(spark, root):
     assert fsio.exists(debris)                # possibly a live committer
     vacuum_txn(root, keep_last_txns=2, stage_retention_sec=0.0)
     assert not fsio.exists(debris)
+
+
+def test_commit_txn_revalidates_pins_after_publish(spark, root,
+                                                   monkeypatch):
+    """The commit-vs-vacuum race made loud: a vacuum that reclaimed a
+    pinned OLD version between commit_txn's pre-validation and its
+    publish must surface as RuntimeError AT COMMIT, not as a
+    FileNotFoundError in some future reader's time travel."""
+    from etl_pipeline_mini_project_01_spark.sources import transactions
+
+    ov = write_version(_df(spark, [1]), os.path.join(root, "orders"))
+    real_publish = transactions._publish_latest_txn
+
+    def vacuum_wins_the_race(r, manifest):
+        # the concurrent vacuum reclaims the pinned version just before
+        # the pin publishes
+        fsio.remove(os.path.join(root, "orders", "_versions",
+                                 "v00000001.json"))
+        real_publish(r, manifest)
+
+    monkeypatch.setattr(transactions, "_publish_latest_txn",
+                        vacuum_wins_the_race)
+    with pytest.raises(RuntimeError, match="concurrent vacuum"):
+        commit_txn(root, {"orders": ov}, 0)

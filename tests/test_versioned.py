@@ -309,3 +309,24 @@ def test_vacuum_age_gate_spares_fresh_crashed_claim(spark, root):
 
     assert vacuum_versions(root, keep_last=1) == []
     assert fsio.exists(os.path.join(root, "_versions", "v00000002.json"))
+
+
+def test_orphan_dir_sweep_rechecks_manifest_ownership(spark, root):
+    """The orphan-vNNN sweep must re-check ownership against the
+    manifest file AT SWEEP TIME: a commit claims its manifest BEFORE
+    the stage->vNNN rename, so a dir whose manifest exists (even a
+    still-zero-byte claim - a committer between its rename and its
+    finalize) is a live commit a stale pre-computed kept set would
+    wrongly rmtree. Only a dir with NO manifest at all (crash-mid-
+    vacuum debris) is swept."""
+    write_version(spark.createDataFrame([(1,)], "k bigint"), root)
+    # a committer mid-flight: claim landed (zero-byte), dir renamed,
+    # finalize pending
+    fsio.write_bytes(os.path.join(root, "_versions", "v00000002.json"), b"")
+    fsio.makedirs(os.path.join(root, "v00000002"))
+    # true debris: a dir with no manifest (crash-mid-vacuum shape)
+    fsio.makedirs(os.path.join(root, "v00000099"))
+
+    vacuum_versions(root, keep_last=1)
+    assert fsio.isdir(os.path.join(root, "v00000002"))   # owned: spared
+    assert not fsio.exists(os.path.join(root, "v00000099"))

@@ -180,3 +180,25 @@ def test_conflict_retry_exhaustion_raises_retryable(spark, scratch,
     monkeypatch.setattr(versioned_sink, "write_version_cas", always_loses)
     with pytest.raises(VersionConflict, match="gave up"):
         commit_batch_versioned(b, root, keys=["k"], max_retries=3)
+
+
+def test_empty_stream_returns_empty_result_not_an_error(spark, scratch):
+    """A source with no rows (every micro-batch empty, or no batch at
+    all) commits no version - the happy "nothing to do" run of a fresh
+    pipeline. The sink must return the aggregation's empty result, not
+    crash with FileNotFoundError on a phantom version 0."""
+    in_dir = scratch + "/in"
+    (spark.createDataFrame([], "user_id bigint, value double")
+     .coalesce(1).write.parquet(in_dir))
+    stream = (spark.readStream
+              .schema("user_id bigint, value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(in_dir))
+    agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
+
+    out = run_to_versioned_sink(agg, scratch + "/table",
+                                scratch + "/ckpt",
+                                keys=["user_id"], output_mode="update")
+    assert out.count() == 0
+    assert out.columns == ["user_id", "total"]
+    assert list_versions(scratch + "/table") == []     # no version burned
