@@ -35,26 +35,33 @@ def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
     exactly like DuckDB ASOF with duplicate timestamps).
     """
     lcols = left.columns
-    l_marked = (left
-                .withColumn("__ts", F.col(left_ts))
-                .withColumn("__is_left", F.lit(1)))
-    for p in payload:
-        l_marked = l_marked.withColumn(p, F.lit(None).cast(
-            dict(right.dtypes)[p]))
-    r_marked = right.select(
+    # The matched right row is carried as ONE struct, not per-column
+    # last(ignorenulls) calls: per-column carry skipped a matching
+    # row's NULL payload value and resurrected a STALER row's value in
+    # its place (and could mix columns from different right rows in
+    # one output row). The struct is non-null for every right row, so
+    # last(struct, ignorenulls) attaches the latest matching right row
+    # atomically - a NULL inside its payload stays NULL, matching
+    # DuckDB ASOF. Right rows with NULL right_ts are excluded up
+    # front: `left.ts >= right.ts` is never true for NULL in the
+    # reference semantics, while nulls-first ordering would have made
+    # such a row "older than everything" and matched it.
+    r_marked = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        *[F.col(p) for p in payload])
-    for c in lcols:
-        if c not in {key} and c not in r_marked.columns:
-            r_marked = r_marked.withColumn(c, F.lit(None).cast(
-                dict(l_marked.dtypes)[c]))
+        F.struct(*[F.col(p) for p in payload]).alias("__match"))
+    struct_type = r_marked.schema["__match"].dataType
+    l_marked = (left
+                .withColumn("__ts", F.col(left_ts))
+                .withColumn("__is_left", F.lit(1))
+                .withColumn("__match", F.lit(None).cast(struct_type)))
     unioned = l_marked.unionByName(r_marked, allowMissingColumns=True)
     # Right rows sort before left rows at equal ts -> ties included.
     w = (Window.partitionBy(key).orderBy("__ts", "__is_left")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = unioned
-    for p in payload:
-        carried = carried.withColumn(p, F.last(p, ignorenulls=True).over(w))
-    return carried.filter(F.col("__is_left") == 1).select(*lcols, *payload)
+    carried = unioned.withColumn(
+        "__match", F.last("__match", ignorenulls=True).over(w))
+    return (carried.filter(F.col("__is_left") == 1)
+            .select(*lcols,
+                    *[F.col("__match")[p].alias(p) for p in payload]))

@@ -44,6 +44,24 @@ from .kmeans import _assign, _scaled
 MANIFEST_SUBDIR = "_index"
 
 
+
+def route_by_cluster(df, id_col: str, files_per_cluster: int):
+    """One hash shuffle on the (low-cardinality, k-means-balanced)
+    cluster key routes each cluster to `files_per_cluster` write tasks
+    before partitionBy - ~k*files_per_cluster output files, never the
+    W x k partitionBy sliver explosion. The single routing rule every
+    layout builder (float, two-level, generation, compaction, PQ)
+    shares."""
+    if files_per_cluster < 1:
+        raise ValueError(f"files_per_cluster must be >= 1, "
+                         f"got {files_per_cluster}")
+    if files_per_cluster == 1:
+        return df.repartition("cluster")
+    return df.repartition(
+        F.col("cluster"),
+        F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
+
+
 def _manifest_rows(gen_dir: str, prefix: str) -> list[tuple[int, str]]:
     """(cluster, relative-file) rows for every data file under a
     `cluster=N`-partitioned tree (shared by the full-listing commit
@@ -251,21 +269,13 @@ def write_ivf_layout(emb: DataFrame, cents: list[list[float]], dim: int,
     scale where one posting list exceeds one task's output (set it to
     ~cluster_bytes / target_file_bytes); probes are unaffected (the
     directory, not the file count, is the pruning unit)."""
-    if files_per_cluster < 1:
-        raise ValueError(f"files_per_cluster must be >= 1, "
-                         f"got {files_per_cluster}")
     # _scaled/_assign add (xi, xd, cluster, centroid_dist) alongside ALL
     # of emb's own columns, so every payload column rides the same
     # map-side pass into the layout - same output contract as the old
     # join-based build, minus the join.
     assigned = (_assign(_scaled(emb, vec_col), cents, dim, kernel)
                 .drop("xi", "xd", "centroid_dist"))
-    if files_per_cluster == 1:
-        routed = assigned.repartition("cluster")
-    else:
-        routed = assigned.repartition(
-            F.col("cluster"),
-            F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
+    routed = route_by_cluster(assigned, id_col, files_per_cluster)
     routed.write.partitionBy("cluster").mode(mode).parquet(path)
     commit_layout_manifest(emb.sparkSession, path)
 
@@ -297,8 +307,16 @@ def append_to_ivf_layout(delta: DataFrame, cents: list[list[float]],
     the files this append landed (the add-action diff; see
     commit_layout_manifest_incremental for why a bare directory
     listing is not membership authority)."""
+    # Pin the assignment: it feeds the touched-clusters collect AND the
+    # write. Without the pin the O(|delta|*k*dim) kernel runs twice,
+    # and - worse - the two executions must AGREE: a delta relation
+    # that is not re-read-stable (a live directory scan gaining a file
+    # between the jobs) could write rows into a cluster absent from
+    # `touched`, whose files the incremental manifest commit would
+    # then never list. |delta|-sized, the same pin the probe tails use.
     assigned = (_assign(_scaled(delta, vec_col), cents, dim, kernel)
-                .drop("xi", "xd", "centroid_dist"))
+                .drop("xi", "xd", "centroid_dist")
+                .localCheckpoint())
     touched = [int(r["cluster"]) for r in
                assigned.select("cluster").distinct().collect()]
     pre_files = {}
@@ -349,19 +367,11 @@ def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],
     builder's are `gen=`-qualified; one path, one convention."""
     import uuid as _uuid
 
-    if files_per_cluster < 1:
-        raise ValueError(f"files_per_cluster must be >= 1, "
-                         f"got {files_per_cluster}")
     gen = f"gen={_uuid.uuid4().hex[:12]}"
     stage = os.path.join(path, gen)
     assigned = (_assign(_scaled(emb, vec_col), cents, dim, kernel)
                 .drop("xi", "xd", "centroid_dist"))
-    if files_per_cluster == 1:
-        routed = assigned.repartition("cluster")
-    else:
-        routed = assigned.repartition(
-            F.col("cluster"),
-            F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
+    routed = route_by_cluster(assigned, id_col, files_per_cluster)
     routed.write.partitionBy("cluster").mode("errorifexists").parquet(stage)
     return commit_generation_manifest(emb.sparkSession, path, gen,
                                       max_retries)
@@ -473,17 +483,7 @@ def compact_layout_generation(spark: SparkSession, path: str,
     base_v = latest_readable_version(os.path.join(path, MANIFEST_SUBDIR))
     lay = read_layout_manifest(spark, path,
                                version=base_v if base_v else None)
-    if "gen" in lay.columns:
-        lay = lay.drop("gen")
-    if files_per_cluster < 1:
-        raise ValueError(f"files_per_cluster must be >= 1, "
-                         f"got {files_per_cluster}")
-    if files_per_cluster == 1:
-        routed = lay.repartition("cluster")
-    else:
-        routed = lay.repartition(
-            F.col("cluster"),
-            F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
+    routed = route_by_cluster(lay, id_col, files_per_cluster)
     gen = f"gen={_uuid.uuid4().hex[:12]}"
     stage = os.path.join(path, gen)
     routed.write.partitionBy("cluster").mode("errorifexists").parquet(stage)
@@ -901,12 +901,7 @@ def write_ivf_layout_twolevel(emb: DataFrame,
               .withColumn("cluster",
                           F.col("coarse") * k2 + F.col("fine"))
               .drop("xi", "xd", "coarse", "fine", "fine_dist"))
-    if files_per_cluster == 1:
-        routed = routed.repartition("cluster")
-    else:
-        routed = routed.repartition(
-            F.col("cluster"),
-            F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
+    routed = route_by_cluster(routed, id_col, files_per_cluster)
     routed.write.partitionBy("cluster").mode(mode).parquet(path)
     commit_layout_manifest(emb.sparkSession, path)
 

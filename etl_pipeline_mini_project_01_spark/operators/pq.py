@@ -478,15 +478,11 @@ def write_ivf_pq_layout_generation_twolevel(
 
 def _route_coded(coded: DataFrame, id_col: str,
                  files_per_cluster: int) -> DataFrame:
-    """One hash shuffle on the (low-cardinality, k-means-balanced)
-    cluster key routes each cluster to `files_per_cluster` write tasks
-    before partitionBy - ~k*files_per_cluster output files, never the
-    W x k partitionBy sliver explosion."""
-    if files_per_cluster == 1:
-        return coded.repartition("cluster")
-    return coded.repartition(
-        F.col("cluster"),
-        F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
+    """Delegates to ivf_layout.route_by_cluster - ONE routing rule for
+    every layout builder (a drifted copy lived here before)."""
+    from .ivf_layout import route_by_cluster
+
+    return route_by_cluster(coded, id_col, files_per_cluster)
 
 
 def ivf_pq_probe(spark, path: str, queries: DataFrame,

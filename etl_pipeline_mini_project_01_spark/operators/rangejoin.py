@@ -31,9 +31,9 @@ def bucketed_range_join(points: DataFrame, point_col: str,
     many strides explode proportionally - pick stride near the typical
     interval width."""
     p = points.withColumn(
-        "__bucket", F.floor(F.col(point_col) / F.lit(stride)).cast("bigint"))
+        "__bucket_p", F.floor(F.col(point_col) / F.lit(stride)).cast("bigint"))
     iv = intervals.withColumn(
-        "__bucket",
+        "__bucket_i",
         F.explode(F.sequence(
             F.floor(F.col(lo_col) / F.lit(stride)).cast("bigint"),
             # hi is exclusive, but the last candidate bucket is taken
@@ -46,7 +46,14 @@ def bucketed_range_join(points: DataFrame, point_col: str,
             # interval, and the exact lo<=x<hi filter removes any false
             # pairs - correctness never rides on float epsilons.
             F.floor(F.col(hi_col) / F.lit(stride)).cast("bigint"))))
-    joined = p.join(iv, "__bucket", how).filter(
-        (F.col(point_col) >= F.col(lo_col))
-        & (F.col(point_col) < F.col(hi_col)))
-    return joined.drop("__bucket")
+    # The exact range predicate rides INSIDE the join condition, not a
+    # post-join filter: a filter after a left/outer join would evaluate
+    # NULL on every null-extended row and silently drop it - any
+    # non-inner `how` degenerated to inner. Catalyst still extracts the
+    # bucket equality as the equi-join key; the range check runs as the
+    # join's residual condition.
+    cond = ((F.col("__bucket_p") == F.col("__bucket_i"))
+            & (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col)))
+    joined = p.join(iv, cond, how)
+    return joined.drop("__bucket_p", "__bucket_i")

@@ -51,9 +51,13 @@ def scd2_merge(dim: DataFrame, incoming: DataFrame, key: str,
     """One SCD2 merge round: expire changed rows, insert new versions.
 
     `dim` carries (attributes..., valid_from, valid_to, is_current);
-    `incoming` carries the bare attributes. Returns the rebuilt dim
-    (history + kept-current + expired + inserted), no surrogate keys -
-    apply :func:`assign_surrogate_keys` after.
+    `incoming` carries the bare attributes and MUST be unique per
+    `key` - like Delta/SQL MERGE, multiple source rows for one target
+    key are a caller error (two "current" versions would be inserted);
+    pre-dedup with a deterministic rule the caller owns (the window
+    rewrite upsert_latest is exactly that shape). Returns the rebuilt
+    dim (history + kept-current + expired + inserted), no surrogate
+    keys - apply :func:`assign_surrogate_keys` after.
     """
     ts = F.lit(change_ts).cast("timestamp_ntz")
     far = F.lit(far_future).cast("timestamp_ntz")
@@ -112,9 +116,21 @@ def assign_surrogate_keys(df: DataFrame, key_col: str,
 def idempotent_append(existing: DataFrame, incoming: DataFrame,
                       key: str) -> DataFrame:
     """M2: ON CONFLICT DO NOTHING - first write wins; only unseen keys
-    append (silver_etl.py:119,288)."""
-    return existing.unionByName(
-        incoming.join(existing.select(key), key, "left_anti"))
+    append (silver_etl.py:119,288).
+
+    "First wins" must also hold WITHIN one incoming batch (a retried
+    upstream extract ships the same key twice; Postgres inserts one
+    row and rejects the second, an anti-join alone would append both
+    and permanently break the key-uniqueness every downstream merge
+    assumes). A DataFrame has no statement order, so "first" is made
+    deterministic: lowest remaining-column tuple per key."""
+    others = [c for c in incoming.columns if c != key]
+    w = Window.partitionBy(key).orderBy(*(others or [key]))
+    fresh = (incoming
+             .withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1).drop("__rn")
+             .join(existing.select(key), key, "left_anti"))
+    return existing.unionByName(fresh)
 
 
 def upsert_latest(existing: DataFrame, incoming: DataFrame, key: str,

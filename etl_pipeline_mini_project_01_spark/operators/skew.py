@@ -24,9 +24,18 @@ def salted_sum_count(df: DataFrame, key: str, value_col: str,
     """Two-phase skew-safe aggregate: per-key count + decimal-exact sum
     (+ avg), salted over `salt_buckets` partial groups.
 
+    The salt must vary WITHIN a key, or the hot key still lands in one
+    partial group and the rewrite silently does nothing (the original
+    crc32(key) salt had exactly that defect - constant per key). The
+    input partition id is the right per-row source: each task's
+    partials are map-LOCAL (one partial per key per task), the salt is
+    deterministic for a fixed input layout, and the final merge stays
+    exact regardless of how rows were split (decomposable aggregates +
+    decimal sums - results are bit-identical to the direct groupBy).
+
     Output: key, n, total (double), avg_value (double).
     """
-    salt = (F.crc32(F.col(key).cast("string")) % salt_buckets).alias("__salt")
+    salt = F.pmod(F.spark_partition_id(), F.lit(salt_buckets)).alias("__salt")
     partial = (
         df.groupBy(F.col(key), salt)
         .agg(F.count(F.lit(1)).alias("__n"),

@@ -143,8 +143,24 @@ CHECK_PRIORITY: tuple[str, ...] = (
 #: composite to cover mm_binary_metadata + mm_frame_sample, re-vouch
 #: the extended rows, and only then delete the standalone names (all
 #: three are r11-debt names anyway, so their last standalone check and
-#: the composite's first check land in the same window); (4) spare for
-#: whatever code r11 actually touches.
+#: the composite's first check land in the same window); (4)
+#: m2_idempotent_dim_insert - a late-r10 review hardened
+#: operators/scd.py idempotent_append (intra-batch duplicate keys now
+#: deduped deterministically, the ON CONFLICT contract), AFTER the r10
+#: window was sealed; m2 is r9-green so its formal staleness bound is
+#: r12, but changed code takes the spare slot at r11. Four more
+#: late-r10 review fixes touched rows that are ALREADY r11-debt names
+#: (their formal re-vouch lands next window by construction; every one
+#: was re-verified against its DuckDB oracle at sf0.01 on the final
+#: r10 tree): skew_salted_aggregate (per-row partition-id salt - the
+#: crc32(key) salt was constant per key and never spread the hot key),
+#: rangejoin_value_bands (range predicate moved into the join
+#: condition so non-inner modes stop degenerating to inner),
+#: stream_dedup_events (dropDuplicatesWithinWatermark - the plain
+#: dropDuplicates kept state forever), and m1_scd2_account_dim
+#: (scd2_merge docstring now states the unique-source-key MERGE
+#: precondition). asof_join_latest_order's atomic-struct carry fix is
+#: inside its own r10 window slot.
 #:
 #: CAPACITY POLICY (VERDICT r4 #7): the 50-slot window and the 2-round
 #: staleness bound give a hard ceiling of 50 x 3 = 150 sustainable

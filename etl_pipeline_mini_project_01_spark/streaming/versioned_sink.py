@@ -63,8 +63,18 @@ def commit_batch_versioned(batch_df: DataFrame, root: str,
         prev_v = latest_readable_version(root)
         if keys and prev_v > 0:
             prev = read_version(spark, root, prev_v)
-            snapshot = (prev.join(batch_df.select(*keys).distinct(),
-                                  keys, "left_anti")
+            # Null-safe anti-join: a NULL grouping key (e.g. after a
+            # left-join enrichment) is a real upsert key here, but a
+            # plain column-list anti join never matches NULL = NULL -
+            # the previous snapshot's NULL-key row would survive every
+            # batch ALONGSIDE the re-emitted one, one duplicate per
+            # commit.
+            batch_keys = batch_df.select(*keys).distinct()
+            cond = None
+            for k in keys:
+                c = prev[k].eqNullSafe(batch_keys[k])
+                cond = c if cond is None else cond & c
+            snapshot = (prev.join(batch_keys, cond, "left_anti")
                         .unionByName(batch_df))
         else:
             snapshot = batch_df

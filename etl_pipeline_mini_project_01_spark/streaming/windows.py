@@ -124,17 +124,26 @@ def stream_static_segment_counts(spark: SparkSession, sf_dir: str,
 
 def dedup_event_stream(spark: SparkSession, sf_dir: str,
                        watermark: str = "1 day") -> DataFrame:
-    """Streaming exact dedup: dropDuplicates on the event key with a
-    watermark bounding the dedup state (keys older than the watermark
-    age out of the state store - without it, state grows unboundedly at
-    100 TB). The harness events are unique by event_id, so a
-    deterministic 10%-duplicate tail is unioned in-stream: the operator
-    must emit each event exactly once."""
+    """Streaming exact dedup with BOUNDED state:
+    dropDuplicatesWithinWatermark on the event key - dedup keys age out
+    of the state store once the watermark passes them. A plain
+    dropDuplicates(["event_id"]) would NOT do this: Spark only evicts
+    streaming-dedup state when the watermarked event-time column is
+    part of the dedup subset, so the watermark was a no-op for state
+    and every distinct event_id lived in the store forever - the exact
+    unbounded growth this operator exists to prevent at 100 TB (that
+    is why dropDuplicatesWithinWatermark exists; the within-watermark
+    contract - duplicates are only guaranteed dropped when they arrive
+    inside the watermark delay - IS the bounded-state trade, the same
+    one Kafka-connector dedup recipes document). The harness events
+    are unique by event_id, so a deterministic 10%-duplicate tail is
+    unioned in-stream: the operator must emit each event exactly
+    once."""
     events = read_events_stream(spark, sf_dir)
     dupes = events.filter(F.col("event_id") % 10 == 0)
     return (events.unionByName(dupes)
             .withWatermark("ts", watermark)
-            .dropDuplicates(["event_id"]))
+            .dropDuplicatesWithinWatermark(["event_id"]))
 
 
 def tumbling_counts(spark: SparkSession, sf_dir: str,

@@ -140,3 +140,83 @@ def test_resize_images_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         resize_images(df, 4, 4, codec="pil").collect()
+
+
+def test_idempotent_append_dedups_within_one_batch(spark):
+    """ON CONFLICT DO NOTHING must also hold WITHIN one incoming batch
+    (a retried extract ships a key twice; Postgres inserts one row) -
+    first-wins is made deterministic by the lowest remaining-column
+    tuple per key."""
+    existing = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    incoming = spark.createDataFrame(
+        [(2, "z"), (2, "b"), (1, "x")], "k bigint, v string")
+    out = sorted((r.k, r.v) for r in
+                 idempotent_append(existing, incoming, "k").collect())
+    assert out == [(1, "a"), (2, "b")]      # one row per key; lowest v
+
+
+def test_asof_null_payload_not_resurrected(spark):
+    """The matched right row is attached ATOMICALLY: a NULL payload
+    value in the latest matching row stays NULL (per-column carry used
+    to resurrect a staler row's value and mix columns across rows),
+    and a right row with NULL ts never matches (left.ts >= NULL is
+    never true)."""
+    from etl_pipeline_mini_project_01_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    right = spark.createDataFrame(
+        [(1, 1.0, "a", "y"), (1, 2.0, None, "x"), (2, None, "n", "n")],
+        "k bigint, ts double, p1 string, p2 string")
+    left = spark.createDataFrame(
+        [(1, 3.0), (2, 5.0)], "k bigint, ts double")
+    out = {r.k: (r.p1, r.p2) for r in
+           asof_join_backward(left, right, "k", "ts", "ts",
+                              ["p1", "p2"]).collect()}
+    # k=1: the ts=2 row wins atomically - p1 NULL, p2 'x' (NOT p1='a')
+    assert out[1] == (None, "x")
+    # k=2: the only right row has NULL ts - no match
+    assert out[2] == (None, None)
+
+
+def test_bucketed_range_join_left_keeps_unmatched(spark):
+    """The exact range predicate rides inside the join condition, so a
+    LEFT join keeps points that match no interval (a post-join filter
+    dropped every null-extended row - all non-inner modes silently
+    degenerated to inner)."""
+    from etl_pipeline_mini_project_01_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    points = spark.createDataFrame([(1, 5.0), (2, 50.0)],
+                                   "pid bigint, x double")
+    intervals = spark.createDataFrame([(10, 0.0, 10.0)],
+                                      "iid bigint, lo double, hi double")
+    out = {r.pid: r.iid for r in
+           bucketed_range_join(points, "x", intervals, "lo", "hi",
+                               stride=10.0, how="left").collect()}
+    assert out == {1: 10, 2: None}           # unmatched point survives
+
+
+def test_salted_aggregate_salts_per_row_not_per_key(spark):
+    """The salt must vary WITHIN a key or the hot key still lands in
+    one partial group and the two-phase rewrite does nothing. The salt
+    source is the input partition id (per-row, map-local partials);
+    pinned via the analyzed plan, plus exactness on a one-hot-key
+    input spread over many partitions."""
+    from etl_pipeline_mini_project_01_spark.operators.skew import (
+        salted_sum_count,
+    )
+
+    one_key = (spark.range(0, 10000, 1, 16)
+               .select(F.lit("hot").alias("k"),
+                       (F.col("id") % 7).cast("double").alias("v")))
+    out = salted_sum_count(one_key, "k", "v", salt_buckets=8)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    row = out.collect()[0]
+    truth = one_key.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,4)")).cast("double")
+        .alias("total")).collect()[0]
+    assert (row.n, row.total) == (truth.n, truth.total)

@@ -202,3 +202,22 @@ def test_empty_stream_returns_empty_result_not_an_error(spark, scratch):
     assert out.count() == 0
     assert out.columns == ["user_id", "total"]
     assert list_versions(scratch + "/table") == []     # no version burned
+
+
+def test_upsert_rebase_is_null_safe_on_keys(spark, scratch):
+    """A NULL grouping key is a real upsert key (e.g. after a left-join
+    enrichment): the rebase anti-join must match it null-safely, or the
+    previous snapshot's NULL-key row survives every batch ALONGSIDE the
+    re-emitted one - one duplicate per commit."""
+    root = scratch + "/table"
+    b1 = spark.createDataFrame([(None, 1.0), (7, 2.0)],
+                               "user_id bigint, total double")
+    b2 = spark.createDataFrame([(None, 5.0)],
+                               "user_id bigint, total double")
+    commit_batch_versioned(b1, root, keys=["user_id"])
+    commit_batch_versioned(b2, root, keys=["user_id"])
+
+    rows = sorted(((r.user_id, r.total) for r in
+                   read_version(spark, root).collect()),
+                  key=lambda t: (t[0] is None, t[0]))
+    assert rows == [(7, 2.0), (None, 5.0)]   # exactly one NULL-key row
