@@ -54,7 +54,13 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one harness table, normalized to its canonical schema."""
+    """Read one harness table, normalized to its canonical schema.
+
+    The normalized frame is VALIDATED against CANONICAL_SCHEMAS: a
+    testdata generation that drifts a column type (the events.ts
+    nanos-vs-timestamp history is exactly that class) fails HERE with
+    a named diff, not later as an opaque join/cast error or a silent
+    oracle mismatch."""
     harden(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, ()):
@@ -64,11 +70,65 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
             )
+    want = CANONICAL_SCHEMAS.get(name)
+    if want is not None:
+        got = dict(df.dtypes)
+        if got != want:
+            diff = {k: (want.get(k), got.get(k))
+                    for k in set(want) | set(got)
+                    if want.get(k) != got.get(k)}
+            raise TypeError(
+                f"table {name!r} at {sf_dir} does not match its canonical "
+                f"schema after normalization; drifted columns "
+                f"(expected, actual): {diff}")
     return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+_SCRATCH_REGISTERED: set[str] = set()
+_SCRATCH_SWEPT: list[bool] = []
+
+
+def register_scratch(path: str,
+                     max_sibling_age_sec: float = 6 * 3600.0) -> str:
+    """Track a `/tmp/spark_graft_*` scratch root for END-OF-PROCESS
+    removal (atexit), and - once per process - sweep ABANDONED sibling
+    roots older than `max_sibling_age_sec` (a crashed bench/driver/test
+    process never cleans up after itself; before this hook every
+    invocation leaked full parquet copies of its scratch corpora into
+    /tmp until the filesystem filled). The age gate spares concurrent
+    LIVE processes' trees, same presumed-dead rule as the storage
+    layer's stage dirs. Returns `path` for call-site chaining; removal
+    at exit is deliberate rather than at row end - the row's returned
+    DataFrame is lazy and the driver collects it AFTER the builder
+    returns, so the files must outlive the call."""
+    import atexit
+    import shutil as _shutil
+    import time as _time
+
+    if not _SCRATCH_REGISTERED:
+        atexit.register(lambda: [
+            _shutil.rmtree(p, ignore_errors=True)
+            for p in _SCRATCH_REGISTERED])
+    _SCRATCH_REGISTERED.add(path)
+    if not _SCRATCH_SWEPT:
+        _SCRATCH_SWEPT.append(True)
+        import glob
+        import os as _os
+
+        now = _time.time()
+        for sib in glob.glob("/tmp/spark_graft_*"):
+            try:
+                if (sib not in _SCRATCH_REGISTERED
+                        and now - _os.path.getmtime(sib)
+                        >= max_sibling_age_sec):
+                    _shutil.rmtree(sib, ignore_errors=True)
+            except OSError:
+                continue
+    return path
 
 
 def steps_frame(spark: SparkSession, steps: list[tuple],
@@ -81,6 +141,20 @@ def steps_frame(spark: SparkSession, steps: list[tuple],
     commit_layout_manifest switched)."""
     import pandas as pd
 
-    cols = [c.strip().split()[0] for c in schema.split(",")]
+    # Split on top-level commas only: "v decimal(10,2)" or
+    # "a array<struct<x:int,y:int>>" must not be cut inside the type.
+    cols, depth, cur = [], 0, []
+    for ch in schema:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            cols.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    cols.append("".join(cur))
+    cols = [c.strip().split()[0] for c in cols]
     pdf = pd.DataFrame(steps, columns=cols)
     return spark.createDataFrame(pdf, schema=schema)

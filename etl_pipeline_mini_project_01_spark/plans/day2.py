@@ -59,7 +59,9 @@ def day2_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         day2_incremental_counts._run_tag = uuid.uuid4().hex[:8]
     tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:12]
            + "_" + day2_incremental_counts._run_tag)
-    out = f"/tmp/spark_graft_day2_{tag}"
+    from ..catalog import register_scratch
+
+    out = register_scratch(f"/tmp/spark_graft_day2_{tag}")
     shutil.rmtree(out, ignore_errors=True)
     table = os.path.join(out, "bronze", "events")
 
@@ -124,7 +126,9 @@ def day2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         day2_schema_evolution._run_tag = uuid.uuid4().hex[:8]
     tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:12]
            + "_" + day2_schema_evolution._run_tag)
-    out = f"/tmp/spark_graft_evolve_{tag}"
+    from ..catalog import register_scratch
+
+    out = register_scratch(f"/tmp/spark_graft_evolve_{tag}")
     shutil.rmtree(out, ignore_errors=True)
 
     events = load_table(spark, sf_dir, "events")
@@ -183,7 +187,10 @@ def s9_ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not hasattr(s9_ddl_catalog, "_run_tag"):
         s9_ddl_catalog._run_tag = uuid.uuid4().hex[:8]
-    out = f"/tmp/spark_graft_s9_{s9_ddl_catalog._run_tag}"
+    from ..catalog import register_scratch
+
+    out = register_scratch(
+        f"/tmp/spark_graft_s9_{s9_ddl_catalog._run_tag}")
     execute_ddl_scripts(spark, {"OUT_DIR": out}, recreate=True)
 
     rows = []
@@ -251,7 +258,10 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         versioned_time_travel._run_tag = uuid.uuid4().hex[:8]
     tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:12]
            + "_" + versioned_time_travel._run_tag)
-    root = f"/tmp/spark_graft_versioned_{tag}/orders"
+    from ..catalog import register_scratch
+
+    root = os.path.join(
+        register_scratch(f"/tmp/spark_graft_versioned_{tag}"), "orders")
     shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
     orders = load_table(spark, sf_dir, "orders")
@@ -343,7 +353,9 @@ def versioned_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         versioned_stream_sink._run_tag = uuid.uuid4().hex[:8]
     tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:12]
            + "_" + versioned_stream_sink._run_tag)
-    scratch = f"/tmp/spark_graft_vsink_{tag}"
+    from ..catalog import register_scratch
+
+    scratch = register_scratch(f"/tmp/spark_graft_vsink_{tag}")
     shutil.rmtree(scratch, ignore_errors=True)
     in_dir = os.path.join(scratch, "in")
     os.makedirs(in_dir)
@@ -479,7 +491,7 @@ def txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     autocommitted writes (/root/reference/src/loader/*.py) - a reader
     between two of them sees a torn cross-table state; this layer is
     the atomic multi-table cut."""
-    from ..catalog import load_table
+    from ..catalog import load_table, register_scratch
     from ..sources.transactions import (commit_txn, latest_txn,
                                         read_txn_snapshot,
                                         unpinned_table_versions)
@@ -489,7 +501,7 @@ def txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn_multi_table._run_tag = uuid.uuid4().hex[:8]
     tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:12]
            + "_" + txn_multi_table._run_tag)
-    root = f"/tmp/spark_graft_txn_{tag}"
+    root = register_scratch(f"/tmp/spark_graft_txn_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
 

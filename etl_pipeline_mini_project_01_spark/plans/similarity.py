@@ -837,6 +837,11 @@ def ivf_kmeans_recall(spark: SparkSession, sf_dir: str,
 # ---------------------------------------------------------------------------
 
 _IVF_RUN_TAG = uuid.uuid4().hex[:8]
+# the shared stored-layout scratch root: removed at process exit, and
+# abandoned siblings from crashed runs are age-swept (catalog.register_scratch)
+from ..catalog import register_scratch as _register_scratch  # noqa: E402
+
+_register_scratch(f"/tmp/spark_graft_ivf_{_IVF_RUN_TAG}")
 
 
 def _ivf_layout_probe_oracle() -> str:
@@ -1940,7 +1945,9 @@ def ivf_generation_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_generation_swap._run_tag = uuid.uuid4().hex[:8]
     tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:12]
            + "_" + ivf_generation_swap._run_tag)
-    root = f"/tmp/spark_graft_ivfgen_{tag}"
+    from ..catalog import register_scratch
+
+    root = register_scratch(f"/tmp/spark_graft_ivfgen_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     path = os.path.join(root, "embeddings")
 

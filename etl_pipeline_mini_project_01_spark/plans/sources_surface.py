@@ -16,6 +16,7 @@ attempts, exponential 2-10 s backoff); S4 the CSV fallback sink at
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -111,7 +112,11 @@ def s4_csv_fallback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-run scratch dir, catalog-free (same isolation as s9)."""
     from ..sources.io import write_csv_fallback
 
-    out = f"/tmp/spark_graft_s4_{_RUN_TAG}/nation_by_region"
+    from ..catalog import register_scratch
+
+    out = os.path.join(
+        register_scratch(f"/tmp/spark_graft_s4_{_RUN_TAG}"),
+        "nation_by_region")
 
     agg = (load_table(spark, sf_dir, "nation")
            .groupBy("n_regionkey")

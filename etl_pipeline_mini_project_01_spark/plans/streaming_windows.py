@@ -116,7 +116,9 @@ def stream_file_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_file_sink_counts._run_tag = uuid.uuid4().hex[:8]
     tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:12]
            + "_" + stream_file_sink_counts._run_tag)
-    scratch = f"/tmp/spark_graft_stream_sink_{tag}"
+    from ..catalog import register_scratch
+
+    scratch = register_scratch(f"/tmp/spark_graft_stream_sink_{tag}")
     shutil.rmtree(scratch, ignore_errors=True)
     agg = tumbling_counts(spark, sf_dir, watermark="1 hour")
     out = run_to_file_sink(agg, f"{scratch}/out", f"{scratch}/ckpt")

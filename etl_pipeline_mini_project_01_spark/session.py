@@ -34,17 +34,15 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
 }
 
-#: Confs we want at session build time (some need a fresh session to apply).
+#: Confs we want at session build time. Everything tunable lives ONCE
+#: in RUNTIME_CONF (a value restated here would silently shadow a
+#: future RUNTIME_CONF change, splitting built vs hardened-foreign
+#: sessions); only genuinely build-time-only keys are added.
+#: Shuffle-partition sizing note: 32 partitions on local[32] with
+#: 100MB-scale inputs avoids tiny-task overhead; at cluster scale this
+#: is sized to data volume / 128MB target.
 BUILD_CONF: dict[str, str] = {
     **RUNTIME_CONF,
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    "spark.sql.adaptive.skewJoin.enabled": "true",
-    # local[32] with 100MB-scale inputs: 32 shuffle partitions avoids tiny-task
-    # overhead; at cluster scale this is sized to data volume / 128MB target.
-    "spark.sql.shuffle.partitions": "32",
-    # Dims (region/nation/customer at small SF, dim_* always) stay broadcastable.
-    "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.ui.enabled": "false",
 }
 

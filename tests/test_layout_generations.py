@@ -577,3 +577,55 @@ def test_empty_query_batch_on_mixed_convention_layout(spark):
                                  NPROBE, TOPK)
     assert out.count() == 0
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_compaction_races_live_appends_true_concurrency(spark):
+    """REAL interleaving: a compaction thread races an append thread on
+    one layout. Whichever order the commits land in, the final
+    manifest must hold exactly the union - the append's add-action
+    carry keeps compacted gen= rows when it lands second, and the
+    compaction's reconcile commit carries the append's files when it
+    lands second. (The reconcile path itself is pinned deterministically
+    by test_compaction_reconciles_concurrent_append; this run proves
+    the protocol under genuine thread interleaving.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        append_to_ivf_layout,
+        compact_layout_generation,
+        write_ivf_layout,
+    )
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        VersionConflict,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents, dim = kmeans_fit(emb, k=K, iters=1)
+    root = tempfile.mkdtemp(prefix="ivf_race_")
+    path = root + "/emb"
+    write_ivf_layout(emb.filter("vec_id % 4 = 0"), cents, dim, path)
+    append_to_ivf_layout(emb.filter("vec_id % 4 = 1"), cents, dim, path)
+
+    def compact():
+        try:
+            compact_layout_generation(spark, path)
+            return "committed"
+        except VersionConflict:
+            return "superseded"    # legal: rival rebuild only - none here
+
+    def append():
+        append_to_ivf_layout(emb.filter("vec_id % 4 = 2"), cents, dim, path)
+        return "appended"
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fc, fa = pool.submit(compact), pool.submit(append)
+        rc, ra = fc.result(120), fa.result(120)
+
+    assert ra == "appended" and rc == "committed"  # no rebuild raced it
+    got = sorted(r.vec_id for r in read_layout_manifest(spark, path)
+                 .select("vec_id").collect())
+    want = sorted(r.vec_id for r in
+                  emb.filter("vec_id % 4 in (0, 1, 2)")
+                  .select("vec_id").collect())
+    assert got == want          # union, exactly once, either interleaving
+    shutil.rmtree(root, ignore_errors=True)

@@ -8,6 +8,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from conftest import SF_DIR
+
 from etl_pipeline_mini_project_01_spark.operators.scd import (
     idempotent_append,
     scd2_initial,
@@ -109,3 +111,62 @@ def test_bloom_two_phase_never_loses_hits(spark, corpus, bench):
     got = {r.doc_id: (r.doc_ngrams, r.hit_ngrams) for r in rows}
     assert got == exact
     assert all(r.bloom_no_miss for r in rows)
+
+
+def test_fixtures_contain_no_vertical_tab(spark):
+    """Latent cross-engine tokenizer divergence, pinned as a fixture
+    invariant: Java regex \\s includes U+000B (vertical tab), DuckDB's
+    RE2 \\s does not - a document containing VT would split differently
+    in the engine vs every tokenizer oracle (token counts, shingles,
+    MinHash, TF-IDF, chunking). No fixture text carries VT today; this
+    guard makes a future testdata generation that does fail HERE with
+    a named cause instead of as ~20 opaque hash mismatches. (The
+    unification - an explicit [ \\t\\n\\x0B\\f\\r] class on both sides -
+    is scheduled with the r11 text-row rotation.)"""
+    from etl_pipeline_mini_project_01_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.filter(F.col("text").contains("\x0b")).count()
+    assert n == 0
+
+
+def test_steps_frame_handles_parameterized_types(spark):
+    """steps_frame's schema split must respect commas inside
+    parameterized/nested types."""
+    from etl_pipeline_mini_project_01_spark.catalog import steps_frame
+
+    from decimal import Decimal
+
+    df = steps_frame(spark, [("a", Decimal("1.50"))],
+                     "step string, value decimal(10,2)")
+    assert df.columns == ["step", "value"]
+    assert df.dtypes[1][1] == "decimal(10,2)"
+
+
+def test_register_scratch_sweeps_aged_siblings(tmp_path, monkeypatch):
+    """register_scratch: aged spark_graft_* siblings (crashed runs)
+    are swept once per process; fresh siblings (possibly a live
+    concurrent process) survive; the registered path itself is
+    tracked for atexit removal."""
+    import os
+    import time
+
+    from etl_pipeline_mini_project_01_spark import catalog
+
+    old = tmp_path / "spark_graft_dead"
+    old.mkdir()
+    os.utime(old, (time.time() - 10 * 3600, time.time() - 10 * 3600))
+    fresh = tmp_path / "spark_graft_live"
+    fresh.mkdir()
+
+    import glob as _glob
+    real_glob = _glob.glob
+    monkeypatch.setattr(_glob, "glob",
+                        lambda pat: real_glob(str(tmp_path / "spark_graft_*"))
+                        if pat == "/tmp/spark_graft_*" else real_glob(pat))
+    monkeypatch.setattr(catalog, "_SCRATCH_SWEPT", [])
+    mine = str(tmp_path / "spark_graft_mine")
+    assert catalog.register_scratch(mine) == mine
+    assert mine in catalog._SCRATCH_REGISTERED
+    assert not old.exists()                  # aged: swept
+    assert fresh.exists()                    # fresh: spared
