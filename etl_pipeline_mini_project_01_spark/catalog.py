@@ -106,6 +106,7 @@ def register_scratch(path: str,
     DataFrame is lazy and the driver collects it AFTER the builder
     returns, so the files must outlive the call."""
     import atexit
+    import os as _os
     import shutil as _shutil
     import time as _time
 
@@ -114,17 +115,43 @@ def register_scratch(path: str,
             _shutil.rmtree(p, ignore_errors=True)
             for p in _SCRATCH_REGISTERED])
     _SCRATCH_REGISTERED.add(path)
+    # Liveness marker: a directory's mtime only moves when DIRECT
+    # children churn, so a single long stage (a large-SF bench writing
+    # one deep tree for hours) looks abandoned by age alone and a
+    # freshly-started sibling would rmtree it MID-RUN (ADVICE r10).
+    # The owner pid makes liveness checkable: the sweep below skips any
+    # root whose recorded owner is still a running process, age
+    # regardless. Written best-effort - a root created by an older
+    # build has no marker and falls back to the age gate.
+    try:
+        _os.makedirs(path, exist_ok=True)
+        with open(_os.path.join(path, ".owner_pid"), "w",
+                  encoding="utf-8") as fh:
+            fh.write(str(_os.getpid()))
+    except OSError:
+        pass
+
+    def _owner_alive(root: str) -> bool:
+        try:
+            with open(_os.path.join(root, ".owner_pid"),
+                      encoding="utf-8") as fh:
+                pid = int(fh.read().strip())
+            _os.kill(pid, 0)           # signal 0: existence probe only
+            return True
+        except (OSError, ValueError):
+            return False               # no marker / dead pid / stale fs
+
     if not _SCRATCH_SWEPT:
         _SCRATCH_SWEPT.append(True)
         import glob
-        import os as _os
 
         now = _time.time()
         for sib in glob.glob("/tmp/spark_graft_*"):
             try:
                 if (sib not in _SCRATCH_REGISTERED
                         and now - _os.path.getmtime(sib)
-                        >= max_sibling_age_sec):
+                        >= max_sibling_age_sec
+                        and not _owner_alive(sib)):
                     _shutil.rmtree(sib, ignore_errors=True)
             except OSError:
                 continue

@@ -45,12 +45,20 @@ def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
     # DuckDB ASOF. Right rows with NULL right_ts are excluded up
     # front: `left.ts >= right.ts` is never true for NULL in the
     # reference semantics, while nulls-first ordering would have made
-    # such a row "older than everything" and matched it.
-    r_marked = right.filter(F.col(right_ts).isNotNull()).select(
-        F.col(key),
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__is_left"),
-        F.struct(*[F.col(p) for p in payload]).alias("__match"))
+    # such a row "older than everything" and matched it. NULL join
+    # KEYS are excluded for the same reason: the ASOF equality
+    # condition never matches NULL = NULL, but partitionBy groups
+    # NULL keys together and would have carried a NULL-key right row
+    # into NULL-key left rows (left NULL-key rows still flow through
+    # the union/window path and correctly get NULL payload).
+    r_marked = (right
+                .filter(F.col(right_ts).isNotNull()
+                        & F.col(key).isNotNull())
+                .select(
+                    F.col(key),
+                    F.col(right_ts).alias("__ts"),
+                    F.lit(0).alias("__is_left"),
+                    F.struct(*[F.col(p) for p in payload]).alias("__match")))
     struct_type = r_marked.schema["__match"].dataType
     l_marked = (left
                 .withColumn("__ts", F.col(left_ts))

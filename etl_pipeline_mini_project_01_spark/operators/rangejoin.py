@@ -21,6 +21,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Modes that preserve only the POINTS side. The intervals side is
+#: exploded to one row per candidate bucket, so any interval-preserving
+#: mode (right / full / right_semi / right_anti) would null-extend or
+#: emit EVERY exploded copy - unmatched intervals appear once per
+#: overlapped bucket, matched ones duplicate too. Supporting those
+#: modes needs a post-join dedup on an interval row id; until a caller
+#: needs it, refusing loudly beats returning quietly-wrong rows.
+_LEFT_PRESERVING = frozenset({
+    "inner", "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi",
+    "anti", "leftanti", "left_anti", "left_anti_join",
+})
+
+
 def bucketed_range_join(points: DataFrame, point_col: str,
                         intervals: DataFrame, lo_col: str, hi_col: str,
                         stride: float,
@@ -29,7 +43,16 @@ def bucketed_range_join(points: DataFrame, point_col: str,
     via stride-bucketing. `points` and `intervals` must have disjoint
     column names apart from the join artifacts. Intervals wider than
     many strides explode proportionally - pick stride near the typical
-    interval width."""
+    interval width. `how` must be a left-preserving mode (inner /
+    left / left_semi / left_anti): points are never duplicated by the
+    rewrite, exploded intervals are - see _LEFT_PRESERVING."""
+    if how.lower().replace(" ", "") not in _LEFT_PRESERVING:
+        raise ValueError(
+            f"bucketed_range_join: how={how!r} is not supported - the "
+            "intervals side is bucket-exploded, so interval-preserving "
+            "modes (right/full) would emit one row per exploded copy "
+            "instead of one per interval; use a left-preserving mode "
+            "or swap the sides")
     p = points.withColumn(
         "__bucket_p", F.floor(F.col(point_col) / F.lit(stride)).cast("bigint"))
     iv = intervals.withColumn(

@@ -184,8 +184,14 @@ def j1_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.col("c_custkey").cast("string")).alias("c_name"),
                          "c_nationkey", "c_acctbal", "c_mktsegment"))
     incoming = returning.unionByName(brand_new)
-    cur = F.broadcast(current.select(F.col("c_custkey").alias("cur_key"),
-                                     F.col("c_acctbal").alias("old_acctbal")))
+    # No broadcast hint: `current` derives from the full customer table
+    # and GROWS with the corpus - a hint overrides AQE's size check and
+    # is an OOM-by-construction at 100x (the last survivor of the r10
+    # forced-broadcast sweep; plan-guarded in test_plan_properties'
+    # test_no_forced_bigside_broadcast). AQE still broadcasts it at
+    # small SF via the runtime size check.
+    cur = current.select(F.col("c_custkey").alias("cur_key"),
+                         F.col("c_acctbal").alias("old_acctbal"))
     return (
         incoming.join(cur, incoming.c_custkey == cur.cur_key, "left")
         .filter(F.col("cur_key").isNull()

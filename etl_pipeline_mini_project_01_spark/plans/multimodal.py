@@ -13,29 +13,67 @@ from .registry import register
 
 
 @register(
-    "mm_binary_metadata",
+    "mm_binary_frames",
     oracle="""
-SELECT doc_id,
+WITH frames AS (
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_no,
+           CAST(octet_length(encode(substring(text, 1 + i * 64, 64)))
+                AS INT) AS frame_bytes,
+           md5(substring(text, 1 + i * 64, 64)) AS frame_checksum
+    FROM documents,
+         UNNEST(range(0, CAST(ceil(length(text) / 64.0) AS INT))) t(i)
+    WHERE i % 2 = 0
+)
+SELECT d.doc_id,
        'text/plain' AS media_type,
-       octet_length(encode(text)) AS n_bytes,
-       md5(text) AS checksum
-FROM documents
-ORDER BY doc_id
+       octet_length(encode(d.text)) AS n_bytes,
+       md5(d.text) AS checksum,
+       COALESCE(f.frame_no, -1) AS frame_no,
+       COALESCE(f.frame_bytes, 0) AS frame_bytes,
+       COALESCE(f.frame_checksum, '') AS frame_checksum
+FROM documents d
+LEFT JOIN frames f ON d.doc_id = f.doc_id
+ORDER BY d.doc_id, frame_no
 """,
 )
-def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary metadata extraction: payload = utf-8 bytes of the
-    document (the harness has no real media; the operator contract -
-    binary column + typed metadata, no decode - is identical)."""
+def mm_binary_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal composite (r11 capacity fold of the standalone
+    mm_binary_metadata + mm_frame_sample rows, plans/registry.py slot
+    plan): opaque-binary metadata extraction (binary column + typed
+    metadata struct, computed JVM-side with no decode) LEFT-joined to
+    frame-sampling over the same payloads (every 2nd 64-unit 'frame'
+    through Arrow-batched mapInPandas - one row in -> N frame rows out,
+    the cardinality-changing video-pipeline shape; deterministic fake
+    codec, real codecs env-stubbed). The LEFT join keeps zero-frame
+    docs (empty payloads) on the metadata surface with sentinel frame
+    columns - deterministic sort keys on both engines, no NULL-ordering
+    divergence. The doc-sized-to-frames join carries no hint: both
+    sides grow with the corpus, AQE governs the strategy. The oracle
+    rebuilds frames with slicing + md5, proving the pandas stage
+    preserves exact content semantics."""
+    from ..operators.multimodal import sample_frames
+
     docs = load_table(spark, sf_dir, "documents")
     payload = F.col("text").cast("binary")
     meta = binary_metadata(payload, "text/plain")
-    return docs.select(
+    meta_df = docs.select(
         "doc_id",
         meta["media_type"].alias("media_type"),
         meta["n_bytes"].alias("n_bytes"),
         meta["checksum"].alias("checksum"),
-    ).orderBy("doc_id")
+    )
+    with_payload = docs.select("doc_id", payload.alias("payload"))
+    frames = sample_frames(with_payload)
+    return (meta_df.join(frames, "doc_id", "left")
+            .select(
+                "doc_id", "media_type", "n_bytes", "checksum",
+                F.coalesce("frame_no", F.lit(-1)).alias("frame_no"),
+                F.coalesce("frame_bytes", F.lit(0)).alias("frame_bytes"),
+                F.coalesce("frame_checksum", F.lit("")).alias(
+                    "frame_checksum"),
+            )
+            .orderBy("doc_id", "frame_no"))
 
 
 #: DuckDB twin of the fake codec's byte histogram: byte % 8 depends only
@@ -123,29 +161,8 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "mm_frame_sample",
-    oracle="""
-SELECT doc_id,
-       CAST(i AS INT) AS frame_no,
-       CAST(octet_length(encode(substring(text, 1 + i * 64, 64))) AS INT)
-           AS frame_bytes,
-       md5(substring(text, 1 + i * 64, 64)) AS frame_checksum
-FROM documents,
-     UNNEST(range(0, CAST(ceil(length(text) / 64.0) AS INT))) t(i)
-WHERE i % 2 = 0
-ORDER BY doc_id, frame_no
-""",
-)
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling over payloads (every 2nd 64-unit 'frame', fake
-    codec): one row in -> N frame rows out through Arrow-batched
-    mapInPandas - cardinality-changing decode, the video-pipeline shape.
-    The oracle rebuilds the same frames with slicing + md5, proving the
-    pandas stage preserves exact content semantics."""
-    from ..operators.multimodal import sample_frames
-
-    docs = load_table(spark, sf_dir, "documents")
-    with_payload = docs.select(
-        "doc_id", F.col("text").cast("binary").alias("payload"))
-    return sample_frames(with_payload).orderBy("doc_id", "frame_no")
+# mm_binary_metadata and mm_frame_sample were folded into the
+# mm_binary_frames composite above (r11 capacity fold): the metadata
+# struct extraction and the cardinality-changing mapInPandas frame
+# sampler are both exercised - and oracle-checked - inside that one
+# contract row.

@@ -60,107 +60,78 @@ _PLAN_MODULES = (
 #: exist - so the test's verdict is stable across the moment the current
 #: round's results land, and flips red exactly when a new round starts
 #: without the window being rebuilt.
-WINDOW_ROUND = 10
+WINDOW_ROUND = 11
 
 
 #: Driver-check priority: the grading driver verifies only the FIRST 50
-#: registered queries each round. Round-10 window (VERDICT r9 #1) = (a)
-#: the 39 round-7-only greens (the precomputed r10 rotation debt - at
-#: WINDOW_ROUND=10 the staleness guard fails without every one of them),
-#: and (b) 11 queries whose implementing code changed this round:
-#: the Hadoop-FileSystem storage seam rewrote sources/versioned.py,
-#: sources/transactions.py, and operators/ivf_layout.py's manifest IO
-#: (-> versioned_time_travel, versioned_stream_sink, txn_multi_table,
-#: ann_ivf_layout_probe, ann_ivf_hier_layout_probe, ivf_generation_swap,
-#: ann_ivfpq_stored_probe - the stored-PQ probe resolves files through
-#: the same manifest seam); the forced big-side broadcast sweep
-#: (VERDICT r9 #3) touched plans/silver.py silver_fact_build and
-#: plans/joins.py j2/j4/j7. g2_top_performing_content's own broadcast
-#: fix re-vouches for free inside its debt slot.
+#: registered queries each round. Round-11 window (VERDICT r10 #1) =
+#: (a) the 43 surviving round-8-only greens (the precomputed r11
+#: rotation debt of 46, minus the three standalone names deleted by
+#: this round's capacity folds - u3_udtf_tokenize, mm_binary_metadata,
+#: mm_frame_sample no longer exist to need vouching), and (b) 7 slots:
+#: the 4 planned at r10 (j1 de-hint, the two fold composites, m2's
+#: re-vouch) plus 3 of this round's code-touching changes (ADVICE r10
+#: fixes to operators/asof.py and sources/transactions.py orphaned two
+#: r10-green rows; ann_ivf_kmeans_recall pre-rotates from r9 because
+#: it heads the bench-regression watch family - if settling VERDICT
+#: r10 #5 changes code, its row re-vouches in-window for free).
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- code changed this round (old rows stopped vouching) -------------
-    "versioned_time_travel",          # fsio seam in sources/versioned.py
-    "versioned_stream_sink",          # sink commits through the seam
-    "txn_multi_table",                # fsio seam + vacuum_txn + orphan scan
-    "ann_ivf_layout_probe",           # manifest IO through fsio
-    "ann_ivf_hier_layout_probe",      # same shared probe tail
-    "ivf_generation_swap",            # generation commit/vacuum via fsio
-    "ann_ivfpq_stored_probe",         # stored-PQ probe shares the seam
-    "silver_fact_build",              # de-hinted customer dim join
-    "j2_dimension_lookup",            # de-hinted customer dim join
-    "j4_anti_join_missing_fk",        # de-hinted anti-join build side
-    "j7_star_join_region_revenue",    # de-hinted customer, kept nation/region
-    # -- round-7-only greens: the precomputed r10 rotation debt (39) -----
-    "a12_daily_modal_event_type", "a14_table_stats",
-    "a1_language_distribution", "a2_event_type_distribution",
-    "a3_engagement_stats", "a5_latest_user_snapshot", "a7_dedup_keep_first",
-    "a8_null_profile", "asof_join_latest_order", "curation_docs_ledger",
-    "curation_funnel", "f1_html_clean",
-    "decontamination_scores", "dq_violation_summary", "f11_user_activity_age",
-    "f12_engagement_ratio", "f2_json_array_ops", "f4_json_field_extraction",
-    "f5_json_roundtrip", "f9_date_dimension", "g2_top_performing_content",
-    "g3_account_influence", "g4_hashtag_performance",
-    "g5_hourly_posting_patterns", "g7_viral_content", "o1_global_sort",
-    "o2_top_events", "p2_time_window_cutoff", "p6_normalized_documents",
-    "p_clean_documents", "p_clean_events", "s10_dynamic_ddl",
-    "s2_retry_backoff", "sessionization_gaps", "stats_quantile_sketch",
-    "stream_tumbling_counts", "text_quality_scores", "tfidf_top_terms",
-    "x1_token_frequencies",
+    # -- r11 slots: planned at r10 + this round's changed code -----------
+    "j1_change_detection",            # de-hinted the growing `cur` relation
+    "m2_idempotent_dim_insert",       # late-r10 idempotent_append hardening
+    "u2_sentiment_inference",         # extended composite: + arrow UDTF (u3 fold)
+    "mm_binary_frames",               # new composite: metadata + frames fold
+    "asof_join_latest_order",         # asof.py NULL-join-key fix (ADVICE r10)
+    "txn_multi_table",                # commit_txn pre-publish re-validation
+    "ann_ivf_kmeans_recall",          # bench-watch pre-rotation (r9-green)
+    # -- round-8-only greens: the precomputed r11 rotation debt (43) -----
+    "a6_dedup_latest_version", "ann_multitable_recall",
+    "decontamination_bloom", "dedup_minhash_lsh", "dedup_substring_spans",
+    "digest_run_summary", "g1_daily_engagement_summary",
+    "kmeans_embedding_clusters", "kmeans_incremental_assign",
+    "kmeans_twolevel_clusters", "m1_scd2_account_dim",
+    "olap_cube_type_weekend", "olap_grouping_sets",
+    "olap_pivot_status_qty", "olap_rollup_returnflag_status",
+    "p7_top_positive_docs", "pii_redaction", "q1_pricing_summary",
+    "rangejoin_value_bands", "rolling_7day_user_value",
+    "semdedup_incremental", "semdedup_prune", "session_window_native",
+    "setops_user_segments", "sim_cosine_topk", "sim_embedding_near_dups",
+    "sim_lsh_buckets", "skew_salted_aggregate", "split_train_val_test",
+    "sql_surface_daily_trends", "sql_surface_star_revenue", "stats_moments",
+    "stats_value_quantiles", "stream_dedup_events", "stream_sliding_value_avg",
+    "stream_stateful_running_totals", "stream_static_join_segments",
+    "text_fingerprint", "text_language_id", "text_token_counts",
+    "training_mix_shards", "u2_sentiment_distribution", "w_rank_family",
 )
 
-#: Round-11 rotation debt, precomputed from the CORRECTNESS_r01..r09
-#: union (newest green round per name, with every r10-window name
-#: advanced to r10): 46 round-8-only greens fall due at WINDOW_ROUND=11,
-#: leaving only FOUR slots for r11 new/changed code - keep r11's
-#: code-touching changes to <= 4 contract rows (or fold them into debt
-#: names, as g2's broadcast fix was this round):
-#:   a6_dedup_latest_version, ann_multitable_recall,
-#:   decontamination_bloom, dedup_minhash_lsh, dedup_substring_spans,
-#:   digest_run_summary, g1_daily_engagement_summary,
-#:   kmeans_embedding_clusters, kmeans_incremental_assign,
-#:   kmeans_twolevel_clusters, m1_scd2_account_dim, mm_binary_metadata,
-#:   mm_frame_sample, olap_cube_type_weekend, olap_grouping_sets,
-#:   olap_pivot_status_qty, olap_rollup_returnflag_status,
-#:   p7_top_positive_docs, pii_redaction, q1_pricing_summary,
-#:   rangejoin_value_bands, rolling_7day_user_value,
-#:   semdedup_incremental, semdedup_prune, session_window_native,
-#:   setops_user_segments, sim_cosine_topk, sim_embedding_near_dups,
-#:   sim_lsh_buckets, skew_salted_aggregate, split_train_val_test,
-#:   sql_surface_daily_trends, sql_surface_star_revenue, stats_moments,
-#:   stats_value_quantiles, stream_dedup_events, stream_sliding_value_avg,
-#:   stream_stateful_running_totals, stream_static_join_segments,
-#:   text_fingerprint, text_language_id, text_token_counts,
-#:   training_mix_shards, u2_sentiment_distribution, u3_udtf_tokenize,
-#:   w_rank_family.
+#: Round-12 rotation debt, precomputed from the CORRECTNESS_r01..r10
+#: union (newest green round per name, with every r11-window name
+#: advanced to r11): 35 round-9-only greens fall due at WINDOW_ROUND=12
+#: (the 39 r9-only names minus j1_change_detection,
+#: m2_idempotent_dim_insert, u2_sentiment_inference, and
+#: ann_ivf_kmeans_recall, all re-vouched in the r11 window), leaving
+#: FIFTEEN slots for r12 new/changed code:
+#:   a11_approx_distinct, chunk_context_windows, cluster_split_audit,
+#:   day2_incremental_counts, day2_schema_evolution, dedup_clusters,
+#:   dedup_editdistance_pairs, dedup_exact, dedup_incremental,
+#:   dedup_ngram_jaccard, dedup_simhash, f1_html_entities,
+#:   g6_daily_event_trends, j3_band_join, j5_semi_join_cleanup,
+#:   m4_surrogate_keys, m5_orphan_cleanup, mm_decode_features,
+#:   mm_image_resize, pack_token_shards, pq_codes_rerank_topk,
+#:   s4_csv_fallback_roundtrip, s9_ddl_catalog, sample_cluster_balanced,
+#:   sample_stratified, semdedup_miss_audit, sim_ivf_probe_topk,
+#:   stream_file_sink_counts, stream_interval_join,
+#:   temperature_mix_counts, text_gopher_quality, text_repetition,
+#:   topk_per_group_docs, w1_user_engagement_rank,
+#:   w2_user_daily_value_change.
 #:
-#: r11 slot plan for the 4 free slots (decided r10): (1)
-#: j1_change_detection - plans/joins.py:184 still force-broadcasts the
-#: customer-derived `cur` relation (the one growing-relation hint left
-#: after the r10 sweep; j1 was r9-green and outside the r10 window, so
-#: the de-hint waits for a slot rather than orphaning its vouching);
-#: (2-3) the capacity folds (VERDICT r9 #7): extend the inference
-#: contract row to cover u3_udtf_tokenize's surface and one multimodal
-#: composite to cover mm_binary_metadata + mm_frame_sample, re-vouch
-#: the extended rows, and only then delete the standalone names (all
-#: three are r11-debt names anyway, so their last standalone check and
-#: the composite's first check land in the same window); (4)
-#: m2_idempotent_dim_insert - a late-r10 review hardened
-#: operators/scd.py idempotent_append (intra-batch duplicate keys now
-#: deduped deterministically, the ON CONFLICT contract), AFTER the r10
-#: window was sealed; m2 is r9-green so its formal staleness bound is
-#: r12, but changed code takes the spare slot at r11. Four more
-#: late-r10 review fixes touched rows that are ALREADY r11-debt names
-#: (their formal re-vouch lands next window by construction; every one
-#: was re-verified against its DuckDB oracle at sf0.01 on the final
-#: r10 tree): skew_salted_aggregate (per-row partition-id salt - the
-#: crc32(key) salt was constant per key and never spread the hot key),
-#: rangejoin_value_bands (range predicate moved into the join
-#: condition so non-inner modes stop degenerating to inner),
-#: stream_dedup_events (dropDuplicatesWithinWatermark - the plain
-#: dropDuplicates kept state forever), and m1_scd2_account_dim
-#: (scd2_merge docstring now states the unique-source-key MERGE
-#: precondition). asof_join_latest_order's atomic-struct carry fix is
-#: inside its own r10 window slot.
+#: Registrations after the r11 folds: 133 of 145 (u3_udtf_tokenize
+#: folded into u2_sentiment_inference; mm_binary_metadata +
+#: mm_frame_sample folded into mm_binary_frames). Both extended
+#: composites were locally re-verified green against their DuckDB
+#: oracles at sf0.01 BEFORE the standalone names were deleted, and
+#: occupy r11 window slots for the formal driver vouch - no vouched
+#: surface is orphaned (VERDICT r10 #3's ordering).
 #:
 #: CAPACITY POLICY (VERDICT r4 #7): the 50-slot window and the 2-round
 #: staleness bound give a hard ceiling of 50 x 3 = 150 sustainable

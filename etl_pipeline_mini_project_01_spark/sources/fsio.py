@@ -217,12 +217,19 @@ def rmtree(path: str) -> None:
 
 def rename(src: str, dst: str) -> None:
     """No-overwrite move (stage dir -> final snapshot name). Raises
-    OSError when the destination exists - Hadoop's rename refuses it
-    natively; the local path checks first (POSIX rename would silently
-    overwrite, which is never what a snapshot publish wants; the
-    check-then-rename window is immaterial because every destination
-    name is single-writer by construction - claimed via the manifest
-    log before the rename)."""
+    OSError when the destination exists as a FILE - Hadoop's rename
+    refuses that natively; the local path checks first (POSIX rename
+    would silently overwrite, which is never what a snapshot publish
+    wants). Caveat, stated honestly: when the destination exists as a
+    DIRECTORY, Hadoop's FileSystem.rename moves the source INTO it
+    (POSIX `mv` semantics) instead of refusing - the local path's
+    exists-check refuses both. The protocol never reaches either case
+    with a true atomic claim (every destination name is single-writer
+    by construction - claimed via the manifest log before the rename);
+    in the DEGRADED S3A multi-writer mode the divergence is pinned by
+    tests/test_fsio_degraded.py: both backends keep readers consistent,
+    the lost race costs one acknowledged commit - the documented
+    reason Delta on S3 needs a coordination service."""
     if not has_scheme(src):
         if os.path.exists(dst):
             raise OSError(f"rename {src} -> {dst}: destination exists")

@@ -149,12 +149,29 @@ def commit_txn(root: str, tables: dict[str, int],
             "committer; re-read and retry") from None
     manifest = {"txn": t, "tables": {n: int(v) for n, v in tables.items()}}
     claim.finalize_json(manifest)
+    # Pre-publish re-validation (see the retention contract above): a
+    # vacuum that snapshotted its pin set before this txn's manifest
+    # became readable may have reclaimed an OLD version this txn pins.
+    # Once finalize_json lands, any NEW vacuum's _pinned_versions sees
+    # the pins, so a version still readable here is protected from then
+    # on. Checking BEFORE _publish_latest_txn means a detected-
+    # unservable txn is never installed as the readers' pointer
+    # (previously the broken txn was published as _LATEST first, so
+    # every subsequent read_txn_snapshot() of latest failed until a new
+    # commit landed); the manifest itself stays on disk as a burned
+    # number with dead pins - time travel to it raises
+    # FileNotFoundError, the documented crashed-commit shape.
+    _check_pins_servable(root, tables, t, "the pin became readable")
     _publish_latest_txn(root, manifest)
-    # Post-publish re-validation (see the retention contract above): a
-    # vacuum that snapshotted its pin set before this txn landed may
-    # have reclaimed an OLD version this txn pins. Once the manifest is
-    # published the vacuum's _pinned_versions sees it, so a version
-    # that is still readable HERE is protected from then on.
+    # Post-publish re-check, defense in depth: a vacuum that snapshotted
+    # pins before finalize_json and swept between the check above and
+    # the publish is still surfaced loudly at commit time.
+    _check_pins_servable(root, tables, t, "the pin published")
+    return t
+
+
+def _check_pins_servable(root: str, tables: dict[str, int], t: int,
+                         when: str) -> None:
     for name, v in tables.items():
         mp = os.path.join(root, name, "_versions", f"v{v:08d}.json")
         try:
@@ -164,11 +181,10 @@ def commit_txn(root: str, tables: dict[str, int],
         if not ok:
             raise RuntimeError(
                 f"transaction {t} of {root} pinned {name}@v{v} but a "
-                "concurrent vacuum reclaimed that version before the "
-                "pin published - the txn is not servable; re-stage the "
+                f"concurrent vacuum reclaimed that version before "
+                f"{when} - the txn is not servable; re-stage the "
                 "table and commit a new transaction (see the retention "
                 "contract in commit_txn's docstring)")
-    return t
 
 
 def _publish_latest_txn(root: str, manifest: dict) -> None:

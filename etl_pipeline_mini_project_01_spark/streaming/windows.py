@@ -102,16 +102,20 @@ def run_to_file_sink(result: DataFrame, out_dir: str, checkpoint_dir: str,
 def stream_static_segment_counts(spark: SparkSession, sf_dir: str,
                                  watermark: str = "1 day") -> DataFrame:
     """Stream-static join: the event stream enriches against the static
-    customer dim (broadcast - the dim never shuffles, each micro-batch
-    probes the same hash relation), then aggregates per market segment.
-    The canonical streaming enrichment shape: at 100 TB/day the stream
-    side stays partitioned by arrival, the dim side broadcasts or is a
-    state-store lookup."""
+    customer dim, then aggregates per market segment. The canonical
+    streaming enrichment shape: at 100 TB/day the stream side stays
+    partitioned by arrival and the dim side broadcasts WHEN IT FITS or
+    becomes a state-store lookup. No broadcast hint here: customer
+    grows with the corpus, and the engine's rule after the r10 sweep is
+    that hints are reserved for provably-bounded relations - the
+    2-column projection broadcasts anyway at small SF via the size
+    check, and at 100x the planner degrades to a shuffle join instead
+    of an executor OOM."""
     from ..catalog import load_table
 
     events = read_events_stream(spark, sf_dir)
-    cust = F.broadcast(load_table(spark, sf_dir, "customer")
-                       .select("c_custkey", "c_mktsegment"))
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment"))
     return (events
             .withWatermark("ts", watermark)
             .join(cust, events.user_id == cust.c_custkey, "left")

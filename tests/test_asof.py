@@ -30,3 +30,23 @@ def test_asof_backward_ties_and_misses(spark):
                                        right_ts="rts",
                                        payload=["payload"]).collect()}
     assert out == {1: "new", 2: "new", 3: None, 4: None}
+
+
+def test_asof_null_join_keys_never_match(spark):
+    """ADVICE r10: DuckDB ASOF's equality condition never matches NULL
+    keys, but Window.partitionBy groups NULLs together - a NULL-key
+    right row must not be carried into NULL-key left rows, and left
+    NULL-key rows still surface with NULL payload."""
+    left = spark.createDataFrame(
+        [(1, None, _ts("2024-01-05T00:00:00")),
+         (2, 10, _ts("2024-01-05T00:00:00"))],
+        "event_id bigint, k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(None, _ts("2024-01-01T00:00:00"), "null-key"),
+         (10, _ts("2024-01-02T00:00:00"), "real")],
+        "k int, rts timestamp, payload string")
+    out = {r["event_id"]: r["payload"]
+           for r in asof_join_backward(left, right, key="k", left_ts="ts",
+                                       right_ts="rts",
+                                       payload=["payload"]).collect()}
+    assert out == {1: None, 2: "real"}

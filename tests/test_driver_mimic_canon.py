@@ -6,6 +6,7 @@ collect()-based mimic missed MUST reproduce through this path.
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pytest
 
 from driver_mimic import canon_frame
@@ -42,3 +43,22 @@ def test_scd2_sentinel_is_arrow_safe(spark):
     pdf = spark.sql(
         f"SELECT TIMESTAMP_NTZ '{FAR_FUTURE}' AS valid_to").toPandas()
     assert pdf["valid_to"].iloc[0].year == 2200
+
+
+def test_decimal_magnitude_doubles_compare_quantized():
+    """VERDICT r10 #7: above 2^53 a single-ulp divergence between
+    Spark's decimal-sum->double cast and DuckDB's DECIMAL->float64
+    materialization is the ORACLE harness's double-rounding, not an
+    engine bug (q1 at ~sf1.0). canon quantizes that magnitude range to
+    15 significant digits so the sf1.0 mimic sweep stops charging the
+    engine for it - while sub-2^53 floats (every driver-SF value) keep
+    exact repr identity."""
+    from driver_mimic import canon
+
+    big = 1.2345678901234567e17              # > 2^53
+    one_ulp_up = float(np.nextafter(big, np.inf))
+    assert canon(big) == canon(one_ulp_up)   # quantized: ulp noise gone
+    assert canon(big)[0] == "f15"
+    small = 1234567.89
+    assert canon(small) != canon(float(np.nextafter(small, np.inf)))
+    assert canon(small)[0] == "f"            # exact repr below 2^53

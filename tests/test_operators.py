@@ -91,9 +91,12 @@ def test_sentiment_distribution_equals_aggregated_udf(spark):
     )
     load_all_plans()
     sf = "/root/testdata/sf0.001"
+    # The r11 composite emits one row per (doc, token<=3): collapse to
+    # doc grain first - sentiment is constant per doc_id by construction.
     from_udf = {
         (r.sentiment_value, r.n)
         for r in QUERIES["u2_sentiment_inference"](spark, sf)
+        .select("doc_id", "sentiment_value").distinct()
         .groupBy("sentiment_value").agg(F.count(F.lit(1)).alias("n"))
         .collect()}
     from_sql = {(r.sentiment_value, r.n)
@@ -220,3 +223,28 @@ def test_salted_aggregate_salts_per_row_not_per_key(spark):
         F.sum(F.col("v").cast("decimal(18,4)")).cast("double")
         .alias("total")).collect()[0]
     assert (row.n, row.total) == (truth.n, truth.total)
+
+
+def test_bucketed_range_join_refuses_interval_preserving_modes(spark):
+    """ADVICE r10: the intervals side is bucket-exploded, so right/full
+    modes would emit one row per exploded copy - unmatched AND matched
+    intervals duplicated. The operator refuses them loudly; every
+    left-preserving spelling stays accepted."""
+    import pytest
+
+    from etl_pipeline_mini_project_01_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    points = spark.createDataFrame([(1, 5.0)], "pid bigint, x double")
+    intervals = spark.createDataFrame([(10, 0.0, 10.0)],
+                                      "iid bigint, lo double, hi double")
+    for bad in ("right", "right_outer", "full", "full_outer", "outer",
+                "cross"):
+        with pytest.raises(ValueError, match="bucket-exploded"):
+            bucketed_range_join(points, "x", intervals, "lo", "hi",
+                                stride=10.0, how=bad)
+    for ok in ("inner", "left", "left_outer", "leftsemi", "left_anti"):
+        df = bucketed_range_join(points, "x", intervals, "lo", "hi",
+                                 stride=10.0, how=ok)
+        assert df.count() in (0, 1)   # semantics pinned elsewhere

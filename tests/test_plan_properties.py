@@ -359,6 +359,7 @@ def test_no_forced_bigside_broadcast(spark):
     expected = {
         "g2_top_performing_content": 1,   # the 1-row __n_docs scalar
         "silver_fact_build": 0,
+        "j1_change_detection": 0,         # de-hinted r11: `cur` grows
         "j2_dimension_lookup": 1,         # nation
         "j4_anti_join_missing_fk": 0,
         "j7_star_join_region_revenue": 2, # nation + region
@@ -407,11 +408,10 @@ def test_registry_wide_plan_hygiene(spark):
       * sim_cosine_topk's N_QUERIES-bounded query batch (score-all
         scan by design).
 
-    u3_udtf_tokenize is the one BatchEvalPython exception: the Python
-    UDTF surface itself (Spark plans UDTFs as BatchEvalPythonUDTF;
-    the arrow-optimized variant lands with its r11 composite fold -
-    plans/registry.py r11 slot plan). A NEW query tripping this guard
-    needs the same written justification, not an allowlist edit."""
+    No BatchEvalPython exceptions remain: the UDTF surface (folded
+    into u2_sentiment_inference, r11) is arrow-optimized and plans as
+    ArrowEvalPythonUDTF. A NEW query tripping this guard needs a
+    written justification, not an allowlist edit."""
     from etl_pipeline_mini_project_01_spark.plans.registry import (
         QUERIES,
         load_all_plans,
@@ -424,7 +424,7 @@ def test_registry_wide_plan_hygiene(spark):
         "sim_cosine_topk": 1, "temperature_mix_counts": 2,
         "tfidf_top_terms": 1,
     }
-    python_eval_allowed = {"u3_udtf_tokenize"}
+    python_eval_allowed: set[str] = set()
     offenders = {}
     for name, fn in QUERIES.items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().sparkPlan().toString()

@@ -328,3 +328,50 @@ def test_commit_txn_revalidates_pins_after_publish(spark, root,
                         vacuum_wins_the_race)
     with pytest.raises(RuntimeError, match="concurrent vacuum"):
         commit_txn(root, {"orders": ov}, 0)
+
+
+def test_commit_txn_unservable_never_published_as_latest(spark, root,
+                                                         monkeypatch):
+    """ADVICE r10: the vacuum-race RuntimeError used to fire only AFTER
+    _publish_latest_txn, leaving the broken txn installed as _LATEST -
+    every subsequent read_txn_snapshot() of latest then failed with
+    FileNotFoundError until a new commit landed. The re-validation now
+    ALSO runs between finalize_json and the publish: a detected-
+    unservable txn is never installed as the readers' pointer, and a
+    follow-up commit (rebased on the burned head) restores service."""
+    from etl_pipeline_mini_project_01_spark.sources import transactions
+
+    ov = write_version(_df(spark, [1]), os.path.join(root, "orders"))
+    real_claim = fsio.claim_excl
+
+    class VacuumAfterFinalize:
+        """Proxy claim: the concurrent vacuum reclaims the pinned
+        version right after the manifest content lands - inside the
+        finalize -> publish window the pre-publish check covers."""
+
+        def __init__(self, path):
+            self._inner = real_claim(path)
+
+        def finalize_json(self, obj):
+            self._inner.finalize_json(obj)
+            # a real vacuum removes manifest first, snapshot dir second
+            fsio.remove(os.path.join(root, "orders", "_versions",
+                                     "v00000001.json"))
+            fsio.rmtree(os.path.join(root, "orders", "v00000001"))
+
+    monkeypatch.setattr(transactions.fsio, "claim_excl",
+                        VacuumAfterFinalize)
+    with pytest.raises(RuntimeError, match="concurrent vacuum"):
+        commit_txn(root, {"orders": ov}, 0)
+    monkeypatch.setattr(transactions.fsio, "claim_excl", real_claim)
+
+    # the readers' pointer was NEVER installed: latest is still "no txn"
+    assert latest_txn(root) == 0
+    assert read_txn_manifest(root) == {}
+    # the burned number stays in the log; a rebased commit of a fresh
+    # version restores service past it
+    ov2 = write_version(_df(spark, [2]), os.path.join(root, "orders"))
+    t = commit_txn(root, {"orders": ov2}, 1)
+    assert t == 2 and latest_txn(root) == 2
+    snap = read_txn_snapshot(spark, root)
+    assert {r["k"] for r in snap["orders"].collect()} == {2}
