@@ -123,14 +123,23 @@ def idempotent_append(existing: DataFrame, incoming: DataFrame,
     row and rejects the second, an anti-join alone would append both
     and permanently break the key-uniqueness every downstream merge
     assumes). A DataFrame has no statement order, so "first" is made
-    deterministic: lowest remaining-column tuple per key."""
+    deterministic: lowest remaining-column tuple per key.
+
+    NULL keys NEVER conflict (Postgres unique indexes treat NULLs as
+    distinct - ON CONFLICT fires for none of them), so NULL-key
+    incoming rows all append untouched: they are excluded from the
+    per-key dedup window (partitionBy would have grouped them and kept
+    one) and pass the anti-join by construction (NULL = NULL is
+    UNKNOWN)."""
     others = [c for c in incoming.columns if c != key]
     w = Window.partitionBy(key).orderBy(*(others or [key]))
-    fresh = (incoming
+    nn = incoming.filter(F.col(key).isNotNull())
+    null_keyed = incoming.filter(F.col(key).isNull())
+    fresh = (nn
              .withColumn("__rn", F.row_number().over(w))
              .filter(F.col("__rn") == 1).drop("__rn")
              .join(existing.select(key), key, "left_anti"))
-    return existing.unionByName(fresh)
+    return existing.unionByName(fresh).unionByName(null_keyed)
 
 
 def upsert_latest(existing: DataFrame, incoming: DataFrame, key: str,

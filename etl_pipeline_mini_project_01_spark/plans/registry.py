@@ -125,6 +125,20 @@ CHECK_PRIORITY: tuple[str, ...] = (
 #:   topk_per_group_docs, w1_user_engagement_rank,
 #:   w2_user_daily_value_change.
 #:
+#: r12 slot pre-allocation (found in the r11 review sweep, deferred so
+#: no vouched surface is orphaned mid-window): operators/scd.py
+#: upsert_latest has NO deterministic tie-break when existing and
+#: incoming carry the SAME version tuple for a key (row_number over
+#: desc version_cols alone - the winner is partition-order luck).
+#: Postgres ON CONFLICT DO UPDATE takes the INCOMING row; the fix is a
+#: __src preference column (incoming=1) appended to the window order.
+#: upsert_latest feeds silver_fact_build (r10-green, outside the r11
+#: window), so the fix + its re-vouch take one of r12's fifteen free
+#: slots together. idempotent_append's NULL-key fix (same sweep:
+#: Postgres NULLs never conflict, every NULL-key row appends) landed
+#: THIS round because its only consumer, m2_idempotent_dim_insert,
+#: already holds an r11 slot.
+#:
 #: Registrations after the r11 folds: 133 of 145 (u3_udtf_tokenize
 #: folded into u2_sentiment_inference; mm_binary_metadata +
 #: mm_frame_sample folded into mm_binary_frames). Both extended

@@ -62,3 +62,14 @@ def test_decimal_magnitude_doubles_compare_quantized():
     small = 1234567.89
     assert canon(small) != canon(float(np.nextafter(small, np.inf)))
     assert canon(small)[0] == "f"            # exact repr below 2^53
+
+    # F15 sweep mode: every float quantizes (the DECIMAL->float64
+    # multiply-by-binary-10^-scale 1-ulp noise occurs at ANY magnitude
+    # - q1's 4.36e10 sum_charge at 10x is well under 2^53)
+    import driver_mimic
+    try:
+        driver_mimic.F15 = True
+        q1 = 43579985256.93967
+        assert canon(q1) == canon(43579985256.939674) == ("f15", "43579985256.9397")
+    finally:
+        driver_mimic.F15 = False

@@ -248,3 +248,18 @@ def test_bucketed_range_join_refuses_interval_preserving_modes(spark):
         df = bucketed_range_join(points, "x", intervals, "lo", "hi",
                                  stride=10.0, how=ok)
         assert df.count() in (0, 1)   # semantics pinned elsewhere
+
+
+def test_idempotent_append_null_keys_never_conflict(spark):
+    """Postgres unique indexes treat NULLs as distinct - ON CONFLICT
+    DO NOTHING fires for none of them, so every NULL-key incoming row
+    appends (the per-key dedup window used to group them and keep
+    one)."""
+    existing = spark.createDataFrame([(1, "a")], "k int, v string")
+    incoming = spark.createDataFrame(
+        [(None, "n1"), (None, "n2"), (1, "x"), (2, "b")],
+        "k int, v string")
+    rows = [(r.k, r.v) for r in
+            idempotent_append(existing, incoming, "k").collect()]
+    out = sorted(rows, key=lambda t: (t[0] is None, t))
+    assert out == [(1, "a"), (2, "b"), (None, "n1"), (None, "n2")]
