@@ -145,9 +145,22 @@ def idempotent_append(existing: DataFrame, incoming: DataFrame,
 def upsert_latest(existing: DataFrame, incoming: DataFrame, key: str,
                   version_cols: Sequence[str]) -> DataFrame:
     """M3/S6: ON CONFLICT DO UPDATE - keep the latest version per key,
-    ordered by `version_cols` (window-dedup rewrite of the upsert sink)."""
-    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in version_cols])
-    return (existing.unionByName(incoming)
+    ordered by `version_cols` (window-dedup rewrite of the upsert sink).
+
+    Tie semantics (r11 review sweep): when existing and incoming carry
+    the SAME version tuple for a key, the INCOMING row wins - Postgres
+    ON CONFLICT DO UPDATE overwrites unconditionally; ordering by the
+    version columns alone left the winner to partition-order luck. A
+    residual tie WITHIN one side falls back to the lowest remaining-
+    column tuple (deterministic, mirroring idempotent_append; unique
+    (key, version) per side remains the caller's contract, like
+    scd2_merge's unique-source-key precondition)."""
+    others = [c for c in incoming.columns if c != key]
+    w = Window.partitionBy(key).orderBy(
+        *[F.desc(c) for c in version_cols],
+        F.desc("__src"), *(others or [key]))
+    return (existing.withColumn("__src", F.lit(0))
+            .unionByName(incoming.withColumn("__src", F.lit(1)))
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn"))
+            .drop("__rn", "__src"))

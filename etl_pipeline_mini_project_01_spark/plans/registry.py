@@ -125,19 +125,17 @@ CHECK_PRIORITY: tuple[str, ...] = (
 #:   topk_per_group_docs, w1_user_engagement_rank,
 #:   w2_user_daily_value_change.
 #:
-#: r12 slot pre-allocation (found in the r11 review sweep, deferred so
-#: no vouched surface is orphaned mid-window): operators/scd.py
-#: upsert_latest has NO deterministic tie-break when existing and
-#: incoming carry the SAME version tuple for a key (row_number over
-#: desc version_cols alone - the winner is partition-order luck).
-#: Postgres ON CONFLICT DO UPDATE takes the INCOMING row; the fix is a
-#: __src preference column (incoming=1) appended to the window order.
-#: upsert_latest feeds silver_fact_build (r10-green, outside the r11
-#: window), so the fix + its re-vouch take one of r12's fifteen free
-#: slots together. idempotent_append's NULL-key fix (same sweep:
-#: Postgres NULLs never conflict, every NULL-key row appends) landed
-#: THIS round because its only consumer, m2_idempotent_dim_insert,
-#: already holds an r11 slot.
+#: r11 review-sweep scd fixes, both landed this round with no orphaned
+#: vouching: idempotent_append no longer dedups NULL-key incoming rows
+#: (Postgres NULLs never conflict - every NULL-key row appends; sole
+#: consumer m2_idempotent_dim_insert holds an r11 slot), and
+#: upsert_latest gained a deterministic tie-break where the INCOMING
+#: row wins equal-version ties (Postgres ON CONFLICT DO UPDATE
+#: overwrites unconditionally; the winner was partition-order luck).
+#: The upsert fix needs NO window slot: the silver_fact_build driver
+#: row never executes upsert_latest - its only consumer is
+#: sources/table_format.merge_upsert_latest, a pytest-covered seam
+#: with no contract row (test_table_format.py + the new tie test).
 #:
 #: Registrations after the r11 folds: 133 of 145 (u3_udtf_tokenize
 #: folded into u2_sentiment_inference; mm_binary_metadata +

@@ -263,3 +263,17 @@ def test_idempotent_append_null_keys_never_conflict(spark):
             idempotent_append(existing, incoming, "k").collect()]
     out = sorted(rows, key=lambda t: (t[0] is None, t))
     assert out == [(1, "a"), (2, "b"), (None, "n1"), (None, "n2")]
+
+
+def test_upsert_latest_incoming_wins_version_ties(spark):
+    """Postgres ON CONFLICT DO UPDATE overwrites unconditionally: when
+    existing and incoming carry the SAME version for a key, the
+    incoming row must win deterministically (ordering by version alone
+    left it to partition-order luck)."""
+    existing = spark.createDataFrame([(1, "old", 5), (2, "keep", 7)],
+                                     "k int, v string, ver int")
+    incoming = spark.createDataFrame([(1, "new", 5), (2, "stale", 6)],
+                                     "k int, v string, ver int")
+    out = {(r.k, r.v) for r in
+           upsert_latest(existing, incoming, "k", ["ver"]).collect()}
+    assert out == {(1, "new"), (2, "keep")}
