@@ -76,8 +76,12 @@ def build_silver(spark: SparkSession, sf_dir: str,
         ["c_custkey", "valid_from"])
     acct = dim_account.filter(F.col("is_current")).select(
         "account_key", F.col("c_custkey").alias("user_key"))
+    # No broadcast hint on the account dim: it derives from the full
+    # customer table and grows with the corpus (the r11 sweep removed
+    # the last forced big-side hints engine-wide) - AQE size-checks it,
+    # broadcast while it fits, shuffle join beyond that.
     fact = (bronze
-            .join(F.broadcast(acct), bronze.user_id == acct.user_key, "left")
+            .join(acct, bronze.user_id == acct.user_key, "left")
             .select(
                 F.col("event_id").alias("event_natural_key"),
                 date_key("ts").alias("date_key"),

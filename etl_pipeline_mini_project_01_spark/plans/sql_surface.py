@@ -80,13 +80,18 @@ ORDER BY nation_name
 """,
 )
 def sql_surface_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join via Spark SQL text with an explicit BROADCAST hint - the
-    SQL-surface twin of j7 (Catalyst picks broadcast anyway below the
-    threshold; the hint pins it at any dim size)."""
+    """Star join via Spark SQL text - the SQL-surface twin of j7,
+    proving hints pass through the SQL parser into the same Catalyst
+    pipeline. Hint policy matches j7 after the broadcast sweep: only
+    the CONSTANT dim (nation, 25 rows) carries a hint; customer GROWS
+    with the corpus, so its hint (a sweep survivor hiding in SQL text
+    until r11) is gone - AQE size-checks it instead, broadcast while
+    it fits, shuffle join at the scale where it no longer does.
+    Plan-guarded in test_no_forced_bigside_broadcast."""
     register_temp_views(spark, sf_dir,
                         ("lineitem", "orders", "customer", "nation"))
     return spark.sql("""
-        SELECT /*+ BROADCAST(c), BROADCAST(n) */
+        SELECT /*+ BROADCAST(n) */
                n.n_name AS nation_name,
                COUNT(*) AS line_count,
                CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))

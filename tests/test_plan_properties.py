@@ -361,6 +361,8 @@ def test_no_forced_bigside_broadcast(spark):
         "silver_fact_build": 0,
         "j1_change_detection": 0,         # de-hinted r11: `cur` grows
         "stream_static_join_segments": 0, # de-hinted r11: customer grows
+        "sql_surface_star_revenue": 1,    # nation only; customer de-hinted
+                                          # r11 (SQL-text sweep survivor)
         "j2_dimension_lookup": 1,         # nation
         "j4_anti_join_missing_fk": 0,
         "j7_star_join_region_revenue": 2, # nation + region
