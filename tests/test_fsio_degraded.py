@@ -208,3 +208,32 @@ def test_lost_race_inside_window_never_tears_readers(spark, root,
     assert v3 == 3
     assert latest_readable_version(root) == 3
     assert {r["k"] for r in read_version(spark, root).collect()} == {4}
+
+
+def test_degraded_txn_claims_still_arbitrate(spark, root, degraded):
+    """The TRANSACTION layer's claim degrades the same way (commit_txn
+    goes through the same fsio.claim_excl): outside the race window a
+    stale committer gets the retryable VersionConflict at the head
+    check or the claim, the winner's pin set is undisturbed, and a
+    rebased retry lands. Multi-table snapshot isolation survives the
+    degraded claim."""
+    from etl_pipeline_mini_project_01_spark.sources.transactions import (
+        commit_txn,
+        latest_txn,
+        read_txn_snapshot,
+    )
+
+    ov = write_version(_df(spark, [1]), os.path.join(root, "orders"))
+    iv = write_version(_df(spark, [10]), os.path.join(root, "items"))
+    t1 = commit_txn(root, {"orders": ov, "items": iv}, 0)
+    assert t1 == 1
+    ov2 = write_version(_df(spark, [2]), os.path.join(root, "orders"))
+    with pytest.raises(VersionConflict):
+        commit_txn(root, {"orders": ov2}, 0)          # stale expectation
+    t2 = commit_txn(root, {"orders": ov2, "items": iv}, t1)
+    assert t2 == 2 and latest_txn(root) == 2
+    snap = read_txn_snapshot(spark, root)
+    assert {r["k"] for r in snap["orders"].collect()} == {2}
+    assert {r["k"] for r in snap["items"].collect()} == {10}
+    old = read_txn_snapshot(spark, root, txn=1)
+    assert {r["k"] for r in old["orders"].collect()} == {1}
