@@ -170,3 +170,46 @@ def test_register_scratch_sweeps_aged_siblings(tmp_path, monkeypatch):
     assert mine in catalog._SCRATCH_REGISTERED
     assert not old.exists()                  # aged: swept
     assert fresh.exists()                    # fresh: spared
+
+
+@given(s1=snapshot, s2=snapshot)
+@settings(**_SETTINGS)
+def test_upsert_latest_matches_reference_model(spark, s1, s2):
+    """r11 tie-break pin as a property: upsert_latest over any pair of
+    snapshots (version = the value itself, so equal-version ties are
+    COMMON here) equals the Python reference model 'incoming wins ties,
+    otherwise the larger version wins' - deterministically, whatever
+    the partitioning happened to be."""
+    existing = spark.createDataFrame(
+        [(k, f"e{v}", v) for k, v in sorted(s1.items())],
+        "k int, src string, ver int")
+    incoming = spark.createDataFrame(
+        [(k, f"i{v}", v) for k, v in sorted(s2.items())],
+        "k int, src string, ver int")
+    got = {(r.k, r.src, r.ver) for r in
+           upsert_latest(existing, incoming, "k", ["ver"]).collect()}
+    want = {}
+    for k, v in s1.items():
+        want[k] = (k, f"e{v}", v)
+    for k, v in s2.items():
+        if k not in want or v >= want[k][2]:     # incoming wins ties
+            want[k] = (k, f"i{v}", v)
+    assert got == set(want.values())
+
+
+@given(s2=snapshot)
+@settings(**_SETTINGS)
+def test_idempotent_append_null_keys_all_append(spark, s2):
+    """NULL keys never conflict (Postgres semantics, r11): however many
+    NULL-key rows arrive, all of them append, while keyed rows still
+    dedup to one-per-unseen-key."""
+    existing = spark.createDataFrame([(1, "a")], "k int, v string")
+    n_nulls = 1 + len(s2) % 3
+    rows = [(None, f"n{i}") for i in range(n_nulls)]
+    rows += [(k, f"v{v}") for k, v in sorted(s2.items())]
+    incoming = spark.createDataFrame(rows, "k int, v string")
+    out = idempotent_append(existing, incoming, "k").collect()
+    assert sum(1 for r in out if r.k is None) == n_nulls
+    keyed = [r for r in out if r.k is not None]
+    assert len(keyed) == len({r.k for r in keyed})   # unique non-null keys
+    assert {r.k for r in keyed} == {1} | set(s2)
