@@ -70,3 +70,83 @@ def rangejoin_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  dsum("value", "total_value"))
             .orderBy("band_id"))
+
+
+def _gapped_bands(spark: SparkSession) -> DataFrame:
+    """Every third band removed -> guaranteed unmatched points (their
+    values fall in a gap) alongside unmatched bands (ids past the
+    points' value cutoff), so both null-extension directions of the
+    outer modes carry rows."""
+    i = F.col("id")
+    return (spark.range(N_BANDS)
+            .where(i % 3 != 0)
+            .select(i.alias("band_id"),
+                    (2 * i + _frac(i)).alias("lo"),
+                    (2 * (i + 1) + _frac(i + 1)).alias("hi")))
+
+
+_SQL_GAPPED_BANDS = f"""
+    SELECT i AS band_id,
+           2 * i + {_SQL_FRAC.format(x='i')} AS lo,
+           2 * (i + 1) + {_SQL_FRAC.format(x='i + 1')} AS hi
+    FROM range(0, {N_BANDS}) t(i) WHERE i % 3 <> 0
+"""
+
+
+@register(
+    "rangejoin_outer_modes",
+    oracle=f"""
+WITH bands AS ({_SQL_GAPPED_BANDS}),
+pts AS (SELECT event_id, value FROM events WHERE value < 100),
+r AS (
+    SELECT 'right' AS mode, b.band_id,
+           COUNT(*) AS n_rows,
+           COUNT(p.value) AS n_matched,
+           {sql_dsum('p.value')} AS total_value
+    FROM pts p RIGHT JOIN bands b ON p.value >= b.lo AND p.value < b.hi
+    GROUP BY b.band_id
+),
+f AS (
+    SELECT 'full' AS mode, COALESCE(b.band_id, -1) AS band_id,
+           COUNT(*) AS n_rows,
+           COUNT(p.value) AS n_matched,
+           {sql_dsum('p.value')} AS total_value
+    FROM pts p FULL JOIN bands b ON p.value >= b.lo AND p.value < b.hi
+    GROUP BY COALESCE(b.band_id, -1)
+)
+SELECT * FROM r UNION ALL SELECT * FROM f
+ORDER BY mode, band_id
+""",
+)
+def rangejoin_outer_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right- and full-outer bucketed range joins (VERDICT r11 #2)
+    checked against DuckDB's NATIVE right/full range joins on an
+    identically-generated gapped dim. The interval side is bucket-
+    exploded, so the naive outer join would emit one null-extended row
+    per exploded copy of each unmatched band; the operator's row-id
+    core+remainder rewrite must emit exactly one. n_rows vs n_matched
+    pins that class of bug: an empty band must contribute n_rows=1,
+    n_matched=0, and the full mode's gap bucket (band_id=-1) must hold
+    each gap-value event exactly once."""
+    events = (load_table(spark, sf_dir, "events")
+              .where(F.col("value") < 100)
+              .select("event_id", "value"))
+    bands = _gapped_bands(spark)
+
+    def rollup(joined: DataFrame, mode: str, band: Column) -> DataFrame:
+        return (joined.groupBy(band.alias("band_id"))
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.count("value").alias("n_matched"),
+                     dsum("value", "total_value"))
+                .select(F.lit(mode).alias("mode"), "band_id",
+                        "n_rows", "n_matched", "total_value"))
+
+    right = rollup(
+        bucketed_range_join(events, "value", bands, "lo", "hi", STRIDE,
+                            how="right"),
+        "right", F.col("band_id"))
+    full = rollup(
+        bucketed_range_join(events, "value", bands, "lo", "hi", STRIDE,
+                            how="full"),
+        "full", F.coalesce(F.col("band_id"), F.lit(-1).cast("bigint")))
+    return right.unionByName(full).orderBy("mode", "band_id")

@@ -60,70 +60,78 @@ _PLAN_MODULES = (
 #: exist - so the test's verdict is stable across the moment the current
 #: round's results land, and flips red exactly when a new round starts
 #: without the window being rebuilt.
-WINDOW_ROUND = 11
+WINDOW_ROUND = 12
 
 
 #: Driver-check priority: the grading driver verifies only the FIRST 50
-#: registered queries each round. Round-11 window (VERDICT r10 #1) =
-#: (a) the 43 surviving round-8-only greens (the precomputed r11
-#: rotation debt of 46, minus the three standalone names deleted by
-#: this round's capacity folds - u3_udtf_tokenize, mm_binary_metadata,
-#: mm_frame_sample no longer exist to need vouching), and (b) 7 slots:
-#: the 4 planned at r10 (j1 de-hint, the two fold composites, m2's
-#: re-vouch) plus 3 of this round's code-touching changes (ADVICE r10
-#: fixes to operators/asof.py and sources/transactions.py orphaned two
-#: r10-green rows; ann_ivf_kmeans_recall pre-rotates from r9 because
-#: it heads the bench-regression watch family - if settling VERDICT
-#: r10 #5 changes code, its row re-vouches in-window for free).
+#: registered queries each round. Round-12 window (VERDICT r11 #1) =
+#: (a) the 35 round-9-only greens precomputed at r11 (verified
+#: name-for-name by the r11 judge), and (b) 15 slots for this round's
+#: new/changed code plus r10 pre-rotations that smooth the r13 debt:
+#: rangejoin_outer_modes is NEW (right/full-outer bucketed range join,
+#: VERDICT r11 #2) and rangejoin_value_bands re-vouches the shared
+#: operators/rangejoin.py edit; versioned_time_travel /
+#: versioned_stream_sink / ivf_generation_swap / the three stored-ANN
+#: probes re-vouch the manifest data-skipping stats (VERDICT r11 #3,
+#: sources/versioned.py + operators/ivf_layout.py write paths);
+#: stream_dedup_events re-vouches its bounded-sink re-point (VERDICT
+#: r11 #6); m1_scd2_account_dim + silver_fact_build cover any
+#: operators/scd.py touch from the m1 bench watch (VERDICT r11 #5);
+#: the rest are r10 pre-rotations (heaviest remaining code paths
+#: first), cutting the r13 debt from 48 to 37.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- r11 slots: planned at r10 + this round's changed code -----------
-    "j1_change_detection",            # de-hinted the growing `cur` relation
-    "m2_idempotent_dim_insert",       # late-r10 idempotent_append hardening
-    "u2_sentiment_inference",         # extended composite: + arrow UDTF (u3 fold)
-    "mm_binary_frames",               # new composite: metadata + frames fold
-    "asof_join_latest_order",         # asof.py NULL-join-key fix (ADVICE r10)
-    "txn_multi_table",                # commit_txn pre-publish re-validation
-    "ann_ivf_kmeans_recall",          # bench-watch pre-rotation (r9-green)
-    # -- round-8-only greens: the precomputed r11 rotation debt (43) -----
-    "a6_dedup_latest_version", "ann_multitable_recall",
-    "decontamination_bloom", "dedup_minhash_lsh", "dedup_substring_spans",
-    "digest_run_summary", "g1_daily_engagement_summary",
-    "kmeans_embedding_clusters", "kmeans_incremental_assign",
-    "kmeans_twolevel_clusters", "m1_scd2_account_dim",
-    "olap_cube_type_weekend", "olap_grouping_sets",
-    "olap_pivot_status_qty", "olap_rollup_returnflag_status",
-    "p7_top_positive_docs", "pii_redaction", "q1_pricing_summary",
-    "rangejoin_value_bands", "rolling_7day_user_value",
-    "semdedup_incremental", "semdedup_prune", "session_window_native",
-    "setops_user_segments", "sim_cosine_topk", "sim_embedding_near_dups",
-    "sim_lsh_buckets", "skew_salted_aggregate", "split_train_val_test",
-    "sql_surface_daily_trends", "sql_surface_star_revenue", "stats_moments",
-    "stats_value_quantiles", "stream_dedup_events", "stream_sliding_value_avg",
-    "stream_stateful_running_totals", "stream_static_join_segments",
-    "text_fingerprint", "text_language_id", "text_token_counts",
-    "training_mix_shards", "u2_sentiment_distribution", "w_rank_family",
+    # -- r12 slots: this round's new/changed code + r10 pre-rotations ----
+    "rangejoin_outer_modes",          # NEW: right/full-outer range join
+    "rangejoin_value_bands",          # operators/rangejoin.py edited
+    "versioned_time_travel",          # manifest min/max stats write path
+    "versioned_stream_sink",          # same manifest writer, stream side
+    "ivf_generation_swap",            # ivf_layout.py manifest commit
+    "ann_ivf_layout_probe",           # stats-aware probe planning
+    "ann_ivf_hier_layout_probe",      # stats-aware probe planning
+    "ann_ivfpq_stored_probe",         # stats-aware probe planning
+    "stream_dedup_events",            # bounded-sink re-point
+    "m1_scd2_account_dim",            # scd.py m1 bench-watch follow-up
+    "silver_fact_build",              # scd.py consumer (r10 pre-rotation)
+    "tfidf_top_terms",                # r10 pre-rotation
+    "decontamination_scores",         # r10 pre-rotation
+    "stats_quantile_sketch",          # r10 pre-rotation
+    "sessionization_gaps",            # r10 pre-rotation
+    # -- round-9-only greens: the precomputed r12 rotation debt (35) -----
+    "a11_approx_distinct", "chunk_context_windows", "cluster_split_audit",
+    "day2_incremental_counts", "day2_schema_evolution", "dedup_clusters",
+    "dedup_editdistance_pairs", "dedup_exact", "dedup_incremental",
+    "dedup_ngram_jaccard", "dedup_simhash", "f1_html_entities",
+    "g6_daily_event_trends", "j3_band_join", "j5_semi_join_cleanup",
+    "m4_surrogate_keys", "m5_orphan_cleanup", "mm_decode_features",
+    "mm_image_resize", "pack_token_shards", "pq_codes_rerank_topk",
+    "s4_csv_fallback_roundtrip", "s9_ddl_catalog", "sample_cluster_balanced",
+    "sample_stratified", "semdedup_miss_audit", "sim_ivf_probe_topk",
+    "stream_file_sink_counts", "stream_interval_join",
+    "temperature_mix_counts", "text_gopher_quality", "text_repetition",
+    "topk_per_group_docs", "w1_user_engagement_rank",
+    "w2_user_daily_value_change",
 )
 
-#: Round-12 rotation debt, precomputed from the CORRECTNESS_r01..r10
-#: union (newest green round per name, with every r11-window name
-#: advanced to r11): 35 round-9-only greens fall due at WINDOW_ROUND=12
-#: (the 39 r9-only names minus j1_change_detection,
-#: m2_idempotent_dim_insert, u2_sentiment_inference, and
-#: ann_ivf_kmeans_recall, all re-vouched in the r11 window), leaving
-#: FIFTEEN slots for r12 new/changed code:
-#:   a11_approx_distinct, chunk_context_windows, cluster_split_audit,
-#:   day2_incremental_counts, day2_schema_evolution, dedup_clusters,
-#:   dedup_editdistance_pairs, dedup_exact, dedup_incremental,
-#:   dedup_ngram_jaccard, dedup_simhash, f1_html_entities,
-#:   g6_daily_event_trends, j3_band_join, j5_semi_join_cleanup,
-#:   m4_surrogate_keys, m5_orphan_cleanup, mm_decode_features,
-#:   mm_image_resize, pack_token_shards, pq_codes_rerank_topk,
-#:   s4_csv_fallback_roundtrip, s9_ddl_catalog, sample_cluster_balanced,
-#:   sample_stratified, semdedup_miss_audit, sim_ivf_probe_topk,
-#:   stream_file_sink_counts, stream_interval_join,
-#:   temperature_mix_counts, text_gopher_quality, text_repetition,
-#:   topk_per_group_docs, w1_user_engagement_rank,
-#:   w2_user_daily_value_change.
+#: Round-13 rotation debt, precomputed from the CORRECTNESS_r01..r11
+#: union (newest green round per name, with every r12-window name
+#: advanced to r12): 37 round-10-only greens fall due at
+#: WINDOW_ROUND=13 (the 48 r10-only names minus the 11 re-vouched or
+#: pre-rotated in the r12 window), leaving THIRTEEN slots for r13
+#: new/changed code:
+#:   a12_daily_modal_event_type, a14_table_stats,
+#:   a1_language_distribution, a2_event_type_distribution,
+#:   a3_engagement_stats, a5_latest_user_snapshot, a7_dedup_keep_first,
+#:   a8_null_profile, curation_docs_ledger, curation_funnel,
+#:   dq_violation_summary, f11_user_activity_age, f12_engagement_ratio,
+#:   f1_html_clean, f2_json_array_ops, f4_json_field_extraction,
+#:   f5_json_roundtrip, f9_date_dimension, g2_top_performing_content,
+#:   g3_account_influence, g4_hashtag_performance,
+#:   g5_hourly_posting_patterns, g7_viral_content, j2_dimension_lookup,
+#:   j4_anti_join_missing_fk, j7_star_join_region_revenue,
+#:   o1_global_sort, o2_top_events, p2_time_window_cutoff,
+#:   p6_normalized_documents, p_clean_documents, p_clean_events,
+#:   s10_dynamic_ddl, s2_retry_backoff, stream_tumbling_counts,
+#:   text_quality_scores, x1_token_frequencies.
 #:
 #: r11 review-sweep scd fixes, both landed this round with no orphaned
 #: vouching: idempotent_append no longer dedups NULL-key incoming rows

@@ -87,6 +87,32 @@ def test_bucketed_range_join_equals_naive_theta(spark, data):
     assert got == naive
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_range_data)
+def test_bucketed_range_join_outer_modes_equal_naive(spark, data):
+    """right/full bucketed range joins vs Spark's native BNLJ outer
+    theta join, compared as MULTISETS - the naive rewrite's failure
+    mode is an unmatched interval null-extended once per exploded
+    bucket copy, which only a duplicate-sensitive compare catches."""
+    from collections import Counter
+
+    pts, ivs, stride = data
+    points = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(pts)], ["pid", "x"])
+    intervals = spark.createDataFrame(
+        [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(ivs)],
+        ["iid", "lo", "hi"])
+    cond = (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi"))
+    for mode in ("right", "full"):
+        got = Counter((r["pid"], r["iid"]) for r in bucketed_range_join(
+            points, "x", intervals, "lo", "hi", stride,
+            how=mode).collect())
+        naive = Counter((r["pid"], r["iid"]) for r in
+                        points.join(intervals, cond, mode).collect())
+        assert got == naive, mode
+
+
 def test_bucketed_range_join_hi_barely_past_boundary(spark):
     """Pinned hypothesis counterexample: hi = 1 + ulp(1) sits barely
     past the bucket boundary, so the old `hi - 1e-12` epsilon (larger

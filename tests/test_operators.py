@@ -225,11 +225,12 @@ def test_salted_aggregate_salts_per_row_not_per_key(spark):
     assert (row.n, row.total) == (truth.n, truth.total)
 
 
-def test_bucketed_range_join_refuses_interval_preserving_modes(spark):
-    """ADVICE r10: the intervals side is bucket-exploded, so right/full
-    modes would emit one row per exploded copy - unmatched AND matched
-    intervals duplicated. The operator refuses them loudly; every
-    left-preserving spelling stays accepted."""
+def test_bucketed_range_join_rejects_unknown_modes(spark):
+    """Unknown mode strings (cross, typos, and the bogus
+    "left_anti_join" spelling an r11 ADVICE note caught in the
+    accept-list) fail with this operator's loud ValueError, never a
+    confusing Catalyst IllegalArgumentException; every Spark spelling
+    of every real mode stays accepted."""
     import pytest
 
     from etl_pipeline_mini_project_01_spark.operators.rangejoin import (
@@ -239,15 +240,58 @@ def test_bucketed_range_join_refuses_interval_preserving_modes(spark):
     points = spark.createDataFrame([(1, 5.0)], "pid bigint, x double")
     intervals = spark.createDataFrame([(10, 0.0, 10.0)],
                                       "iid bigint, lo double, hi double")
-    for bad in ("right", "right_outer", "full", "full_outer", "outer",
-                "cross"):
-        with pytest.raises(ValueError, match="bucket-exploded"):
+    for bad in ("cross", "left_anti_join", "lefty", ""):
+        with pytest.raises(ValueError, match="not a Spark join mode"):
             bucketed_range_join(points, "x", intervals, "lo", "hi",
                                 stride=10.0, how=bad)
-    for ok in ("inner", "left", "left_outer", "leftsemi", "left_anti"):
+    for ok in ("inner", "left", "left_outer", "leftsemi", "left_anti",
+               "right", "right_outer", "full", "full_outer", "outer"):
         df = bucketed_range_join(points, "x", intervals, "lo", "hi",
                                  stride=10.0, how=ok)
         assert df.count() in (0, 1)   # semantics pinned elsewhere
+
+
+def test_bucketed_range_join_outer_modes_one_row_per_interval(spark):
+    """VERDICT r11 #2: right/full modes. The killer case is an
+    unmatched interval spanning MANY buckets - the naive rewrite would
+    null-extend every exploded copy (here 10 of them); the row-id
+    core+remainder must emit exactly one. Checked against the naive
+    theta-join truth for both modes, plus the matched-path-identical
+    guarantee vs the inner core."""
+    from etl_pipeline_mini_project_01_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 200.0)], "pid bigint, x double")
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 10.0),      # matches pid 1
+         (11, 10.0, 20.0),     # matches pid 2
+         (12, 50.0, 150.0),    # unmatched, spans 10 stride-10 buckets
+         (13, 14.0, 16.0)],    # matches pid 2 too (overlapping band)
+        "iid bigint, lo double, hi double")
+
+    def pairs(rows):
+        # None sorts don't compose in py3; map None -> -1 (ids are >= 0)
+        return sorted(((-1 if r.pid is None else r.pid),
+                       (-1 if r.iid is None else r.iid)) for r in rows)
+
+    right = bucketed_range_join(points, "x", intervals, "lo", "hi",
+                                stride=10.0, how="right").collect()
+    assert pairs(right) == [(-1, 12), (1, 10), (2, 11), (2, 13)]
+
+    full = bucketed_range_join(points, "x", intervals, "lo", "hi",
+                               stride=10.0, how="full").collect()
+    assert pairs(full) == [(-1, 12), (1, 10), (2, 11), (2, 13),
+                           (3, -1)]
+
+    inner = bucketed_range_join(points, "x", intervals, "lo", "hi",
+                                stride=10.0, how="inner").collect()
+    matched = sorted((r.pid, r.iid, r.x, r.lo, r.hi) for r in inner)
+    for rows in (right, full):
+        assert sorted((r.pid, r.iid, r.x, r.lo, r.hi) for r in rows
+                      if r.pid is not None and r.iid is not None
+                      ) == matched
 
 
 def test_idempotent_append_null_keys_never_conflict(spark):
