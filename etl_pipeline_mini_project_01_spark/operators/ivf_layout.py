@@ -62,40 +62,62 @@ def route_by_cluster(df, id_col: str, files_per_cluster: int):
         F.pmod(F.xxhash64(id_col), F.lit(files_per_cluster)))
 
 
-def _manifest_rows(gen_dir: str, prefix: str) -> list[tuple[int, str]]:
-    """(cluster, relative-file) rows for every data file under a
-    `cluster=N`-partitioned tree (shared by the full-listing commit
-    and the generation commit; `prefix` qualifies the relative paths,
-    '' for a bare layout root)."""
-    rows: list[tuple[int, str]] = []
+def _stats_json(full: str, stats_columns: list[str] | None) -> str | None:
+    """Add-action stats for one layout data file as a JSON string
+    (VERDICT r11 #3), None when stats are off or the footer is
+    unreadable (the file then survives every predicate)."""
+    if not stats_columns:
+        return None
+    import json
+
+    from ..sources.filestats import file_stats
+
+    st = file_stats(full, stats_columns)
+    return json.dumps(st, sort_keys=True) if st else None
+
+
+def _manifest_rows(gen_dir: str, prefix: str,
+                   stats_columns: list[str] | None = None
+                   ) -> list[tuple[int, str, str | None]]:
+    """(cluster, relative-file, stats-json) rows for every data file
+    under a `cluster=N`-partitioned tree (shared by the full-listing
+    commit and the generation commit; `prefix` qualifies the relative
+    paths, '' for a bare layout root). Stats come from the parquet
+    footers (metadata-only IO) when `stats_columns` is set."""
+    rows: list[tuple[int, str, str | None]] = []
     for entry in sorted(fsio.listdir(gen_dir)):
         if not entry.startswith("cluster="):
             continue
         c = int(entry.split("=", 1)[1])
         cdir = os.path.join(gen_dir, entry)
         rel = f"{prefix}{entry}"
-        rows.extend((c, f"{rel}/{f}")
-                    for f in sorted(fsio.listdir(cdir))
-                    if f.endswith(".parquet")
-                    and not f.startswith(("_", ".")))
+        rows.extend(
+            (c, f"{rel}/{f}",
+             _stats_json(os.path.join(cdir, f), stats_columns))
+            for f in sorted(fsio.listdir(cdir))
+            if f.endswith(".parquet") and not f.startswith(("_", ".")))
     return rows
 
 
-def _manifest_df(spark: SparkSession, rows: list[tuple[int, str]]):
-    """(cluster, file) rows as a one-file Spark frame via pandas ->
-    Arrow ingestion: the tuple-list createDataFrame path plans a
+def _manifest_df(spark: SparkSession,
+                 rows: list[tuple[int, str, str | None]]):
+    """(cluster, file, stats) rows as a one-file Spark frame via pandas
+    -> Arrow ingestion: the tuple-list createDataFrame path plans a
     Python-RDD scan whose single job measured 5-8 s regardless of row
     count (python worker round-trip), vs ~0.4 s through Arrow."""
     import pandas as pd
 
-    pdf = pd.DataFrame(rows, columns=["cluster", "file"])
+    pdf = pd.DataFrame(rows, columns=["cluster", "file", "stats"])
     if not rows:
-        pdf = pdf.astype({"cluster": "int32", "file": "object"})
-    return (spark.createDataFrame(pdf, schema="cluster int, file string")
-            .coalesce(1))
+        pdf = pdf.astype({"cluster": "int32", "file": "object",
+                          "stats": "object"})
+    return (spark.createDataFrame(
+        pdf, schema="cluster int, file string, stats string")
+        .coalesce(1))
 
 
-def commit_layout_manifest(spark: SparkSession, path: str) -> int:
+def commit_layout_manifest(spark: SparkSession, path: str,
+                           stats_columns: list[str] | None = None) -> int:
     """List the layout ONCE at write time and commit its cluster->file
     manifest as the next version of the versioned table at
     `path/_index` (VERDICT r8 #8 - the metastore seam: probes prune
@@ -108,19 +130,25 @@ def commit_layout_manifest(spark: SparkSession, path: str) -> int:
     manifest protocol everywhere; on an object store this commit is
     the conditional-PUT shape fsio documents.
 
-    Rows are (cluster int, file string-relative-to-path), one per data
-    file - k x files_per_cluster rows, control-plane sized (the same
-    order as the k x dim centroid model)."""
+    Rows are (cluster int, file string-relative-to-path, stats json),
+    one per data file - k x files_per_cluster rows, control-plane sized
+    (the same order as the k x dim centroid model). `stats_columns`
+    adds per-file min/max/null add-action stats from the parquet
+    footers (VERDICT r11 #3): `read_layout_manifest(file_pred=...)`
+    then drops files whose range excludes a non-partition-key
+    predicate - the point-lookup lever partition pruning can't give."""
     from ..sources.versioned import write_version
 
-    return write_version(_manifest_df(spark, _manifest_rows(path, "")),
-                         os.path.join(path, MANIFEST_SUBDIR))
+    return write_version(
+        _manifest_df(spark, _manifest_rows(path, "", stats_columns)),
+        os.path.join(path, MANIFEST_SUBDIR))
 
 
 def commit_layout_manifest_incremental(spark: SparkSession, path: str,
                                         touched: list[int],
                                         pre_files: dict[int, set[str]],
-                                        ) -> int:
+                                        stats_columns: list[str] | None
+                                        = None) -> int:
     """Delta-append manifest commit (the Delta-log `add`-action shape):
     every PREVIOUS manifest row is carried through verbatim, plus one
     new row per file the append just landed - computed as the diff of
@@ -153,44 +181,48 @@ def commit_layout_manifest_incremental(spark: SparkSession, path: str,
     whose CAS commit serializes them."""
     from ..sources.versioned import write_version
 
-    prev = manifest_clusters(path)
+    prev = manifest_entries(path)
     if prev is None:
-        return commit_layout_manifest(spark, path)
+        return commit_layout_manifest(spark, path,
+                                      stats_columns=stats_columns)
     tset = set(int(c) for c in touched)
-    rows = [(c, f) for c, fs in sorted(prev.items()) for f in fs]
+    rows = sorted(prev)                 # carried verbatim, stats intact
     for c in sorted(tset):
         cdir = os.path.join(path, f"cluster={c}")
         if not fsio.isdir(cdir):
             continue
         seen = pre_files.get(c, set())
-        rows.extend((c, f"cluster={c}/{f}")
-                    for f in sorted(fsio.listdir(cdir))
-                    if f.endswith(".parquet")
-                    and not f.startswith(("_", "."))
-                    and f not in seen)
-    rows.sort()
+        rows.extend(
+            (c, f"cluster={c}/{f}",
+             _stats_json(os.path.join(cdir, f), stats_columns))
+            for f in sorted(fsio.listdir(cdir))
+            if f.endswith(".parquet")
+            and not f.startswith(("_", "."))
+            and f not in seen)
+    rows.sort(key=lambda r: (r[0], r[1]))
     return write_version(_manifest_df(spark, rows),
                          os.path.join(path, MANIFEST_SUBDIR))
 
 
-def manifest_clusters(path: str, version: int | None = None
-                      ) -> dict[int, list[str]] | None:
-    """A committed file manifest as {cluster: [file, ...]} (paths
-    relative to `path`) - the latest by default, or a PINNED manifest
-    `version` (time travel over the index: generation layouts commit
-    one manifest version per rebuild, so `version` selects which
-    generation a probe serves from). Returns None when the layout has
-    no manifest (pre-manifest layouts) - callers fall back to
-    directory listing; a pinned `version` that was never committed or
-    was vacuumed raises FileNotFoundError (the read_version contract).
-    Resolved DRIVER-SIDE (one small parquet read, no Spark job):
-    literal-mode probes stay zero-jobs-before-the-scan, and plan
-    builds at k>=10^4 directories skip the k-sized listing entirely
-    (the r8 curve measured ~4 s of pure directory listing at k=2400).
-    Scheme-qualified paths read the manifest bytes through the
-    session's Hadoop client into pyarrow - still one driver-side read,
-    so the bounded-discovery win now holds on hdfs://s3a:// too
-    (VERDICT r9 #2)."""
+def manifest_entries(path: str, version: int | None = None
+                     ) -> list[tuple[int, str, str | None]] | None:
+    """A committed file manifest as (cluster, file, stats-json) rows
+    (paths relative to `path`) - the latest by default, or a PINNED
+    manifest `version` (time travel over the index: generation layouts
+    commit one manifest version per rebuild, so `version` selects
+    which generation a probe serves from). Returns None when the
+    layout has no manifest (pre-manifest layouts) - callers fall back
+    to directory listing; a pinned `version` that was never committed
+    or was vacuumed raises FileNotFoundError (the read_version
+    contract). Pre-r12 manifests carry no stats column -> stats None
+    for every row (never pruned). Resolved DRIVER-SIDE (one small
+    parquet read, no Spark job): literal-mode probes stay
+    zero-jobs-before-the-scan, and plan builds at k>=10^4 directories
+    skip the k-sized listing entirely (the r8 curve measured ~4 s of
+    pure directory listing at k=2400). Scheme-qualified paths read the
+    manifest bytes through the session's Hadoop client into pyarrow -
+    still one driver-side read, so the bounded-discovery win now holds
+    on hdfs://s3a:// too (VERDICT r9 #2)."""
     root = os.path.join(path, MANIFEST_SUBDIR)
     import pyarrow.parquet as pq
 
@@ -210,7 +242,7 @@ def manifest_clusters(path: str, version: int | None = None
                 "exist (never committed, crashed, or vacuumed)")
         vdir = fsio.read_json(mpath)["dir"]
     snap = os.path.join(root, vdir)
-    out: dict[int, list[str]] = {}
+    out: list[tuple[int, str, str | None]] = []
     # One part file in practice (the commit coalesces to 1); iterate so
     # Spark's _SUCCESS marker never reaches the parquet reader.
     for part in sorted(fsio.listdir(snap)):
@@ -223,11 +255,26 @@ def manifest_clusters(path: str, version: int | None = None
             tab = pq.read_table(io.BytesIO(fsio.read_bytes(full)))
         else:
             tab = pq.read_table(full)
-        for c, f in zip(tab["cluster"].to_pylist(),
-                        tab["file"].to_pylist()):
-            out.setdefault(int(c), []).append(f)
-    for fs in out.values():
-        fs.sort()
+        stats = (tab["stats"].to_pylist()
+                 if "stats" in tab.column_names
+                 else [None] * tab.num_rows)
+        out.extend((int(c), f, s) for c, f, s in
+                   zip(tab["cluster"].to_pylist(),
+                       tab["file"].to_pylist(), stats))
+    out.sort(key=lambda r: (r[0], r[1]))
+    return out
+
+
+def manifest_clusters(path: str, version: int | None = None
+                      ) -> dict[int, list[str]] | None:
+    """{cluster: [file, ...]} view of :func:`manifest_entries` (the
+    stats-less shape most probe planning needs)."""
+    entries = manifest_entries(path, version)
+    if entries is None:
+        return None
+    out: dict[int, list[str]] = {}
+    for c, f, _ in entries:
+        out.setdefault(c, []).append(f)
     return out
 
 
@@ -236,7 +283,8 @@ def write_ivf_layout(emb: DataFrame, cents: list[list[float]], dim: int,
                      vec_col: str = "embedding",
                      kernel: str | None = None,
                      mode: str = "overwrite",
-                     files_per_cluster: int = 1) -> None:
+                     files_per_cluster: int = 1,
+                     stats_columns: list[str] | None = None) -> None:
     """Materialize the corpus at `path` partitioned by its coarse
     cluster id under the FROZEN model `cents`. At 100 TB this is the
     stored form of the corpus for serving: each cluster directory is
@@ -277,13 +325,15 @@ def write_ivf_layout(emb: DataFrame, cents: list[list[float]], dim: int,
                 .drop("xi", "xd", "centroid_dist"))
     routed = route_by_cluster(assigned, id_col, files_per_cluster)
     routed.write.partitionBy("cluster").mode(mode).parquet(path)
-    commit_layout_manifest(emb.sparkSession, path)
+    commit_layout_manifest(emb.sparkSession, path,
+                           stats_columns=stats_columns)
 
 
 def append_to_ivf_layout(delta: DataFrame, cents: list[list[float]],
                          dim: int, path: str, id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         kernel: str | None = None) -> None:
+                         kernel: str | None = None,
+                         stats_columns: list[str] | None = None) -> None:
     """Daily-ingest seam: assign a DELTA batch under the FROZEN model
     (the E41 shape - one map-side pass, |delta|-sized, no refit) and
     append the rows into their cluster directories. Probes see the
@@ -329,7 +379,8 @@ def append_to_ivf_layout(delta: DataFrame, cents: list[list[float]],
     routed = assigned.repartition("cluster")
     routed.write.partitionBy("cluster").mode("append").parquet(path)
     commit_layout_manifest_incremental(delta.sparkSession, path, touched,
-                                       pre_files)
+                                       pre_files,
+                                       stats_columns=stats_columns)
 
 
 def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],
@@ -338,7 +389,9 @@ def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],
                                 vec_col: str = "embedding",
                                 kernel: str | None = None,
                                 files_per_cluster: int = 1,
-                                max_retries: int = 5) -> int:
+                                max_retries: int = 5,
+                                stats_columns: list[str] | None = None
+                                ) -> int:
     """E49: an IMMUTABLE-GENERATION index rebuild - the lock-free swap.
     Unlike `write_ivf_layout(mode="overwrite")`, which deletes the
     standing files (a reader mid-scan can lose them), each rebuild
@@ -374,12 +427,15 @@ def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],
     routed = route_by_cluster(assigned, id_col, files_per_cluster)
     routed.write.partitionBy("cluster").mode("errorifexists").parquet(stage)
     return commit_generation_manifest(emb.sparkSession, path, gen,
-                                      max_retries)
+                                      max_retries,
+                                      stats_columns=stats_columns)
 
 
 def commit_generation_manifest(spark: SparkSession, path: str, gen: str,
                                max_retries: int = 5,
-                               reconcile_base: int | None = None) -> int:
+                               reconcile_base: int | None = None,
+                               stats_columns: list[str] | None = None
+                               ) -> int:
     """Shared generation-commit tail (float and PQ generation writers
     differ only in what they stage): list the fully-staged `gen=.../
     cluster=N` tree once, then CAS-claim the next manifest version
@@ -409,10 +465,11 @@ def commit_generation_manifest(spark: SparkSession, path: str, gen: str,
                                      latest_readable_version,
                                      list_versions, write_version_cas)
 
-    rows = _manifest_rows(os.path.join(path, gen), f"{gen}/")
+    rows = _manifest_rows(os.path.join(path, gen), f"{gen}/",
+                          stats_columns)
     mroot = os.path.join(path, MANIFEST_SUBDIR)
     base_set: set[tuple[int, str]] | None = None
-    extra: list[tuple[int, str]] = []
+    extra: list[tuple[int, str, str | None]] = []
     for _ in range(max_retries):
         head = max(list_versions(mroot), default=0)
         if reconcile_base is not None and head != reconcile_base:
@@ -422,13 +479,12 @@ def commit_generation_manifest(spark: SparkSession, path: str, gen: str,
             # pass, and the head number itself may be an unreadable
             # crashed claim.
             if base_set is None:
-                base_mf = manifest_clusters(path, reconcile_base) or {}
-                base_set = {(c, f) for c, fs in base_mf.items()
-                            for f in fs}
+                base_mf = manifest_entries(path, reconcile_base) or []
+                base_set = {(c, f) for c, f, _ in base_mf}
             head_readable = latest_readable_version(mroot)
-            head_mf = (manifest_clusters(path, head_readable)
-                       if head_readable else {}) or {}
-            head_set = {(c, f) for c, fs in head_mf.items() for f in fs}
+            head_mf = (manifest_entries(path, head_readable)
+                       if head_readable else []) or []
+            head_set = {(c, f) for c, f, _ in head_mf}
             if not base_set <= head_set:
                 raise VersionConflict(
                     f"compaction of manifest v{reconcile_base} of "
@@ -438,10 +494,14 @@ def commit_generation_manifest(spark: SparkSession, path: str, gen: str,
                     "the content) - re-run against the new truth (the "
                     "staged tree remains; vacuum_layout_generations "
                     "reclaims it)")
-            extra = sorted(head_set - base_set)
+            # carried rows keep the STATS the append committed them with
+            extra = sorted((r for r in head_mf
+                            if (r[0], r[1]) not in base_set),
+                           key=lambda r: (r[0], r[1]))
         try:
             return write_version_cas(
-                _manifest_df(spark, sorted(rows + extra)),
+                _manifest_df(spark, sorted(rows + extra,
+                                           key=lambda r: (r[0], r[1]))),
                 mroot, expected_version=head)
         except VersionConflict:
             continue
@@ -455,7 +515,9 @@ def commit_generation_manifest(spark: SparkSession, path: str, gen: str,
 def compact_layout_generation(spark: SparkSession, path: str,
                               files_per_cluster: int = 1,
                               id_col: str = "vec_id",
-                              max_retries: int = 5) -> int:
+                              max_retries: int = 5,
+                              stats_columns: list[str] | None = None
+                              ) -> int:
     """OPTIMIZE for layouts: rewrite the LATEST manifest's rows as a
     fresh generation with `files_per_cluster` files per cluster -
     bin-packing the sliver files daily appends accumulate (every
@@ -488,23 +550,54 @@ def compact_layout_generation(spark: SparkSession, path: str,
     stage = os.path.join(path, gen)
     routed.write.partitionBy("cluster").mode("errorifexists").parquet(stage)
     return commit_generation_manifest(spark, path, gen, max_retries,
-                                      reconcile_base=base_v)
+                                      reconcile_base=base_v,
+                                      stats_columns=stats_columns)
 
 
 def read_layout_manifest(spark: SparkSession, path: str,
                          version: int | None = None,
-                         clusters: list[int] | None = None) -> DataFrame:
+                         clusters: list[int] | None = None,
+                         file_pred: tuple | None = None) -> DataFrame:
     """Manifest-resolved layout read: exactly the files the committed
     manifest (latest, or a pinned `version`) names, optionally
     restricted to `clusters` (falls back to every manifest file when
     the requested clusters have none, so the caller's isin filter
     keeps the empty result well-defined). The ONLY correct read for
     generation layouts - a plain spark.read.parquet(path) would union
-    every generation's files."""
-    mf = manifest_clusters(path, version)
-    if mf is None:
+    every generation's files.
+
+    `file_pred` = (column, op, value) with op in filestats.OPS: files
+    whose manifest add-action stats (committed with `stats_columns=`)
+    provably exclude every matching row are dropped from the scan, and
+    the predicate is re-applied as a filter - so the result is always
+    exactly the unpruned read filtered (VERDICT r11 #3: a point-lookup
+    on a NON-partition key stops listing every live file; stats-less
+    rows are conservatively kept). An all-files-excluded predicate
+    yields an empty frame with the layout's schema."""
+    entries = manifest_entries(path, version)
+    if entries is None:
         raise ValueError(f"{path} has no committed layout manifest - "
                          "generation layouts are read through it")
+    mf: dict[int, list[str]] = {}
+    pruned_empty = False
+    if file_pred is not None:
+        import json
+
+        from ..sources.filestats import survives
+
+        col, op, value = file_pred
+        kept = [(c, f) for c, f, s in entries
+                if survives(json.loads(s) if s else None, col, op, value)]
+        if not kept and entries:
+            # predicate provably matches nothing: scan ONE file for the
+            # schema, emit zero rows (the re-applied filter keeps the
+            # contract even if stats lied)
+            kept, pruned_empty = [entries[0][:2]], True
+        for c, f in kept:
+            mf.setdefault(c, []).append(f)
+    else:
+        for c, f, _ in entries:
+            mf.setdefault(c, []).append(f)
     keys = sorted(mf) if clusters is None else sorted(set(clusters))
     files = [f for c in keys for f in mf.get(c, ())]
     if not files:
@@ -531,7 +624,14 @@ def read_layout_manifest(spark: SparkSession, path: str,
         parts.append(_read(bare))
     if gens:
         parts.append(_read(gens).drop("gen"))
-    return parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if file_pred is not None:
+        from ..sources.versioned import _pred_column
+
+        out = out.filter(_pred_column(*file_pred))
+        if pruned_empty:
+            out = out.limit(0)
+    return out
 
 
 def vacuum_layout_generations(path: str, keep_last: int = 2,
@@ -871,7 +971,9 @@ def write_ivf_layout_twolevel(emb: DataFrame,
                               vec_col: str = "embedding",
                               kernel: str | None = None,
                               mode: str = "overwrite",
-                              files_per_cluster: int = 1) -> None:
+                              files_per_cluster: int = 1,
+                              stats_columns: list[str] | None = None
+                              ) -> None:
     """Materialize the corpus partitioned by its LEAF id
     (cluster = coarse*k2 + fine) under a frozen two-level model from
     `kmeans_fit_twolevel`. Build shape: one k1-cell coarse pass + one
@@ -903,7 +1005,8 @@ def write_ivf_layout_twolevel(emb: DataFrame,
               .drop("xi", "xd", "coarse", "fine", "fine_dist"))
     routed = route_by_cluster(routed, id_col, files_per_cluster)
     routed.write.partitionBy("cluster").mode(mode).parquet(path)
-    commit_layout_manifest(emb.sparkSession, path)
+    commit_layout_manifest(emb.sparkSession, path,
+                           stats_columns=stats_columns)
 
 
 def probe_clusters_twolevel(query_vec: list[float],

@@ -211,9 +211,11 @@ def s9_ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VERSIONED_ORACLE = """
 WITH v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders
             WHERE o_orderdate < DATE '1995-01-01'),
-v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders)
+v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders),
+v9 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders
+       WHERE o_orderkey < 1000)
 SELECT s.step, s.value
-FROM v1, v2, LATERAL (VALUES
+FROM v1, v2, v9, LATERAL (VALUES
     ('1_v1_rows', v1.c),
     ('2_v2_rows', v2.c),
     ('3_latest_version', CAST(2 AS BIGINT)),
@@ -221,7 +223,9 @@ FROM v1, v2, LATERAL (VALUES
     ('5_rows_added_v1_to_v2', v2.c - v1.c),
     ('6_vacuum_removed', CAST(1 AS BIGINT)),
     ('7_latest_rows_after_vacuum', v2.c),
-    ('8_v1_survives_vacuum', CAST(0 AS BIGINT))) s(step, value)
+    ('8_v1_survives_vacuum', CAST(0 AS BIGINT)),
+    ('9_pruned_read_rows', v9.c),
+    ('9b_prune_skips_files', CAST(1 AS BIGINT))) s(step, value)
 ORDER BY s.step
 """
 
@@ -239,7 +243,13 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         on the key finds exactly the rows v2 added - 'what changed
         between runs' as one time-travel query, no CDC log needed;
       * vacuum keep_last=1 removes exactly v1, the latest read is
-        untouched, and the vacuumed version is gone (read raises).
+        untouched, and the vacuumed version is gone (read raises);
+      * (r12) DATA SKIPPING: v2 commits key-range-clustered with
+        add-action stats on o_orderkey; a selective key-range read
+        through read_version(prune=...) returns exactly the filtered
+        rows AND its manifest-level survivor set is a strict subset of
+        the snapshot's files - Delta's stats shape, the reference's
+        b-tree analogue (SURVEY SS4.1), asserted inside the row.
     The oracle states every value from the input alone via the same
     cutoff predicate. Scratch keyed on (input dir, per-process uuid);
     the reference analogue is re-running its loader against a mutated
@@ -247,8 +257,10 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     overwrites history - this layer is what makes 'the table as of the
     previous run' a readable artifact instead."""
     from ..catalog import load_table
+    from ..sources import fsio
     from ..sources.versioned import (
         latest_version,
+        pruned_files,
         read_version,
         vacuum_versions,
         write_version,
@@ -267,7 +279,11 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     v1_df = orders.where(F.col("o_orderdate") < F.lit("1995-01-01"))
     write_version(v1_df, root)
-    write_version(orders, root)
+    # v2 lands key-range-clustered with add-action stats: each file
+    # holds a disjoint o_orderkey interval, so a selective key read
+    # can drop files from the manifest alone (data skipping)
+    write_version(orders.repartitionByRange(4, "o_orderkey"), root,
+                  stats_columns=["o_orderkey"])
 
     v1_rows = read_version(spark, root, 1).count()
     v2_rows = read_version(spark, root, 2).count()
@@ -277,6 +293,11 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(read_version(spark, root, 1).select("o_orderkey"),
                    "o_orderkey", "left_anti")
              .count())
+    pred = ("o_orderkey", "<", 1000)
+    pruned_rows = read_version(spark, root, 2, prune=pred).count()
+    man = fsio.read_json(os.path.join(root, "_versions",
+                                      "v00000002.json"))
+    kept, total = pruned_files(man, [pred])
     removed = vacuum_versions(root, keep_last=1)
     latest_after = read_version(spark, root).count()
     try:
@@ -294,6 +315,8 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("6_vacuum_removed", len(removed)),
         ("7_latest_rows_after_vacuum", int(latest_after)),
         ("8_v1_survives_vacuum", v1_survives),
+        ("9_pruned_read_rows", int(pruned_rows)),
+        ("9b_prune_skips_files", int(0 < len(kept) < total)),
     ]
     return (steps_frame(spark, steps, "step string, value bigint")
             .orderBy("step"))

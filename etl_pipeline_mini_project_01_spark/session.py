@@ -32,6 +32,14 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Write timestamps as INT64 TIMESTAMP_MICROS, not the legacy INT96:
+    # parquet never records min/max statistics for INT96, so the
+    # manifest add-action stats (sources/filestats.py) - and parquet's
+    # own row-group skipping - are blind to time-range predicates on
+    # anything the engine writes. Micros is the modern representation
+    # (INT96 is deprecated in the format), read identically by Spark,
+    # DuckDB and pyarrow.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 #: Confs we want at session build time. Everything tunable lives ONCE

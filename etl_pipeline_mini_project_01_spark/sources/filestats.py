@@ -1,0 +1,186 @@
+"""Per-file column statistics for manifest add-actions (VERDICT r11 #3).
+
+Delta/Iceberg record (min, max, null_count) per data file in the commit
+log so a reader can drop files whose range excludes a predicate WITHOUT
+opening them - the log-level analogue of parquet's own row-group
+skipping, and the engine's mapping of the reference's 25+ b-tree
+indexes (SURVEY.md SS4.1: "parquet min/max skipping + partition
+pruning"; reference models/bronze/02:90-94, models/silver/02:26-27).
+This module is the shared stats layer: `sources/versioned.py` embeds
+its output in version manifests, `operators/ivf_layout.py` in layout
+manifest rows.
+
+Collection reads parquet FOOTERS only (row-group statistics pyarrow
+already has decoded) - metadata-sized IO, no data pages. On
+scheme-qualified roots the bytes come through fsio (whole-object read:
+the local-grade fallback, same as manifest resolution); a production
+deployment computes stats task-side during the write like Delta's
+writers do, which this manifest format accepts unchanged.
+
+Conservatism contract - a file may always be KEPT spuriously, never
+dropped wrongly:
+  * a column missing from a file, lacking footer min/max on ANY row
+    group, or of an order-unsafe JSON type (bytes, Decimal - their
+    canonical forms don't sort like the values) records no stats and
+    survives every predicate;
+  * an all-null column records nulls only; it survives everything
+    (NULL never matches a comparison, but the planner stays out of
+    three-valued-logic business - the query's own filter handles it);
+  * a type mismatch between predicate value and stored stats compares
+    as "don't know" -> keep.
+"""
+
+from __future__ import annotations
+
+import datetime
+import io
+import os
+
+from . import fsio
+
+#: min/max survive JSON round-tripping AND compare correctly in their
+#: canonical form for exactly these types. datetimes canonicalize to
+#: naive-UTC ISO strings (lexicographic == chronological for a fixed
+#: format); Decimal and bytes do NOT (str(Decimal) sorts "9" > "10")
+#: and are deliberately excluded.
+_ORDERED = (bool, int, float, str, datetime.date, datetime.datetime)
+
+
+def _canon(v):
+    """JSON-safe, order-preserving canonical form, or None if the value
+    has no such form (-> no stats recorded)."""
+    if isinstance(v, bool) or v is None:
+        return None                      # bool min/max: useless, skip
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def canon_pred_value(v):
+    """Canonicalize a PREDICATE value the same way stored stats were -
+    comparisons only make sense inside one canonical space."""
+    return _canon(v)
+
+
+def file_stats(path: str, columns: list[str]) -> dict | None:
+    """Footer stats for one parquet file:
+    {"rows": n, "cols": {col: {"min": .., "max": .., "nulls": n}}}.
+    A column appears with min/max only when EVERY row group carries
+    them (and they canonicalize); otherwise with nulls-only or not at
+    all. Returns None when the footer is unreadable (keep the file)."""
+    import pyarrow.parquet as pq
+
+    try:
+        if fsio.has_scheme(path):
+            md = pq.ParquetFile(io.BytesIO(fsio.read_bytes(path))).metadata
+        else:
+            md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    want = set(columns)
+    # column-chunk index by name (physical columns only: partition-key
+    # columns live in the directory name, not the footer)
+    name_to_idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+    cols: dict[str, dict] = {}
+    for c in want & set(name_to_idx):
+        idx = name_to_idx[c]
+        mn = mx = None
+        nulls = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None:
+                ok = False
+                break
+            if st.null_count is not None:
+                nulls += st.null_count
+            all_null = (st.null_count is not None
+                        and st.null_count == md.row_group(rg).num_rows)
+            if all_null:
+                continue                 # contributes no min/max
+            if not st.has_min_max:
+                ok = False
+                break
+            cmn, cmx = _canon(st.min), _canon(st.max)
+            if cmn is None or cmx is None:
+                ok = False
+                break
+            mn = cmn if mn is None or cmn < mn else mn
+            mx = cmx if mx is None or cmx > mx else mx
+        if not ok:
+            continue
+        entry: dict = {"nulls": nulls}
+        if mn is not None:
+            entry["min"] = mn
+            entry["max"] = mx
+        cols[c] = entry
+    return {"rows": md.num_rows, "cols": cols}
+
+
+def collect_stats(snapshot_dir: str, columns: list[str]
+                  ) -> dict[str, dict]:
+    """{relative-path: file_stats(...)} for every data file under
+    `snapshot_dir` (recursive: partitioned snapshots keep their
+    `key=value/` segments in the relative path). Files whose footer
+    stats are unavailable are recorded as {} - present in the manifest
+    (membership authority), never pruned."""
+    out: dict[str, dict] = {}
+
+    def walk(d: str, rel: str) -> None:
+        for entry in sorted(fsio.scandir(d), key=lambda e: e.name):
+            full = os.path.join(d, entry.name)
+            r = f"{rel}{entry.name}"
+            if entry.is_dir:
+                if not entry.name.startswith(("_", ".")):
+                    walk(full, f"{r}/")
+            elif (entry.name.endswith(".parquet")
+                    and not entry.name.startswith(("_", "."))):
+                out[r] = file_stats(full, columns) or {}
+
+    walk(snapshot_dir, "")
+    return out
+
+
+#: Predicate ops understood by :func:`survives`. "between" takes a
+#: (lo, hi) inclusive pair as its value.
+OPS = ("=", "<", "<=", ">", ">=", "between")
+
+
+def survives(stats: dict | None, col: str, op: str, value) -> bool:
+    """May this file contain a row matching `col op value`? False ONLY
+    when the recorded [min, max] provably excludes every match; every
+    doubt (no stats, no min/max, uncomparable types) keeps the file."""
+    if op not in OPS:
+        raise ValueError(f"unknown predicate op {op!r} (know {OPS})")
+    entry = (stats or {}).get("cols", {}).get(col)
+    if not entry or "min" not in entry:
+        return True
+    mn, mx = entry["min"], entry["max"]
+    try:
+        if op == "between":
+            lo, hi = (canon_pred_value(value[0]),
+                      canon_pred_value(value[1]))
+            if lo is None or hi is None:
+                return True
+            return mx >= lo and mn <= hi
+        v = canon_pred_value(value)
+        if v is None:
+            return True
+        if op == "=":
+            return mn <= v <= mx
+        if op == "<":
+            return mn < v
+        if op == "<=":
+            return mn <= v
+        if op == ">":
+            return mx > v
+        return mx >= v                   # ">="
+    except TypeError:
+        return True                      # cross-type compare: keep

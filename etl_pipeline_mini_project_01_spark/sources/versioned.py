@@ -112,9 +112,28 @@ def list_versions(root: str) -> list[int]:
                   if f.startswith("v") and f.endswith(".json"))
 
 
+def _manifest_with_stats(manifest: dict, stage: str,
+                         stats_columns: list[str] | None) -> dict:
+    """Attach Delta-style per-file add-action stats to a manifest:
+    {"stats": {"columns": [...], "files": {rel: file-stats}}} (VERDICT
+    r11 #3 - the b-tree-index analogue: a selective read prunes files
+    from the KB-sized manifest instead of listing/opening every live
+    file). Collected from the fully-staged snapshot's parquet footers
+    (metadata-only IO) BEFORE the version number is claimed, so the
+    commit protocol and its crash windows are untouched."""
+    if not stats_columns:
+        return manifest
+    from .filestats import collect_stats
+
+    return dict(manifest,
+                stats={"columns": sorted(stats_columns),
+                       "files": collect_stats(stage, stats_columns)})
+
+
 def write_version(df: DataFrame, root: str,
                   partition_by: list[str] | None = None,
-                  max_retries: int = 20) -> int:
+                  max_retries: int = 20,
+                  stats_columns: list[str] | None = None) -> int:
     """Commit `df` as the next version of the table at `root` and
     return its number. The snapshot is FULLY staged under a
     `._stage_*` scratch dir, then the version number is claimed
@@ -144,6 +163,7 @@ def write_version(df: DataFrame, root: str,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(stage)
+    stats_tail = _manifest_with_stats({}, stage, stats_columns)
     for _ in range(max_retries):
         v = max(list_versions(root), default=0) + 1
         vdir = f"v{v:08d}"
@@ -152,7 +172,7 @@ def write_version(df: DataFrame, root: str,
             claim = fsio.claim_excl(mpath)
         except FileExistsError:
             continue               # number taken: re-read, re-claim
-        manifest = {"version": v, "dir": vdir}
+        manifest = {"version": v, "dir": vdir, **stats_tail}
         fsio.rename(stage, os.path.join(root, vdir))
         claim.finalize_json(manifest)
         _publish_latest(root, manifest)
@@ -178,7 +198,8 @@ def _publish_latest(root: str, manifest: dict) -> None:
 
 
 def write_version_cas(df: DataFrame, root: str, expected_version: int,
-                      partition_by: list[str] | None = None) -> int:
+                      partition_by: list[str] | None = None,
+                      stats_columns: list[str] | None = None) -> int:
     """Optimistic-concurrency commit (VERDICT r7 #7): commit `df` as
     `expected_version + 1` IFF no other writer got there first, else
     raise the retryable :class:`VersionConflict`. The arbitration
@@ -213,6 +234,11 @@ def write_version_cas(df: DataFrame, root: str, expected_version: int,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(stage)
+    # footer-stat collection runs on the STAGED tree, before the claim:
+    # the claim->finalize window (a crash there burns the number as a
+    # zero-byte manifest) stays as short as the stat-less protocol's
+    manifest = _manifest_with_stats({"version": v, "dir": vdir},
+                                    stage, stats_columns)
     mpath = os.path.join(_manifest_dir(root), f"{vdir}.json")
     try:
         claim = fsio.claim_excl(mpath)
@@ -221,7 +247,6 @@ def write_version_cas(df: DataFrame, root: str, expected_version: int,
         raise VersionConflict(
             f"version {v} of {root} was claimed by a concurrent "
             "committer; re-read and retry") from None
-    manifest = {"version": v, "dir": vdir}
     fsio.rename(stage, os.path.join(root, vdir))
     claim.finalize_json(manifest)
     _publish_latest(root, manifest)
@@ -229,9 +254,24 @@ def write_version_cas(df: DataFrame, root: str, expected_version: int,
 
 
 def read_version(spark: SparkSession, root: str,
-                 version: int | None = None) -> DataFrame:
+                 version: int | None = None,
+                 prune: tuple | list | None = None) -> DataFrame:
     """Time travel: the table AS OF `version` (None = latest). Raises
-    FileNotFoundError for never-committed or vacuumed versions."""
+    FileNotFoundError for never-committed or vacuumed versions.
+
+    `prune` is an optional conjunction of simple predicates, each a
+    (column, op, value) tuple with op in filestats.OPS ("=", "<",
+    "<=", ">", ">=", "between" - value then a (lo, hi) pair). When the
+    manifest carries add-action stats (committed with
+    `stats_columns=`), files whose recorded [min, max] provably
+    exclude every predicate are DROPPED FROM THE SCAN's file list -
+    Delta-style data skipping, the manifest-level lever parquet
+    row-group skipping can't reach (an excluded file is never listed,
+    opened, or footer-read at query time). The predicates are ALSO
+    applied as a DataFrame filter, so the result is always exactly
+    `read_version(...).filter(...)` - pruning is a plan optimization,
+    never a semantics change; stats-less manifests (or stats-less
+    columns) just skip straight to the filtered full scan."""
     if version is None:
         version = latest_version(root)
     mpath = os.path.join(_manifest_dir(root), f"v{version:08d}.json")
@@ -244,7 +284,68 @@ def read_version(spark: SparkSession, root: str,
             f"version {version} of {root} is a crashed CAS commit "
             "(manifest claimed, never finalized)")
     manifest = fsio.read_json(mpath)
-    return spark.read.parquet(os.path.join(root, manifest["dir"]))
+    snap = os.path.join(root, manifest["dir"])
+    preds = _norm_prune(prune)
+    if not preds:
+        return spark.read.parquet(snap)
+    df = _pruned_scan(spark, snap, manifest, preds)
+    for col, op, value in preds:
+        df = df.filter(_pred_column(col, op, value))
+    return df
+
+
+def _norm_prune(prune) -> list[tuple]:
+    """One (col, op, value) tuple or a list of them -> list."""
+    if prune is None:
+        return []
+    if (isinstance(prune, (tuple, list)) and len(prune) == 3
+            and isinstance(prune[0], str)):
+        return [tuple(prune)]
+    return [tuple(p) for p in prune]
+
+
+def _pred_column(col: str, op: str, value):
+    from pyspark.sql import functions as F
+
+    c = F.col(col)
+    if op == "between":
+        return (c >= value[0]) & (c <= value[1])
+    return {"=": c == value, "<": c < value, "<=": c <= value,
+            ">": c > value, ">=": c >= value}[op]
+
+
+def pruned_files(manifest: dict, preds: list[tuple]
+                 ) -> tuple[list[str], int] | None:
+    """(surviving relative paths, total file count) under the
+    manifest's add-action stats, or None when the manifest carries no
+    stats (callers fall back to the full directory scan). Exposed for
+    the file-count guards in tests and the scale curve."""
+    stats = manifest.get("stats")
+    if not stats:
+        return None
+    from .filestats import survives
+
+    files = stats.get("files", {})
+    kept = [rel for rel, st in sorted(files.items())
+            if all(survives(st, col, op, v) for col, op, v in preds)]
+    return kept, len(files)
+
+
+def _pruned_scan(spark: SparkSession, snap: str, manifest: dict,
+                 preds: list[tuple]) -> DataFrame:
+    """Scan exactly the stat-surviving files (basePath keeps partition
+    columns intact for partitioned snapshots). An empty survivor set
+    short-circuits to a zero-row frame with the snapshot's schema."""
+    res = pruned_files(manifest, preds)
+    if res is None:
+        return spark.read.parquet(snap)
+    kept, total = res
+    if len(kept) == total:
+        return spark.read.parquet(snap)
+    if not kept:
+        return spark.read.parquet(snap).limit(0)
+    return (spark.read.option("basePath", snap)
+            .parquet(*[os.path.join(snap, rel) for rel in kept]))
 
 
 def vacuum_versions(root: str, keep_last: int = 2,

@@ -1,0 +1,325 @@
+"""Manifest add-action stats + file-level data skipping (VERDICT r11
+#3, sources/filestats.py): the engine's mapping of the reference's
+b-tree indexes (SURVEY SS4.1 - reference models/bronze/02:90-94 keeps
+25+ indexes so point-lookups never scan the table; here a selective
+read drops files from the KB-sized manifest instead).
+
+Two invariants, each pinned per surface:
+  * EQUALITY: pruned read == unpruned read + filter, always (pruning is
+    a plan optimization, never a semantics change);
+  * SKIPPING: on a range-clustered table a selective predicate's
+    surviving file list is a strict subset (the file-count guard - the
+    part a pure result check can't see).
+Conservatism (no-stats / all-null / cross-type) is pinned directly on
+filestats.survives.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_mini_project_01_spark.sources import filestats, fsio
+from etl_pipeline_mini_project_01_spark.sources.versioned import (
+    pruned_files,
+    read_version,
+    write_version,
+    write_version_cas,
+)
+
+
+@pytest.fixture(params=["plain", "file_uri"])
+def root(request):
+    d = tempfile.mkdtemp(prefix="dskip_")
+    yield (d + "/t") if request.param == "plain" else f"file://{d}/t"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _clustered_df(spark, n=4000, files=8):
+    """id-range-clustered frame: repartitionByRange gives each file a
+    disjoint id interval, so id predicates are maximally skippable."""
+    return (spark.range(n)
+            .select(F.col("id"),
+                    (F.col("id") * 2).cast("double").alias("val"),
+                    F.concat(F.lit("u"), F.format_string("%06d", "id"))
+                    .alias("name"))
+            .repartitionByRange(files, "id"))
+
+
+def _manifest(root, v):
+    import os
+    return fsio.read_json(
+        os.path.join(root, "_versions", f"v{v:08d}.json"))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_versioned_prune_equals_filter_and_skips_files(spark, root):
+    df = _clustered_df(spark)
+    v = write_version(df, root, stats_columns=["id", "name"])
+    man = _manifest(root, v)
+    assert man["stats"]["columns"] == ["id", "name"]
+    n_files = len(man["stats"]["files"])
+    assert n_files >= 4
+
+    cases = [
+        ("id", "=", 1234),
+        ("id", "<", 500),
+        ("id", ">=", 3900),
+        ("id", "between", (1000, 1499)),
+        ("name", "=", "u000042"),
+        ("name", ">", "u003995"),
+    ]
+    for col, op, val in cases:
+        kept, total = pruned_files(man, [(col, op, val)])
+        assert total == n_files
+        assert 0 < len(kept) < total, (col, op, val, kept)
+        got = _rows(read_version(spark, root, prune=(col, op, val)))
+        from etl_pipeline_mini_project_01_spark.sources.versioned import (
+            _pred_column,
+        )
+        want = _rows(read_version(spark, root).filter(
+            _pred_column(col, op, val)))
+        assert got == want and len(want) > 0, (col, op, val)
+
+    # full-range predicate: nothing skipped, same rows
+    kept, total = pruned_files(man, [("id", ">=", 0)])
+    assert len(kept) == total
+    assert _rows(read_version(spark, root, prune=("id", ">=", 0))) \
+        == _rows(read_version(spark, root))
+
+    # provably-empty predicate: zero files scanned, empty frame, schema
+    kept, _ = pruned_files(man, [("id", ">", 10 ** 9)])
+    assert kept == []
+    empty = read_version(spark, root, prune=("id", ">", 10 ** 9))
+    assert empty.count() == 0
+    assert empty.columns == read_version(spark, root).columns
+
+    # predicate conjunction narrows the survivor set monotonically
+    kept_one, _ = pruned_files(man, [("id", ">=", 1000)])
+    kept_two, _ = pruned_files(man, [("id", ">=", 1000),
+                                     ("id", "<", 1500)])
+    assert set(kept_two) <= set(kept_one)
+
+
+def test_versioned_prune_without_stats_is_filter_only(spark, root):
+    """A stats-less manifest (the pre-r12 shape and the default) must
+    serve prune= correctly - full scan + filter, nothing dropped."""
+    df = _clustered_df(spark, n=500, files=4)
+    v = write_version(df, root)                 # no stats_columns
+    assert "stats" not in _manifest(root, v)
+    assert pruned_files(_manifest(root, v), [("id", "=", 7)]) is None
+    got = _rows(read_version(spark, root, prune=("id", "<", 100)))
+    assert got == _rows(read_version(spark, root)
+                        .filter(F.col("id") < 100))
+
+
+def test_versioned_prune_on_column_without_stats_keeps_all(spark, root):
+    """Predicates on a column OUTSIDE the declared stats set prune
+    nothing (conservative) but still filter correctly."""
+    df = _clustered_df(spark, n=800, files=4)
+    v = write_version(df, root, stats_columns=["id"])
+    man = _manifest(root, v)
+    kept, total = pruned_files(man, [("val", "<", 100.0)])
+    assert len(kept) == total                   # no stats for val
+    got = _rows(read_version(spark, root, prune=("val", "<", 100.0)))
+    assert got == _rows(read_version(spark, root)
+                        .filter(F.col("val") < 100.0))
+
+
+def test_versioned_prune_partitioned_snapshot(spark, root):
+    """Partitioned snapshots keep their key=value path segments in the
+    stats file map; pruning composes with the partition layout."""
+    df = (spark.range(1000)
+          .select("id", (F.col("id") % 4).alias("p"),
+                  (F.col("id") * 3).alias("x"))
+          .repartitionByRange(8, "id"))
+    write_version(df, root, partition_by=["p"], stats_columns=["id"])
+    man = _manifest(root, 1)
+    assert all("p=" in rel for rel in man["stats"]["files"])
+    kept, total = pruned_files(man, [("id", "<", 100)])
+    assert 0 < len(kept) < total
+    got = _rows(read_version(spark, root, prune=("id", "<", 100)))
+    want = _rows(read_version(spark, root).filter(F.col("id") < 100))
+    assert got == want and len(want) == 100
+
+
+def test_cas_commit_records_stats_too(spark, root):
+    df = _clustered_df(spark, n=600, files=4)
+    write_version(df, root, stats_columns=["id"])
+    v = write_version_cas(_clustered_df(spark, n=600, files=4), root,
+                          expected_version=1, stats_columns=["id"])
+    man = _manifest(root, v)
+    kept, total = pruned_files(man, [("id", "=", 5)])
+    assert 0 < len(kept) < total
+
+
+def test_timestamp_stats_prune(spark, root):
+    """Timestamps canonicalize to naive-UTC ISO strings - lexicographic
+    order == chronological, so time-range prunes work."""
+    base = datetime.datetime(2024, 1, 1)
+    df = (spark.range(96)
+          .select("id",
+                  (F.lit(base) + F.make_interval(hours=F.col("id")))
+                  .alias("ts"))
+          .repartitionByRange(6, "id"))
+    write_version(df, root, stats_columns=["ts"])
+    man = _manifest(root, 1)
+    cut = datetime.datetime(2024, 1, 1, 12)
+    kept, total = pruned_files(man, [("ts", "<", cut)])
+    assert 0 < len(kept) < total
+    got = _rows(read_version(spark, root, prune=("ts", "<", cut)))
+    assert got == _rows(read_version(spark, root)
+                        .filter(F.col("ts") < F.lit(cut)))
+    assert len(got) == 12
+
+
+def test_survives_conservatism_matrix():
+    """The file may be kept spuriously, never dropped wrongly."""
+    st = {"rows": 10, "cols": {"a": {"min": 10, "max": 20, "nulls": 2}}}
+    s = filestats.survives
+    # in-range / out-of-range basics
+    assert s(st, "a", "=", 15) and not s(st, "a", "=", 25)
+    assert s(st, "a", "<", 11) and not s(st, "a", "<", 10)
+    assert s(st, "a", "<=", 10) and not s(st, "a", "<=", 9)
+    assert s(st, "a", ">", 19) and not s(st, "a", ">", 20)
+    assert s(st, "a", ">=", 20) and not s(st, "a", ">=", 21)
+    assert s(st, "a", "between", (18, 30))
+    assert not s(st, "a", "between", (21, 30))
+    # no stats at all / unknown column / nulls-only entry -> keep
+    assert s(None, "a", "=", 999)
+    assert s({}, "a", "=", 999)
+    assert s(st, "zzz", "=", 999)
+    assert s({"cols": {"a": {"nulls": 10}}}, "a", "=", 0)
+    # cross-type predicate -> keep (TypeError path)
+    assert s(st, "a", "=", "a-string")
+    # uncanonicalizable predicate value -> keep
+    assert s(st, "a", "=", object())
+    # unknown op -> loud
+    with pytest.raises(ValueError, match="unknown predicate op"):
+        s(st, "a", "~", 1)
+
+
+def test_all_null_column_records_nulls_only(spark, root):
+    df = (spark.range(100)
+          .select("id", F.lit(None).cast("bigint").alias("n"))
+          .repartitionByRange(4, "id"))
+    write_version(df, root, stats_columns=["id", "n"])
+    man = _manifest(root, 1)
+    for st in man["stats"]["files"].values():
+        entry = st["cols"].get("n")
+        assert entry is not None and "min" not in entry
+        assert entry["nulls"] > 0
+    # a predicate on the all-null column prunes nothing, filters fine
+    kept, total = pruned_files(man, [("n", "=", 5)])
+    assert len(kept) == total
+    assert read_version(spark, root, prune=("n", "=", 5)).count() == 0
+
+
+# ---------------------------------------------------------------- layout
+
+
+def _fit_tiny_layout(spark, path, stats_columns):
+    """Layout whose clusters = id bands of 100 (embedding is a function
+    of id//100): the id-locality an appended-daily corpus has naturally,
+    and the shape where id stats actually skip - a cluster whose rows
+    span the whole id range records a useless full-range min/max."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        write_ivf_layout,
+    )
+
+    band = F.floor(F.col("id") / 100).cast("float")
+    emb = (spark.range(400)
+           .select(F.col("id").alias("vec_id"),
+                   F.array(band, band).alias("embedding")))
+    cents = [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [3.0, 3.0]]
+    write_ivf_layout(emb, cents, dim=2, path=path,
+                     files_per_cluster=2, stats_columns=stats_columns)
+    return emb
+
+
+def test_layout_manifest_stats_point_lookup(spark, tmp_path):
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        manifest_entries,
+        read_layout_manifest,
+    )
+
+    path = str(tmp_path / "lay")
+    _fit_tiny_layout(spark, path, stats_columns=["vec_id"])
+    entries = manifest_entries(path)
+    assert entries and all(s is not None for _, _, s in entries)
+    total = len(entries)
+    # the survivor count for one id must be << the manifest
+    surv = [1 for _, _, s in entries
+            if filestats.survives(json.loads(s), "vec_id", "=", 123)]
+    assert 0 < len(surv) < total
+    got = _rows(read_layout_manifest(
+        spark, path, file_pred=("vec_id", "=", 123)).select("vec_id"))
+    assert got == [(123,)]
+    # equality against the unpruned read + filter, on a range too
+    pred = ("vec_id", "between", (100, 140))
+    got = _rows(read_layout_manifest(spark, path, file_pred=pred)
+                .select("vec_id"))
+    want = _rows(read_layout_manifest(spark, path)
+                 .filter(F.col("vec_id").between(100, 140))
+                 .select("vec_id"))
+    assert got == want and len(want) == 41
+    # provably-empty -> empty frame, schema intact
+    out = read_layout_manifest(spark, path,
+                               file_pred=("vec_id", "=", 10 ** 9))
+    assert out.count() == 0 and "embedding" in out.columns
+
+
+def test_layout_stats_survive_incremental_append(spark, tmp_path):
+    """The add-action commit carries prior stats verbatim and stats the
+    delta's new files; a stats-less append leaves new files unpruned
+    but never disturbs carried stats."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        append_to_ivf_layout,
+        manifest_entries,
+        read_layout_manifest,
+    )
+
+    path = str(tmp_path / "lay")
+    _fit_tiny_layout(spark, path, stats_columns=["vec_id"])
+    delta = (spark.range(400, 500)
+             .select(F.col("id").alias("vec_id"),
+                     F.array(F.col("id").cast("float") % 7,
+                             (F.col("id") % 11).cast("float"))
+                     .alias("embedding")))
+    cents = [[0.0, 0.0], [3.0, 3.0], [6.0, 9.0]]
+    append_to_ivf_layout(delta, cents, dim=2, path=path,
+                         stats_columns=["vec_id"])
+    entries = manifest_entries(path)
+    assert all(s is not None for _, _, s in entries)
+    got = _rows(read_layout_manifest(
+        spark, path, file_pred=("vec_id", "=", 450)).select("vec_id"))
+    assert got == [(450,)]
+    # old rows still found after the append
+    got = _rows(read_layout_manifest(
+        spark, path, file_pred=("vec_id", "=", 7)).select("vec_id"))
+    assert got == [(7,)]
+
+
+def test_layout_pre_stats_manifest_never_pruned(spark, tmp_path):
+    """A manifest committed WITHOUT stats serves file_pred as a pure
+    filter - every file survives (the pre-r12 compatibility shape)."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        manifest_entries,
+        read_layout_manifest,
+    )
+
+    path = str(tmp_path / "lay")
+    _fit_tiny_layout(spark, path, stats_columns=None)
+    entries = manifest_entries(path)
+    assert entries and all(s is None for _, _, s in entries)
+    got = _rows(read_layout_manifest(
+        spark, path, file_pred=("vec_id", "=", 123)).select("vec_id"))
+    assert got == [(123,)]
