@@ -92,6 +92,81 @@ _SCRATCH_REGISTERED: set[str] = set()
 _SCRATCH_SWEPT: list[bool] = []
 
 
+def _proc_start_ticks(pid: int) -> int | None:
+    """The process's kernel start time (clock ticks since boot,
+    /proc/<pid>/stat field 22) - the (pid, start) PAIR identifies a
+    process incarnation, closing the pid-REUSE hole (VERDICT r11 #7):
+    a recycled pid fails the start-time compare even though kill(0)
+    says 'alive'. None off-Linux or when unreadable (fall back to
+    pid-only liveness)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            data = fh.read().decode("ascii", "replace")
+        # comm (field 2) may contain spaces - split after its ')'
+        return int(data.rsplit(")", 1)[1].split()[19])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _write_owner_marker(path: str) -> None:
+    """Best-effort (pid, start-ticks) liveness marker for the sweep."""
+    import json as _json
+    import os as _os
+
+    try:
+        _os.makedirs(path, exist_ok=True)
+        pid = _os.getpid()
+        with open(_os.path.join(path, ".owner_pid"), "w",
+                  encoding="utf-8") as fh:
+            fh.write(_json.dumps({"pid": pid,
+                                  "start": _proc_start_ticks(pid)}))
+    except OSError:
+        pass
+
+
+def _owner_alive(root: str) -> bool:
+    """Is the scratch root's recorded owner still THAT process?
+
+    * no marker / unparseable -> False (pre-marker roots fall back to
+      the age gate alone);
+    * recorded pid gone (ProcessLookupError) -> False;
+    * pid exists but belongs to another user (PermissionError from
+      kill) -> True: the process EXISTS - treating EPERM as dead was
+      the ADVICE r11 bug that let a sweep target a live sibling's
+      scratch on a shared /tmp;
+    * pid exists but its /proc start time differs from the recorded
+      one -> False: the pid was RECYCLED by an unrelated process
+      (VERDICT r11 #7); when either side lacks a start time the
+      compare is skipped (conservative: alive)."""
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(root, ".owner_pid"),
+                  encoding="utf-8") as fh:
+            raw = fh.read().strip()
+        try:
+            marker = _json.loads(raw)
+            pid, start = int(marker["pid"]), marker.get("start")
+        except (ValueError, TypeError, KeyError):
+            pid, start = int(raw), None      # pre-r12 bare-pid marker
+    except (OSError, ValueError):
+        return False                         # no marker / stale fs
+    try:
+        _os.kill(pid, 0)                     # signal 0: existence probe
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True                          # exists, different user
+    except OSError:
+        return False
+    if start is not None:
+        now_start = _proc_start_ticks(pid)
+        if now_start is not None and now_start != start:
+            return False                     # pid recycled
+    return True
+
+
 def register_scratch(path: str,
                      max_sibling_age_sec: float = 6 * 3600.0) -> str:
     """Track a `/tmp/spark_graft_*` scratch root for END-OF-PROCESS
@@ -119,27 +194,11 @@ def register_scratch(path: str,
     # children churn, so a single long stage (a large-SF bench writing
     # one deep tree for hours) looks abandoned by age alone and a
     # freshly-started sibling would rmtree it MID-RUN (ADVICE r10).
-    # The owner pid makes liveness checkable: the sweep below skips any
-    # root whose recorded owner is still a running process, age
-    # regardless. Written best-effort - a root created by an older
-    # build has no marker and falls back to the age gate.
-    try:
-        _os.makedirs(path, exist_ok=True)
-        with open(_os.path.join(path, ".owner_pid"), "w",
-                  encoding="utf-8") as fh:
-            fh.write(str(_os.getpid()))
-    except OSError:
-        pass
-
-    def _owner_alive(root: str) -> bool:
-        try:
-            with open(_os.path.join(root, ".owner_pid"),
-                      encoding="utf-8") as fh:
-                pid = int(fh.read().strip())
-            _os.kill(pid, 0)           # signal 0: existence probe only
-            return True
-        except (OSError, ValueError):
-            return False               # no marker / dead pid / stale fs
+    # The (pid, start-ticks) marker makes liveness checkable - see
+    # _owner_alive for the EPERM and pid-reuse semantics. Written
+    # best-effort; a root created by an older build has no marker and
+    # falls back to the age gate.
+    _write_owner_marker(path)
 
     if not _SCRATCH_SWEPT:
         _SCRATCH_SWEPT.append(True)

@@ -53,7 +53,17 @@ def canon(v):
         f = float(v)
         if math.isnan(f):
             return ("null",)
-        if F15 or abs(f) >= 2.0 ** 53:
+        # The regime cutoff sits a ~1e-15 relative band BELOW 2^53
+        # (ADVICE r11): with the cutoff exactly at 2^53, a 1-ulp
+        # Spark/DuckDB pair STRADDLING it (2^53 - 2 vs 2^53 - exactly
+        # where decimal-exact sums land after independent casts)
+        # canonicalized under different tags and reported a mismatch -
+        # the very noise the regime absorbs. The band (~9 units at this
+        # magnitude, > 4 ulp) pulls both sides of any 1-ulp straddle
+        # into the same regime; a straddle of the lowered cutoff itself
+        # would need the true value to sit within 1 ulp of an arbitrary
+        # non-round threshold no exact computation targets.
+        if F15 or abs(f) >= 2.0 ** 53 * (1.0 - 1e-15):
             # Two regimes where full-repr identity charges the engine
             # for the COMPARISON harness's conversion (VERDICT r10 #7):
             # (a) always-on, >= 2^53: doubles no longer represent every

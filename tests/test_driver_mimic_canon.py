@@ -63,6 +63,17 @@ def test_decimal_magnitude_doubles_compare_quantized():
     assert canon(small) != canon(float(np.nextafter(small, np.inf)))
     assert canon(small)[0] == "f"            # exact repr below 2^53
 
+    # ADVICE r11: a 1-ulp pair STRADDLING 2^53 itself (one side the
+    # largest double below, the other exactly 2^53) must land in ONE
+    # regime - the cutoff sits a >4-ulp band below the boundary, so
+    # both quantize and compare equal instead of ("f", ...) vs
+    # ("f15", ...) flagging harness noise as a mismatch.
+    below = float(np.nextafter(2.0 ** 53, 0.0))      # 2^53 - 1 rep'able
+    assert canon(below) == canon(2.0 ** 53)
+    assert canon(below)[0] == "f15" == canon(2.0 ** 53 - 2.0)[0]
+    # ...while the band stays narrow: values ~1e-14 below keep exact repr
+    assert canon(2.0 ** 53 * (1 - 1e-13))[0] == "f"
+
     # F15 sweep mode: every float quantizes (the DECIMAL->float64
     # multiply-by-binary-10^-scale 1-ulp noise occurs at ANY magnitude
     # - q1's 4.36e10 sum_charge at 10x is well under 2^53)

@@ -172,6 +172,56 @@ def test_register_scratch_sweeps_aged_siblings(tmp_path, monkeypatch):
     assert fresh.exists()                    # fresh: spared
 
 
+def test_owner_alive_pid_reuse_eperm_and_legacy_markers(tmp_path):
+    """_owner_alive's incarnation semantics (VERDICT r11 #7 + ADVICE
+    r11): a live (pid, start) pair is alive; the same pid with a
+    DIFFERENT recorded start is a recycled pid -> dead; an EPERM probe
+    (process exists, another user) is ALIVE, not dead; a dead pid,
+    a missing marker, and garbage are dead; a pre-r12 bare-pid marker
+    still works pid-only."""
+    import json
+    import os
+    import subprocess
+
+    from etl_pipeline_mini_project_01_spark import catalog
+
+    def mk(name, content):
+        d = tmp_path / name
+        d.mkdir()
+        (d / ".owner_pid").write_text(content)
+        return str(d)
+
+    me = os.getpid()
+    start = catalog._proc_start_ticks(me)
+    assert start is not None                 # Linux container
+    assert catalog._owner_alive(
+        mk("live", json.dumps({"pid": me, "start": start})))
+    assert not catalog._owner_alive(
+        mk("recycled", json.dumps({"pid": me, "start": start - 7})))
+    assert catalog._owner_alive(mk("legacy", str(me)))   # bare pid
+    # a genuinely dead pid: spawn-and-reap gives one that was just live
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    assert not catalog._owner_alive(
+        mk("dead", json.dumps({"pid": proc.pid, "start": 1})))
+    nomark = tmp_path / "bare"
+    nomark.mkdir()
+    assert not catalog._owner_alive(str(nomark))
+    assert not catalog._owner_alive(mk("garbage", "not-a-pid"))
+    # EPERM: kill raises PermissionError -> the process EXISTS -> alive
+    real_kill = os.kill
+
+    def eperm_kill(pid, sig):
+        raise PermissionError("operation not permitted")
+
+    os.kill = eperm_kill
+    try:
+        assert catalog._owner_alive(
+            mk("other_user", json.dumps({"pid": me, "start": start})))
+    finally:
+        os.kill = real_kill
+
+
 @given(s1=snapshot, s2=snapshot)
 @settings(**_SETTINGS)
 def test_upsert_latest_matches_reference_model(spark, s1, s2):
