@@ -133,13 +133,20 @@ def idempotent_append(existing: DataFrame, incoming: DataFrame,
     UNKNOWN)."""
     others = [c for c in incoming.columns if c != key]
     w = Window.partitionBy(key).orderBy(*(others or [key]))
-    nn = incoming.filter(F.col(key).isNotNull())
-    null_keyed = incoming.filter(F.col(key).isNull())
+    # Schema-aware fast path (VERDICT r11 #5): a non-nullable key
+    # column cannot carry NULL-key rows, so the NULL split + trailing
+    # union (the r11 Postgres-semantics fix) is skipped entirely and
+    # the plan is the pre-r11 shape for the common keyed-dim case.
+    nullable = incoming.schema[key].nullable
+    nn = incoming.filter(F.col(key).isNotNull()) if nullable else incoming
     fresh = (nn
              .withColumn("__rn", F.row_number().over(w))
              .filter(F.col("__rn") == 1).drop("__rn")
              .join(existing.select(key), key, "left_anti"))
-    return existing.unionByName(fresh).unionByName(null_keyed)
+    out = existing.unionByName(fresh)
+    if nullable:
+        out = out.unionByName(incoming.filter(F.col(key).isNull()))
+    return out
 
 
 def upsert_latest(existing: DataFrame, incoming: DataFrame, key: str,

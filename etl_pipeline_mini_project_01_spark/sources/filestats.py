@@ -49,9 +49,18 @@ _ORDERED = (bool, int, float, str, datetime.date, datetime.datetime)
 def _canon(v):
     """JSON-safe, order-preserving canonical form, or None if the value
     has no such form (-> no stats recorded)."""
+    import math
+
     if isinstance(v, bool) or v is None:
         return None                      # bool min/max: useless, skip
-    if isinstance(v, (int, float, str)):
+    if isinstance(v, float):
+        # NaN-polluted footer stats are meaningless as bounds (parquet
+        # writers disagree on whether NaN enters min/max) - record no
+        # stats, keep the file. Spark orders NaN LARGEST, so a file
+        # whose stats a NaN-aware writer produced could otherwise
+        # understate its range.
+        return None if math.isnan(v) else v
+    if isinstance(v, (int, str)):
         return v
     if isinstance(v, datetime.datetime):
         if v.tzinfo is not None:
@@ -163,6 +172,19 @@ def survives(stats: dict | None, col: str, op: str, value) -> bool:
     if not entry or "min" not in entry:
         return True
     mn, mx = entry["min"], entry["max"]
+    # A NaN predicate value matches rows parquet stats cannot see
+    # (Spark AND DuckDB define NaN = NaN as TRUE, and writers exclude
+    # NaN from min/max) - every file may hold one; never prune.
+    import math
+
+    def _isnan(x):
+        return isinstance(x, float) and math.isnan(x)
+
+    if op == "between":
+        if _isnan(value[0]) or _isnan(value[1]):
+            return True
+    elif _isnan(value):
+        return True
     try:
         if op == "between":
             lo, hi = (canon_pred_value(value[0]),

@@ -23,9 +23,11 @@ module is the documented swap-in point: every merge entry takes a
   the parquet-path equivalence with the bare operators.
 
 Semantics contract (both formats): ``merge_upsert_latest`` keeps the
-single latest version per key ordered by ``version_cols`` desc
-(operators/scd.py upsert_latest); the delta builder mirrors it as
-whenMatchedUpdate(condition = incoming strictly newer) +
+single latest version per key ordered by ``version_cols`` desc, with
+the INCOMING row winning equal-version ties (operators/scd.py
+upsert_latest, r11 tie-break: Postgres ON CONFLICT DO UPDATE
+overwrites unconditionally); the delta builder mirrors it as
+whenMatchedUpdate(condition = incoming newer OR tied) +
 whenNotMatchedInsert, with the incoming batch pre-deduped to its
 per-key latest so the MERGE sees one source row per key (Delta
 requires it; the window rewrite gets this for free).
@@ -88,9 +90,14 @@ def merge_upsert_latest(spark: SparkSession, path: str,
             [f"s.{c} = t.{c}" for c in version_cols[:i]]
             + [f"s.{version_cols[i]} > t.{version_cols[i]}"]) + ")"
         for i in range(len(version_cols)))
+    # Incoming wins EQUAL-version ties (r12 review sweep: the parquet
+    # path's r11 tie-break - Postgres ON CONFLICT DO UPDATE overwrites
+    # unconditionally - while a strictly-newer condition here would
+    # have let the standing row win, silently diverging the formats).
+    tie = " AND ".join(f"s.{c} = t.{c}" for c in version_cols)
     (DeltaTable.forPath(spark, path).alias("t")
      .merge(src.alias("s"), f"t.{key} = s.{key}")
-     .whenMatchedUpdateAll(condition=newer)
+     .whenMatchedUpdateAll(condition=f"({newer}) OR ({tie})")
      .whenNotMatchedInsertAll()
      .execute())
 

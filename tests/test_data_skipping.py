@@ -223,6 +223,86 @@ def test_all_null_column_records_nulls_only(spark, root):
     assert read_version(spark, root, prune=("n", "=", 5)).count() == 0
 
 
+def test_nan_never_prunes(spark, root):
+    """r12 review-sweep finding: Spark AND DuckDB define NaN = NaN as
+    TRUE while parquet writers exclude NaN from footer min/max, so a
+    range check against stats would wrongly drop the NaN-holding file
+    for a NaN predicate. Both guards pinned: a NaN predicate VALUE
+    keeps every file, and NaN-polluted stats record no bounds."""
+    df = (spark.range(400)
+          .select("id",
+                  F.when(F.col("id") == 399, float("nan"))
+                  .otherwise(F.col("id").cast("double")).alias("x"))
+          .repartitionByRange(4, "id"))
+    write_version(df, root, stats_columns=["x"])
+    man = _manifest(root, 1)
+    kept, total = pruned_files(man, [("x", "=", float("nan"))])
+    assert len(kept) == total            # NaN predicate: keep all
+    got = read_version(spark, root,
+                       prune=("x", "=", float("nan"))).collect()
+    assert [r.id for r in got] == [399]  # the NaN row IS found
+    # survives() unit form, both positions of between too
+    st = {"cols": {"x": {"min": 1.0, "max": 2.0, "nulls": 0}}}
+    assert filestats.survives(st, "x", "=", float("nan"))
+    assert filestats.survives(st, "x", "between", (float("nan"), 5.0))
+    assert filestats.survives(st, "x", "between", (0.0, float("nan")))
+
+
+def test_long_string_stats_never_drop_wrongly(spark, root):
+    """Parquet truncates long-string footer stats (parquet-mr: 64-byte
+    prefix, max's last byte incremented to stay an upper bound). The
+    pruned read must stay exactly equal to filter on values whose
+    distinguishing suffix lies PAST the truncation point."""
+    prefix = "p" * 80
+    df = (spark.range(300)
+          .select("id", F.concat(F.lit(prefix),
+                                 F.format_string("%06d", "id"))
+                  .alias("s"))
+          .repartitionByRange(4, "id"))
+    write_version(df, root, stats_columns=["s"])
+    target = prefix + "000123"
+    got = read_version(spark, root, prune=("s", "=", target)).collect()
+    assert [r.id for r in got] == [123]
+    hi = read_version(spark, root, prune=("s", ">=", prefix + "000290"))
+    assert hi.count() == 10
+
+
+def test_prune_equals_filter_property(spark, tmp_path):
+    """Property: for RANDOM data layouts and predicates, the pruned
+    read equals the unpruned read + filter - the invariant everything
+    else rests on. Data is written once (hypothesis drives predicates
+    only, so the battery stays fast); values include negatives,
+    duplicates across files, and a null tail."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    root = str(tmp_path / "t")
+    df = (spark.range(600)
+          .select("id",
+                  F.when(F.col("id") % 17 == 0, None)
+                  .otherwise((F.col("id") % 97) - 48).alias("k"))
+          .repartitionByRange(6, "k"))
+    write_version(df, root, stats_columns=["k"])
+    man = _manifest(root, 1)
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        _pred_column,
+    )
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(op=st.sampled_from(["=", "<", "<=", ">", ">=", "between"]),
+           a=st.integers(-60, 60), b=st.integers(-60, 60))
+    def run(op, a, b):
+        val = (min(a, b), max(a, b)) if op == "between" else a
+        kept, total = pruned_files(man, [("k", op, val)])
+        got = _rows(read_version(spark, root, prune=("k", op, val)))
+        want = _rows(read_version(spark, root)
+                     .filter(_pred_column("k", op, val)))
+        assert got == want, (op, val, kept, total)
+
+    run()
+
+
 # ---------------------------------------------------------------- layout
 
 
@@ -306,6 +386,47 @@ def test_layout_stats_survive_incremental_append(spark, tmp_path):
     got = _rows(read_layout_manifest(
         spark, path, file_pred=("vec_id", "=", 7)).select("vec_id"))
     assert got == [(7,)]
+
+
+def test_layout_stats_survive_compaction_and_mixed_conventions(
+        spark, tmp_path):
+    """compact_layout_generation(stats_columns=...) re-stats the
+    compacted gen= files; a subsequent stats-less bare append leaves
+    its new files conservatively unpruned while carried gen= stats
+    keep pruning - file_pred stays exactly-equal-to-filter across the
+    mixed-convention manifest."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        append_to_ivf_layout,
+        compact_layout_generation,
+        manifest_entries,
+        read_layout_manifest,
+    )
+
+    path = str(tmp_path / "lay")
+    _fit_tiny_layout(spark, path, stats_columns=["vec_id"])
+    compact_layout_generation(spark, path, files_per_cluster=2,
+                              stats_columns=["vec_id"])
+    entries = manifest_entries(path)
+    assert entries and all(s is not None for _, _, s in entries)
+    assert all(f.startswith("gen=") for _, f, _ in entries)
+    # stats-less bare append on top of the compacted generation
+    band = F.floor(F.col("id") / 100).cast("float")
+    delta = (spark.range(400, 450)
+             .select(F.col("id").alias("vec_id"),
+                     F.array(band, band).alias("embedding")))
+    cents = [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [3.0, 3.0]]
+    append_to_ivf_layout(delta, cents, dim=2, path=path)
+    entries = manifest_entries(path)
+    gen_rows = [(c, f, s) for c, f, s in entries if f.startswith("gen=")]
+    bare_rows = [(c, f, s) for c, f, s in entries
+                 if f.startswith("cluster=")]
+    assert gen_rows and all(s is not None for _, _, s in gen_rows)
+    assert bare_rows and all(s is None for _, _, s in bare_rows)
+    for probe, want in ((123, [(123,)]), (425, [(425,)])):
+        got = _rows(read_layout_manifest(
+            spark, path, file_pred=("vec_id", "=", probe))
+            .select("vec_id"))
+        assert got == want, probe
 
 
 def test_layout_pre_stats_manifest_never_pruned(spark, tmp_path):

@@ -294,6 +294,29 @@ def test_bucketed_range_join_outer_modes_one_row_per_interval(spark):
                       ) == matched
 
 
+def test_idempotent_append_nonnullable_key_skips_null_split(spark):
+    """VERDICT r11 #5: when the key column is non-nullable by schema,
+    the NULL split + trailing union never enters the plan (the pre-r11
+    shape) - pinned on the analyzed plan, plus result equality with
+    the nullable-schema path on the same NULL-free data."""
+    from etl_pipeline_mini_project_01_spark.operators.scd import (
+        idempotent_append,
+    )
+
+    # spark.range ids are non-nullable
+    existing = spark.range(3).select(F.col("id").alias("k"),
+                                     F.lit("e").alias("v"))
+    incoming = spark.range(2, 6).select(F.col("id").alias("k"),
+                                        F.lit("i").alias("v"))
+    assert not incoming.schema["k"].nullable
+    out = idempotent_append(existing, incoming, "k")
+    plan = out._jdf.queryExecution().analyzed().toString().lower()
+    assert "isnull" not in plan          # no NULL branch in the plan
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [(0, "e"), (1, "e"), (2, "e"),
+                   (3, "i"), (4, "i"), (5, "i")]
+
+
 def test_idempotent_append_null_keys_never_conflict(spark):
     """Postgres unique indexes treat NULLs as distinct - ON CONFLICT
     DO NOTHING fires for none of them, so every NULL-key incoming row
