@@ -92,7 +92,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "stream_dedup_events",            # bounded-sink re-point
     "m1_scd2_account_dim",            # scd.py m1 bench-watch follow-up
     "silver_fact_build",              # scd.py consumer (r10 pre-rotation)
-    "tfidf_top_terms",                # r10 pre-rotation
+    "zorder_multi_skip",              # NEW: z-order x manifest stats
     "decontamination_scores",         # r10 pre-rotation
     "stats_quantile_sketch",          # r10 pre-rotation
     "sessionization_gaps",            # r10 pre-rotation
@@ -114,11 +114,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
 
 #: Round-13 rotation debt, precomputed from the CORRECTNESS_r01..r11
 #: union (newest green round per name, with every r12-window name
-#: advanced to r12): 37 round-10-only greens fall due at
-#: WINDOW_ROUND=13 (the 48 r10-only names minus the 11 re-vouched or
-#: pre-rotated in the r12 window), leaving THIRTEEN slots for r13
-#: new/changed code:
-#:   a12_daily_modal_event_type, a14_table_stats,
+#: advanced to r12): 38 round-10-only greens fall due at
+#: WINDOW_ROUND=13 (the 48 r10-only names minus the 10 re-vouched or
+#: pre-rotated in the r12 window - tfidf_top_terms ceded its planned
+#: pre-rotation slot to the new zorder_multi_skip row mid-round),
+#: leaving TWELVE slots for r13 new/changed code:
+#:   a12_daily_modal_event_type, a14_table_stats, tfidf_top_terms,
 #:   a1_language_distribution, a2_event_type_distribution,
 #:   a3_engagement_stats, a5_latest_user_snapshot, a7_dedup_keep_first,
 #:   a8_null_profile, curation_docs_ledger, curation_funnel,
@@ -151,7 +152,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
 #: composites were locally re-verified green against their DuckDB
 #: oracles at sf0.01 BEFORE the standalone names were deleted, and
 #: occupy r11 window slots for the formal driver vouch - no vouched
-#: surface is orphaned (VERDICT r10 #3's ordering).
+#: surface is orphaned (VERDICT r10 #3's ordering). r12 adds two
+#: registrations (rangejoin_outer_modes, zorder_multi_skip): 135 of
+#: 145, both holding r12 window slots for their first vouch.
 #:
 #: CAPACITY POLICY (VERDICT r4 #7): the 50-slot window and the 2-round
 #: staleness bound give a hard ceiling of 50 x 3 = 150 sustainable

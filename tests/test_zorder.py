@@ -1,0 +1,119 @@
+"""Z-order clustering (operators/zorder.py): Morton-code correctness
+against a Python reference encoder, and the data-skipping property the
+layout exists for - after z-ordering on (x, y), predicates on EITHER
+column prune files, where a linear sort on x leaves y-predicates
+scanning everything."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_mini_project_01_spark.operators.zorder import (
+    with_zorder,
+    write_version_zordered,
+)
+from etl_pipeline_mini_project_01_spark.sources import fsio
+from etl_pipeline_mini_project_01_spark.sources.versioned import (
+    pruned_files,
+    read_version,
+    write_version,
+)
+
+
+def _morton(vals: list[int], bits: int) -> int:
+    z = 0
+    k = len(vals)
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> i) & 1) << (i * k + j)
+    return z
+
+
+def test_zorder_value_matches_reference_encoder(spark):
+    """The JVM expression tree equals a bit-twiddling reference over an
+    exact grid: x, y in 0..255 with bits=8 and min=0/max=255 makes the
+    linear scaling the identity, so codes must match bit-for-bit."""
+    df = (spark.range(256 * 4)
+          .select((F.col("id") % 256).alias("x"),
+                  ((F.col("id") * 37 + 11) % 256).alias("y")))
+    got = {(r.x, r.y): r["__z"] for r in
+           with_zorder(df, ["x", "y"], bits=8).collect()}
+    for (x, y), z in got.items():
+        assert z == _morton([x, y], 8), (x, y)
+
+
+def test_zorder_null_and_constant_columns(spark):
+    """NULLs map to cell 0; a constant column contributes zero bits
+    (span guard: no division by zero)."""
+    df = spark.createDataFrame(
+        [(None, 5.0), (1.0, 5.0), (2.0, 5.0)], "x double, y double")
+    rows = {(r.x, r.y): r["__z"] for r in
+            with_zorder(df, ["x", "y"], bits=4).collect()}
+    assert rows[(None, 5.0)] == 0
+    assert rows[(1.0, 5.0)] == 0          # x = min -> cell 0
+    assert rows[(2.0, 5.0)] == _morton([15, 0], 4)
+
+
+def test_zorder_rejects_bad_inputs(spark):
+    df = spark.range(4).select("id", (F.col("id") * 2).alias("v"))
+    with pytest.raises(ValueError, match="2-6 columns"):
+        with_zorder(df, ["id"])
+    with pytest.raises(ValueError, match="absent"):
+        with_zorder(df, ["id", "nope"])
+    with pytest.raises(ValueError, match="exceeds a signed long"):
+        with_zorder(df, ["id", "v"], bits=32)
+
+
+def test_zordered_write_prunes_on_every_clustered_column(spark, tmp_path):
+    """The layout claim: 4000 rows with UNCORRELATED (x, y), z-ordered
+    into 16 files - a selective predicate on x AND one on y each keep a
+    strict file subset, and each pruned read equals the filter. The
+    linear-sort CONTROL (sort by x only) proves the contrast: its
+    y-predicate survivor set is every file."""
+    n = 4000
+    df = (spark.range(n)
+          .select("id",
+                  (F.col("id") % 997).alias("x"),
+                  ((F.col("id") * 7919 + 13) % 991).alias("y")))
+    zroot = str(tmp_path / "z")
+    write_version_zordered(df, zroot, ["x", "y"], num_files=16)
+    man = fsio.read_json(f"{zroot}/_versions/v00000001.json")
+    assert sorted(man["stats"]["columns"]) == ["x", "y"]
+
+    for col, lo, hi in (("x", 100, 149), ("y", 700, 749)):
+        kept, total = pruned_files(man, [(col, "between", (lo, hi))])
+        assert total >= 8 and 0 < len(kept) < total, (col, kept, total)
+        got = sorted(r.id for r in read_version(
+            spark, zroot, prune=(col, "between", (lo, hi))).collect())
+        want = sorted(r.id for r in df.filter(
+            F.col(col).between(lo, hi)).collect())
+        assert got == want and len(want) > 0, col
+
+    # control: x-sorted layout - y predicates keep EVERY file
+    lroot = str(tmp_path / "lin")
+    write_version(df.repartitionByRange(16, "x"), lroot,
+                  stats_columns=["x", "y"])
+    lman = fsio.read_json(f"{lroot}/_versions/v00000001.json")
+    kept_y, total_y = pruned_files(lman, [("y", "between", (700, 749))])
+    assert len(kept_y) == total_y        # linear sort: no y skipping
+    kept_x, total_x = pruned_files(lman, [("x", "between", (100, 149))])
+    assert 0 < len(kept_x) < total_x     # ...but x still skips
+
+
+def test_zorder_date_column_normalizes(spark, tmp_path):
+    df = (spark.range(1000)
+          .select("id",
+                  F.date_add(F.lit("2024-01-01").cast("date"),
+                             (F.col("id") % 365).cast("int")).alias("d"),
+                  ((F.col("id") * 31) % 500).alias("v")))
+    root = str(tmp_path / "zd")
+    write_version_zordered(df, root, ["d", "v"], num_files=8)
+    man = fsio.read_json(f"{root}/_versions/v00000001.json")
+    import datetime
+
+    pred = ("d", "<", datetime.date(2024, 2, 1))
+    kept, total = pruned_files(man, [pred])
+    assert 0 < len(kept) < total
+    got = read_version(spark, root, prune=pred).count()
+    assert got == df.filter(F.col("d") < F.lit("2024-02-01")).count() > 0
