@@ -93,8 +93,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "m1_scd2_account_dim",            # scd.py m1 bench-watch follow-up
     "silver_fact_build",              # scd.py consumer (r10 pre-rotation)
     "zorder_multi_skip",              # NEW: z-order x manifest stats
+    "txn_multi_table",                # read_txn_snapshot prune= re-vouch
     "decontamination_scores",         # r10 pre-rotation
-    "stats_quantile_sketch",          # r10 pre-rotation
     "sessionization_gaps",            # r10 pre-rotation
     # -- round-9-only greens: the precomputed r12 rotation debt (35) -----
     "a11_approx_distinct", "chunk_context_windows", "cluster_split_audit",
@@ -114,12 +114,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
 
 #: Round-13 rotation debt, precomputed from the CORRECTNESS_r01..r11
 #: union (newest green round per name, with every r12-window name
-#: advanced to r12): 38 round-10-only greens fall due at
-#: WINDOW_ROUND=13 (the 48 r10-only names minus the 10 re-vouched or
-#: pre-rotated in the r12 window - tfidf_top_terms ceded its planned
-#: pre-rotation slot to the new zorder_multi_skip row mid-round),
-#: leaving TWELVE slots for r13 new/changed code:
+#: advanced to r12): 39 round-10-only greens fall due at
+#: WINDOW_ROUND=13 (the 48 r10-only names minus the 9 re-vouched or
+#: pre-rotated in the r12 window - tfidf_top_terms and
+#: stats_quantile_sketch ceded their planned pre-rotation slots
+#: mid-round to the new zorder_multi_skip row and txn_multi_table's
+#: read_txn_snapshot prune= re-vouch), leaving ELEVEN slots for r13
+#: new/changed code:
 #:   a12_daily_modal_event_type, a14_table_stats, tfidf_top_terms,
+#:   stats_quantile_sketch,
 #:   a1_language_distribution, a2_event_type_distribution,
 #:   a3_engagement_stats, a5_latest_user_snapshot, a7_dedup_keep_first,
 #:   a8_null_profile, curation_docs_ledger, curation_funnel,

@@ -201,13 +201,21 @@ def _publish_latest_txn(root: str, manifest: dict) -> None:
 
 def read_txn_snapshot(spark: SparkSession, root: str,
                       tables: list[str] | None = None,
-                      txn: int | None = None) -> dict[str, DataFrame]:
+                      txn: int | None = None,
+                      prune: dict[str, tuple | list] | None = None
+                      ) -> dict[str, DataFrame]:
     """A CONSISTENT multi-table snapshot: every requested table read at
     the version the transaction pinned (None = latest transaction;
     `tables` None = every table the transaction names). Raises KeyError
     when the transaction does not pin a requested table - a reader
     asking for a table outside the pin set would otherwise silently
-    get non-transactional data."""
+    get non-transactional data.
+
+    `prune` maps table name -> read_version-style predicate(s) (r12
+    data skipping): the pinned version's manifest stats drop files the
+    predicate provably excludes, and the predicate is re-applied as a
+    filter - transactional reads get the same manifest-level skipping
+    as single-table reads, against exactly the pinned snapshot."""
     pins = read_txn_manifest(root, txn)
     names = list(pins) if tables is None else list(tables)
     out: dict[str, DataFrame] = {}
@@ -218,7 +226,8 @@ def read_txn_snapshot(spark: SparkSession, root: str,
                 f" of {root} does not pin table {name!r} "
                 f"(pinned: {sorted(pins)})")
         out[name] = read_version(spark, os.path.join(root, name),
-                                 pins[name])
+                                 pins[name],
+                                 prune=(prune or {}).get(name))
     return out
 
 

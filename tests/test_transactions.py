@@ -375,3 +375,40 @@ def test_commit_txn_unservable_never_published_as_latest(spark, root,
     assert t == 2 and latest_txn(root) == 2
     snap = read_txn_snapshot(spark, root)
     assert {r["k"] for r in snap["orders"].collect()} == {2}
+
+
+def test_snapshot_prune_skips_files_at_pinned_version(spark, root):
+    """r12 data skipping through the transaction layer: a pruned
+    transactional read equals the pinned snapshot filtered, drops
+    files by the PINNED version's manifest stats (not the newer
+    head's), and tables without a prune entry read whole."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        pruned_files,
+    )
+
+    def _wide(n):
+        return (spark.range(n).select(F.col("id").alias("k"))
+                .repartitionByRange(4, "k"))
+
+    ov1 = write_version(_wide(400), os.path.join(root, "orders"),
+                        stats_columns=["k"])
+    iv1 = write_version(_df(spark, [10]), os.path.join(root, "items"))
+    t1 = commit_txn(root, {"orders": ov1, "items": iv1}, 0)
+    ov2 = write_version(_wide(800), os.path.join(root, "orders"),
+                        stats_columns=["k"])
+    commit_txn(root, {"orders": ov2, "items": iv1}, t1)
+
+    pred = ("k", "<", 100)
+    old = read_txn_snapshot(spark, root, txn=t1,
+                            prune={"orders": pred})
+    assert sorted(r.k for r in old["orders"].collect()) \
+        == list(range(100))                      # v1's rows, filtered
+    assert sorted(r.k for r in old["items"].collect()) == [10]
+    # the skip really used v1's manifest: strict subset there
+    from etl_pipeline_mini_project_01_spark.sources import fsio
+    man = fsio.read_json(os.path.join(
+        root, "orders", "_versions", f"v{ov1:08d}.json"))
+    kept, total = pruned_files(man, [pred])
+    assert 0 < len(kept) < total
