@@ -129,6 +129,16 @@ def test_bucketed_range_join_is_equi_join_not_bnlj(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_rangejoin_outer_modes_stay_equi_join(spark):
+    """The r12 right/full-outer rewrite (row-id core + anti-joined
+    remainder) must inherit the bucketed equi-join shape end-to-end:
+    no nested-loop or cartesian anywhere in the two outer branches."""
+    plan = _plan(spark, "rangejoin_outer_modes")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_per_group_topk_uses_window_group_limit(spark):
     """row_number + rank filter must compile to WindowGroupLimit
     (partial per-partition top-k before the shuffle), not a full
