@@ -77,26 +77,41 @@ def _stats_json(full: str, stats_columns: list[str] | None) -> str | None:
 
 
 def _manifest_rows(gen_dir: str, prefix: str,
-                   stats_columns: list[str] | None = None
+                   stats_columns: list[str] | None = None,
+                   spark: SparkSession | None = None
                    ) -> list[tuple[int, str, str | None]]:
     """(cluster, relative-file, stats-json) rows for every data file
     under a `cluster=N`-partitioned tree (shared by the full-listing
     commit and the generation commit; `prefix` qualifies the relative
     paths, '' for a bare layout root). Stats come from the parquet
-    footers (metadata-only IO) when `stats_columns` is set."""
-    rows: list[tuple[int, str, str | None]] = []
+    footers (metadata-only IO) when `stats_columns` is set - batched
+    through filestats.stats_for_files, which fans the footer reads out
+    to the executors past its threshold (a full k-list commit is
+    k x files_per_cluster footers; a sequential driver loop at k ~ 1e5
+    would be the commit's critical path)."""
+    listed: list[tuple[int, str, str]] = []
     for entry in sorted(fsio.listdir(gen_dir)):
         if not entry.startswith("cluster="):
             continue
         c = int(entry.split("=", 1)[1])
         cdir = os.path.join(gen_dir, entry)
         rel = f"{prefix}{entry}"
-        rows.extend(
-            (c, f"{rel}/{f}",
-             _stats_json(os.path.join(cdir, f), stats_columns))
+        listed.extend(
+            (c, f"{rel}/{f}", os.path.join(cdir, f))
             for f in sorted(fsio.listdir(cdir))
             if f.endswith(".parquet") and not f.startswith(("_", ".")))
-    return rows
+    if not stats_columns:
+        return [(c, rel, None) for c, rel, _ in listed]
+    import json
+
+    from ..sources.filestats import stats_for_files
+
+    stats = stats_for_files([(rel, full) for _, rel, full in listed],
+                            stats_columns, spark)
+    return [(c, rel,
+             json.dumps(stats[rel], sort_keys=True) if stats.get(rel)
+             else None)
+            for c, rel, _ in listed]
 
 
 def _manifest_df(spark: SparkSession,
@@ -140,7 +155,8 @@ def commit_layout_manifest(spark: SparkSession, path: str,
     from ..sources.versioned import write_version
 
     return write_version(
-        _manifest_df(spark, _manifest_rows(path, "", stats_columns)),
+        _manifest_df(spark, _manifest_rows(path, "", stats_columns,
+                                           spark=spark)),
         os.path.join(path, MANIFEST_SUBDIR))
 
 
@@ -466,7 +482,7 @@ def commit_generation_manifest(spark: SparkSession, path: str, gen: str,
                                      list_versions, write_version_cas)
 
     rows = _manifest_rows(os.path.join(path, gen), f"{gen}/",
-                          stats_columns)
+                          stats_columns, spark=spark)
     mroot = os.path.join(path, MANIFEST_SUBDIR)
     base_set: set[tuple[int, str]] | None = None
     extra: list[tuple[int, str, str | None]] = []

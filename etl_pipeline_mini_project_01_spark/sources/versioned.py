@@ -113,7 +113,8 @@ def list_versions(root: str) -> list[int]:
 
 
 def _manifest_with_stats(manifest: dict, stage: str,
-                         stats_columns: list[str] | None) -> dict:
+                         stats_columns: list[str] | None,
+                         spark=None) -> dict:
     """Attach Delta-style per-file add-action stats to a manifest:
     {"stats": {"columns": [...], "files": {rel: file-stats}}} (VERDICT
     r11 #3 - the b-tree-index analogue: a selective read prunes files
@@ -127,7 +128,8 @@ def _manifest_with_stats(manifest: dict, stage: str,
 
     return dict(manifest,
                 stats={"columns": sorted(stats_columns),
-                       "files": collect_stats(stage, stats_columns)})
+                       "files": collect_stats(stage, stats_columns,
+                                              spark=spark)})
 
 
 def write_version(df: DataFrame, root: str,
@@ -163,7 +165,8 @@ def write_version(df: DataFrame, root: str,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(stage)
-    stats_tail = _manifest_with_stats({}, stage, stats_columns)
+    stats_tail = _manifest_with_stats({}, stage, stats_columns,
+                                      spark=df.sparkSession)
     for _ in range(max_retries):
         v = max(list_versions(root), default=0) + 1
         vdir = f"v{v:08d}"
@@ -238,7 +241,8 @@ def write_version_cas(df: DataFrame, root: str, expected_version: int,
     # the claim->finalize window (a crash there burns the number as a
     # zero-byte manifest) stays as short as the stat-less protocol's
     manifest = _manifest_with_stats({"version": v, "dir": vdir},
-                                    stage, stats_columns)
+                                    stage, stats_columns,
+                                    spark=df.sparkSession)
     mpath = os.path.join(_manifest_dir(root), f"{vdir}.json")
     try:
         claim = fsio.claim_excl(mpath)

@@ -223,6 +223,25 @@ def test_all_null_column_records_nulls_only(spark, root):
     assert read_version(spark, root, prune=("n", "=", 5)).count() == 0
 
 
+def test_distributed_stats_equal_sequential(spark, root):
+    """stats_for_files' executor fan-out (the 100 TB commit path: a
+    k-list layout commit is k x files_per_cluster footer reads, a
+    driver loop at k ~ 1e5 would be the commit's critical path) must
+    produce byte-identical stats to the sequential driver loop."""
+    import os
+
+    df = _clustered_df(spark, n=1200, files=6)
+    write_version(df, root, stats_columns=["id", "name"])
+    man = _manifest(root, 1)
+    snap = os.path.join(root, man["dir"]).replace("file://", "")
+    pairs = [(rel, os.path.join(snap, rel))
+             for rel in man["stats"]["files"]]
+    seq = filestats.stats_for_files(pairs, ["id", "name"], spark=None)
+    dist = filestats.stats_for_files(pairs, ["id", "name"], spark=spark,
+                                     distribute_threshold=0)
+    assert seq == dist == man["stats"]["files"]
+
+
 def test_nan_never_prunes(spark, root):
     """r12 review-sweep finding: Spark AND DuckDB define NaN = NaN as
     TRUE while parquet writers exclude NaN from footer min/max, so a
