@@ -37,6 +37,26 @@ def _bits_per_col(k: int) -> int:
     return min(16, 63 // k)
 
 
+def _check_shape(k: int, bits: int | None) -> int:
+    if not 2 <= k <= 6:
+        raise ValueError(f"z-order needs 2-6 columns, got {k}")
+    b = bits or _bits_per_col(k)
+    if b * k > 63:
+        raise ValueError(f"{b} bits x {k} cols exceeds a signed long")
+    return b
+
+
+def _interleave(cells: Sequence[Column], b: int) -> Column:
+    """LSB-first Morton interleave of k `b`-bit cell columns."""
+    k = len(cells)
+    z = F.lit(0).cast("bigint")
+    for i in range(b):
+        for j, cell in enumerate(cells):
+            z = z + F.shiftleft(
+                F.shiftright(cell, i).bitwiseAND(F.lit(1)), i * k + j)
+    return z
+
+
 def zorder_value(cols: Sequence[str],
                  bits: int | None = None) -> Column:
     """Morton code column over `cols` (2-6 numeric/date/timestamp
@@ -50,11 +70,7 @@ def zorder_value(cols: Sequence[str],
     use :func:`with_zorder` to attach them (kept separate so callers
     composing several z-expressions reuse one bounds join)."""
     k = len(cols)
-    if not 2 <= k <= 6:
-        raise ValueError(f"z-order needs 2-6 columns, got {k}")
-    b = bits or _bits_per_col(k)
-    if b * k > 63:
-        raise ValueError(f"{b} bits x {k} cols exceeds a signed long")
+    b = _check_shape(k, bits)
     cells = []
     for c in cols:
         v = F.col(c).cast("double")
@@ -66,24 +82,53 @@ def zorder_value(cols: Sequence[str],
                 .otherwise(F.greatest(F.lit(0), F.least(
                     F.lit((1 << b) - 1), scaled)))).cast("bigint")
         cells.append(cell)
-    z = F.lit(0).cast("bigint")
-    for i in range(b):
-        for j, cell in enumerate(cells):
-            z = z + F.shiftleft(
-                F.shiftright(cell, i).bitwiseAND(F.lit(1)), i * k + j)
-    return z
+    return _interleave(cells, b)
+
+
+#: Rank-mode grid resolution: 2^8 quantile cells per column. Finer
+#: grids buy little once cells are equal-MASS (each already holds
+#: ~0.4% of the corpus), and the boundary list is evaluated per row
+#: (one fold over 255 literals per column).
+RANK_BITS = 8
+
+
+def _rank_cell(num: Column, boundaries: list[float]) -> Column:
+    """Quantile-grid cell: the count of boundaries <= v, i.e. the
+    v's equal-mass bucket. NULL -> cell 0, like the minmax path."""
+    arr = F.array(*[F.lit(float(q)) for q in boundaries])
+    cnt = F.aggregate(
+        arr, F.lit(0).cast("bigint"),
+        lambda acc, bnd: acc + F.when(num >= bnd, 1).otherwise(0))
+    return F.when(num.isNull(), F.lit(0).cast("bigint")).otherwise(cnt)
 
 
 def with_zorder(df: DataFrame, cols: Sequence[str],
-                out_col: str = "__z", bits: int | None = None
-                ) -> DataFrame:
-    """df + a Morton-code column: one tiny min/max aggregate broadcast
-    in, the z expression evaluated map-side, helper columns dropped.
-    Date/timestamp columns are normalized through their numeric cast."""
+                out_col: str = "__z", bits: int | None = None,
+                normalize: str = "minmax",
+                rank_error: float = 0.001) -> DataFrame:
+    """df + a Morton-code column, helper columns dropped.
+    Date/timestamp columns are normalized through their numeric cast.
+
+    `normalize` picks the grid:
+      * 'minmax' (default): linear scaling between one broadcast
+        min/max aggregate - map-side, cheapest, and the right call for
+        roughly uniform columns;
+      * 'rank': EQUAL-MASS cells from 2^8 approximate quantile
+        boundaries (approxQuantile at `rank_error` relative error -
+        sample-bounded driver-side, the same sampling family Delta's
+        ZORDER range-partitioning uses). Skew-robust: under minmax a
+        heavy-tailed column squeezes most rows into a few grid cells,
+        so every file overlaps the dense range and predicates there
+        prune nothing - rank cells hold ~equal row counts by
+        construction, restoring the spread. Costs one quantile pass
+        plus a 255-literal fold per row per column."""
     types = dict(df.dtypes)
     missing = [c for c in cols if c not in types]
     if missing:
         raise ValueError(f"z-order columns absent from frame: {missing}")
+    if normalize not in ("minmax", "rank"):
+        raise ValueError(f"normalize must be 'minmax' or 'rank', "
+                         f"got {normalize!r}")
 
     def _num(c: str) -> Column:
         if types[c] in ("date", "timestamp", "timestamp_ntz"):
@@ -92,6 +137,18 @@ def with_zorder(df: DataFrame, cols: Sequence[str],
 
     tmp = [f"__znum_{i}" for i in range(len(cols))]
     prepped = df.withColumns({t: _num(c) for t, c in zip(tmp, cols)})
+    if normalize == "rank":
+        b = _check_shape(len(cols), bits or RANK_BITS)
+        probs = [i / (1 << b) for i in range(1, 1 << b)]
+        cells = []
+        for t in tmp:
+            qs = prepped.approxQuantile(t, probs, rank_error)
+            # all-null column: no quantiles -> constant cell 0 (the
+            # column contributes no bits, like a constant under minmax)
+            cells.append(_rank_cell(F.col(t), qs) if qs
+                         else F.lit(0).cast("bigint"))
+        out = prepped.withColumn(out_col, _interleave(cells, b))
+        return out.drop(*tmp)
     bounds = prepped.agg(*[
         f(F.col(t)).alias(f"__z{tag}_{t}")
         for t in tmp for tag, f in (("min", F.min), ("max", F.max))])
@@ -106,15 +163,17 @@ def write_version_zordered(df: DataFrame, root: str,
                            zorder_by: Sequence[str],
                            num_files: int = 16,
                            stats_columns: Sequence[str] | None = None,
-                           bits: int | None = None) -> int:
+                           bits: int | None = None,
+                           normalize: str = "minmax") -> int:
     """Commit df as the next version of the versioned table at `root`,
     z-order-clustered on `zorder_by` with manifest add-action stats on
     those columns (default) - the layout under which
     `read_version(prune=...)` skips files for predicates on ANY
-    clustered column. Returns the committed version."""
+    clustered column. `normalize='rank'` for heavy-tailed columns (see
+    with_zorder). Returns the committed version."""
     from ..sources.versioned import write_version
 
-    zed = with_zorder(df, zorder_by, bits=bits)
+    zed = with_zorder(df, zorder_by, bits=bits, normalize=normalize)
     clustered = (zed.repartitionByRange(num_files, F.col("__z"))
                  .sortWithinPartitions("__z")
                  .drop("__z"))

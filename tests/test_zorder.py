@@ -101,6 +101,48 @@ def test_zordered_write_prunes_on_every_clustered_column(spark, tmp_path):
     assert 0 < len(kept_x) < total_x     # ...but x still skips
 
 
+def test_rank_normalization_beats_minmax_on_skew(spark, tmp_path):
+    """Heavy-tailed column (x = id^3: 97% of values land in the lowest
+    3% of the range): minmax squeezes the mass into a few grid cells,
+    so a selective predicate INSIDE the dense region keeps most files;
+    rank cells are equal-mass by construction and restore the spread.
+    Both layouts must stay exactly-equal-to-filter regardless."""
+    n = 4000
+    df = (spark.range(n)
+          .select("id",
+                  (F.col("id") * F.col("id") * F.col("id")).alias("x"),
+                  ((F.col("id") * 7919 + 13) % 991).alias("y")))
+    # dense-region predicate: x of the median id (selectivity ~2.5%)
+    lo, hi = 1000 ** 3, 1100 ** 3
+    survivors = {}
+    for mode in ("minmax", "rank"):
+        root = str(tmp_path / mode)
+        write_version_zordered(df, root, ["x", "y"], num_files=16,
+                               normalize=mode)
+        man = fsio.read_json(f"{root}/_versions/v00000001.json")
+        kept, total = pruned_files(man, [("x", "between", (lo, hi))])
+        survivors[mode] = (len(kept), total)
+        got = sorted(r.id for r in read_version(
+            spark, root, prune=("x", "between", (lo, hi))).collect())
+        assert got == list(range(1000, 1101)), mode
+    # rank must prune strictly harder than minmax in the dense region
+    assert survivors["rank"][0] < survivors["minmax"][0], survivors
+    assert 0 < survivors["rank"][0] < survivors["rank"][1]
+
+
+def test_rank_zorder_null_and_reject_paths(spark):
+    df = spark.createDataFrame(
+        [(None, 5.0), (1.0, 7.0), (2.0, 6.0), (3.0, 5.5)],
+        "x double, y double")
+    rows = {r.x: r["__z"] for r in
+            with_zorder(df, ["x", "y"], normalize="rank").collect()}
+    assert rows[None] is not None          # NULL x -> cell 0, valid code
+    import pytest
+
+    with pytest.raises(ValueError, match="minmax.*rank"):
+        with_zorder(df, ["x", "y"], normalize="quantile")
+
+
 def test_zorder_date_column_normalizes(spark, tmp_path):
     df = (spark.range(1000)
           .select("id",
