@@ -213,9 +213,11 @@ WITH v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders
             WHERE o_orderdate < DATE '1995-01-01'),
 v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders),
 v9 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders
-       WHERE o_orderkey < 1000)
+       WHERE o_orderkey < 1000),
+vin AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders
+        WHERE o_orderkey IN (1, 2, 3))
 SELECT s.step, s.value
-FROM v1, v2, v9, LATERAL (VALUES
+FROM v1, v2, v9, vin, LATERAL (VALUES
     ('1_v1_rows', v1.c),
     ('2_v2_rows', v2.c),
     ('3_latest_version', CAST(2 AS BIGINT)),
@@ -225,7 +227,9 @@ FROM v1, v2, v9, LATERAL (VALUES
     ('7_latest_rows_after_vacuum', v2.c),
     ('8_v1_survives_vacuum', CAST(0 AS BIGINT)),
     ('9_pruned_read_rows', v9.c),
-    ('9b_prune_skips_files', CAST(1 AS BIGINT))) s(step, value)
+    ('9b_prune_skips_files', CAST(1 AS BIGINT)),
+    ('9c_inlist_read_rows', vin.c),
+    ('9d_inlist_skips_files', CAST(1 AS BIGINT))) s(step, value)
 ORDER BY s.step
 """
 
@@ -249,7 +253,10 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         through read_version(prune=...) returns exactly the filtered
         rows AND its manifest-level survivor set is a strict subset of
         the snapshot's files - Delta's stats shape, the reference's
-        b-tree analogue (SURVEY SS4.1), asserted inside the row.
+        b-tree analogue (SURVEY SS4.1), asserted inside the row;
+      * (r13) IN-LIST point lookup: prune=("o_orderkey", "in", [...])
+        reads exactly the member rows while the manifest drops every
+        file whose key range holds no member (VERDICT r12 #4).
     The oracle states every value from the input alone via the same
     cutoff predicate. Scratch keyed on (input dir, per-process uuid);
     the reference analogue is re-running its loader against a mutated
@@ -295,9 +302,15 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
              .count())
     pred = ("o_orderkey", "<", 1000)
     pruned_rows = read_version(spark, root, 2, prune=pred).count()
+    # (r13) IN-list point lookup: the most common selective read after
+    # equality - low member keys land in one key-range file, so the
+    # manifest drops the other three without opening them
+    in_pred = ("o_orderkey", "in", [1, 2, 3])
+    inlist_rows = read_version(spark, root, 2, prune=in_pred).count()
     man = fsio.read_json(os.path.join(root, "_versions",
                                       "v00000002.json"))
     kept, total = pruned_files(man, [pred])
+    kept_in, _ = pruned_files(man, [in_pred])
     removed = vacuum_versions(root, keep_last=1)
     latest_after = read_version(spark, root).count()
     try:
@@ -317,6 +330,8 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("8_v1_survives_vacuum", v1_survives),
         ("9_pruned_read_rows", int(pruned_rows)),
         ("9b_prune_skips_files", int(0 < len(kept) < total)),
+        ("9c_inlist_read_rows", int(inlist_rows)),
+        ("9d_inlist_skips_files", int(0 < len(kept_in) < total)),
     ]
     return (steps_frame(spark, steps, "step string, value bigint")
             .orderBy("step"))

@@ -35,6 +35,7 @@ from __future__ import annotations
 import datetime
 import io
 import os
+import re
 
 from . import fsio
 
@@ -77,6 +78,36 @@ def canon_pred_value(v):
     return _canon(v)
 
 
+#: Canonical temporal string forms: a bare date ('2024-02-01') vs a
+#: datetime ('2024-02-01 00:00:00[.ffffff]'). Dates and datetimes
+#: canonicalize into DIFFERENT granularities, and lexicographic
+#: comparison across them is wrong at exactly midnight ('2024-02-01'
+#: < '2024-02-01 00:00:00'): a date predicate on a timestamp column
+#: wrongly pruned files whose matches sit at midnight (ADVICE r12).
+#: :func:`_temporal_align` maps both granularities into the datetime
+#: space (bare date -> midnight, matching Spark's date->timestamp
+#: cast) before any bound comparison.
+_DATE_FORM = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_TEMPORAL_FORM = re.compile(
+    r"^\d{4}-\d{2}-\d{2}( \d{2}:\d{2}:\d{2}(\.\d+)?)?$")
+
+
+def _midnight(s):
+    return s + " 00:00:00" if _DATE_FORM.match(s) else s
+
+
+def _temporal_align(v, mn, mx):
+    """Align a canonicalized date/datetime predicate value and the
+    stored [min, max] into one granularity space. Returns (v, mn, mx)
+    with bare dates extended to midnight, or None when the stored
+    bounds don't look temporal at all (don't-know -> keep: e.g. a
+    date predicate against a plain string column's stats)."""
+    if not (isinstance(mn, str) and isinstance(mx, str)
+            and _TEMPORAL_FORM.match(mn) and _TEMPORAL_FORM.match(mx)):
+        return None
+    return _midnight(v), _midnight(mn), _midnight(mx)
+
+
 def file_stats(path: str, columns: list[str]) -> dict | None:
     """Footer stats for one parquet file:
     {"rows": n, "cols": {col: {"min": .., "max": .., "nulls": n}}}.
@@ -103,12 +134,19 @@ def file_stats(path: str, columns: list[str]) -> dict | None:
         mn = mx = None
         nulls = 0
         ok = True
+        # "nulls" is recorded only when EVERY row group reported a
+        # null_count: a partial sum UNDERCOUNTS, and IS [NOT] NULL
+        # pruning rides on the count being exact (an undercounted 0
+        # would wrongly prune a file that does hold NULLs).
+        nulls_exact = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None:
                 ok = False
                 break
-            if st.null_count is not None:
+            if st.null_count is None:
+                nulls_exact = False
+            else:
                 nulls += st.null_count
             all_null = (st.null_count is not None
                         and st.null_count == md.row_group(rg).num_rows)
@@ -125,11 +163,12 @@ def file_stats(path: str, columns: list[str]) -> dict | None:
             mx = cmx if mx is None or cmx > mx else mx
         if not ok:
             continue
-        entry: dict = {"nulls": nulls}
+        entry: dict = {"nulls": nulls} if nulls_exact else {}
         if mn is not None:
             entry["min"] = mn
             entry["max"] = mx
-        cols[c] = entry
+        if entry:
+            cols[c] = entry
     return {"rows": md.num_rows, "cols": cols}
 
 
@@ -198,17 +237,40 @@ def collect_stats(snapshot_dir: str, columns: list[str],
 
 
 #: Predicate ops understood by :func:`survives`. "between" takes a
-#: (lo, hi) inclusive pair as its value.
-OPS = ("=", "<", "<=", ">", ">=", "between")
+#: (lo, hi) inclusive pair as its value; "in" an iterable of members
+#: (a disjunction of "=": the file survives when ANY member might
+#: match); "is_null" / "is_not_null" ignore the value and prune on the
+#: recorded exact null count.
+OPS = ("=", "<", "<=", ">", ">=", "between", "in",
+       "is_null", "is_not_null")
 
 
 def survives(stats: dict | None, col: str, op: str, value) -> bool:
     """May this file contain a row matching `col op value`? False ONLY
-    when the recorded [min, max] provably excludes every match; every
-    doubt (no stats, no min/max, uncomparable types) keeps the file."""
+    when the recorded stats provably exclude every match; every doubt
+    (no stats, no min/max, uncomparable types, inexact null counts)
+    keeps the file."""
     if op not in OPS:
         raise ValueError(f"unknown predicate op {op!r} (know {OPS})")
     entry = (stats or {}).get("cols", {}).get(col)
+    if op == "is_null":
+        # A file whose column records zero nulls provably has none; a
+        # column MISSING from the file reads back all-NULL, but then
+        # records no entry here (footer has no such chunk) -> kept.
+        if entry is None or "nulls" not in entry:
+            return True
+        return entry["nulls"] > 0
+    if op == "is_not_null":
+        rows = (stats or {}).get("rows")
+        if (entry is None or "nulls" not in entry
+                or not isinstance(rows, int)):
+            return True
+        return entry["nulls"] < rows
+    if op == "in":
+        members = list(value)
+        # IN () matches no row (Spark's Column.isin() with no values
+        # is a constant false) - pruning every file equals the filter.
+        return any(survives(stats, col, "=", m) for m in members)
     if not entry or "min" not in entry:
         return True
     mn, mx = entry["min"], entry["max"]
@@ -227,14 +289,29 @@ def survives(stats: dict | None, col: str, op: str, value) -> bool:
         return True
     try:
         if op == "between":
+            t0 = isinstance(value[0], datetime.date)
+            t1 = isinstance(value[1], datetime.date)
+            if t0 != t1:
+                return True          # mixed-granularity pair: keep
             lo, hi = (canon_pred_value(value[0]),
                       canon_pred_value(value[1]))
             if lo is None or hi is None:
                 return True
+            if t0:
+                a = _temporal_align(lo, mn, mx)
+                if a is None:
+                    return True
+                lo, mn, mx = a
+                hi = _midnight(hi)
             return mx >= lo and mn <= hi
         v = canon_pred_value(value)
         if v is None:
             return True
+        if isinstance(value, datetime.date):   # datetime is a subclass
+            a = _temporal_align(v, mn, mx)
+            if a is None:
+                return True
+            v, mn, mx = a
         if op == "=":
             return mn <= v <= mx
         if op == "<":

@@ -265,7 +265,11 @@ def read_version(spark: SparkSession, root: str,
 
     `prune` is an optional conjunction of simple predicates, each a
     (column, op, value) tuple with op in filestats.OPS ("=", "<",
-    "<=", ">", ">=", "between" - value then a (lo, hi) pair). When the
+    "<=", ">", ">=", "between" - value then a (lo, hi) pair; "in" -
+    value an iterable of members, the point-lookup disjunction;
+    "is_null" / "is_not_null" - value ignored, may be omitted
+    entirely: ("col", "is_null") works, pruning on the manifest's
+    exact per-file null counts). When the
     manifest carries add-action stats (committed with
     `stats_columns=`), files whose recorded [min, max] provably
     exclude every predicate are DROPPED FROM THE SCAN's file list -
@@ -299,13 +303,16 @@ def read_version(spark: SparkSession, root: str,
 
 
 def _norm_prune(prune) -> list[tuple]:
-    """One (col, op, value) tuple or a list of them -> list."""
+    """One (col, op[, value]) tuple or a list of them -> list of
+    3-tuples (the null-test ops take no value; None is filled in)."""
     if prune is None:
         return []
-    if (isinstance(prune, (tuple, list)) and len(prune) == 3
+    if (isinstance(prune, (tuple, list)) and len(prune) in (2, 3)
             and isinstance(prune[0], str)):
-        return [tuple(prune)]
-    return [tuple(p) for p in prune]
+        preds = [tuple(prune)]
+    else:
+        preds = [tuple(p) for p in prune]
+    return [p if len(p) == 3 else (p[0], p[1], None) for p in preds]
 
 
 def _pred_column(col: str, op: str, value):
@@ -314,6 +321,12 @@ def _pred_column(col: str, op: str, value):
     c = F.col(col)
     if op == "between":
         return (c >= value[0]) & (c <= value[1])
+    if op == "in":
+        return c.isin(list(value))
+    if op == "is_null":
+        return c.isNull()
+    if op == "is_not_null":
+        return c.isNotNull()
     return {"=": c == value, "<": c < value, "<=": c <= value,
             ">": c > value, ">=": c >= value}[op]
 

@@ -322,6 +322,153 @@ def test_prune_equals_filter_property(spark, tmp_path):
     run()
 
 
+def test_date_datetime_granularity_alignment():
+    """ADVICE r12: dates ('2024-02-01') and datetimes ('2024-02-01
+    00:00:00') canonicalize into different string granularities, and a
+    date predicate against timestamp-column stats wrongly pruned files
+    whose matches sit exactly at midnight. Both directions align now."""
+    s = filestats.survives
+    d = datetime.date(2024, 2, 1)
+    ts_stats = {"rows": 5, "cols": {"ts": {
+        "min": "2024-02-01 00:00:00", "max": "2024-02-03 12:00:00",
+        "nulls": 0}}}
+    # the exact ADVICE repro: '=', '<=', and between's upper bound
+    assert s(ts_stats, "ts", "=", d)
+    assert s(ts_stats, "ts", "<=", d)
+    assert s(ts_stats, "ts", "between", (datetime.date(2024, 1, 30), d))
+    # still prunes when provably out of range
+    assert not s(ts_stats, "ts", "=", datetime.date(2024, 1, 31))
+    assert not s(ts_stats, "ts", "<", d)
+    assert not s(ts_stats, "ts", ">", datetime.date(2024, 2, 4))
+    assert s(ts_stats, "ts", ">", datetime.date(2024, 2, 3))
+    # datetime predicate against DATE-granularity stats (old manifests)
+    date_stats = {"rows": 5, "cols": {"d": {
+        "min": "2024-02-01", "max": "2024-02-03", "nulls": 0}}}
+    assert s(date_stats, "d", "=", datetime.datetime(2024, 2, 3))
+    assert s(date_stats, "d", "<=", datetime.datetime(2024, 2, 1))
+    assert not s(date_stats, "d", "<", datetime.datetime(2024, 2, 1))
+    assert not s(date_stats, "d", "=",
+                 datetime.datetime(2024, 2, 3, 0, 0, 1))
+    # a temporal predicate against NON-temporal stats: don't-know, keep
+    str_stats = {"rows": 5, "cols": {"s": {
+        "min": "apple", "max": "pear", "nulls": 0}}}
+    assert s(str_stats, "s", "=", d)
+    assert s(str_stats, "s", "between", (d, d))
+    # date/datetime between pair: both are temporal, so alignment
+    # applies - provably-out-of-range pairs still prune, upper bounds
+    # touching min at midnight keep
+    assert not s(ts_stats, "ts", "between",
+                 (datetime.date(2024, 1, 1),
+                  datetime.datetime(2024, 1, 5)))
+    assert s(ts_stats, "ts", "between",
+             (datetime.date(2024, 1, 1), datetime.datetime(2024, 2, 1)))
+    # a temporal/non-temporal between pair: don't-know, keep
+    assert s(ts_stats, "ts", "between", (datetime.date(2024, 1, 1), 5))
+
+
+def test_date_predicate_on_timestamp_column_end_to_end(spark, root):
+    """The pruned read finds the midnight row a date predicate matches
+    on a timestamp column - pruned == filter, and the '=' lookup still
+    skips files."""
+    base = datetime.datetime(2024, 1, 1)
+    df = (spark.range(96)
+          .select("id",
+                  (F.lit(base) + F.make_interval(hours=F.col("id")))
+                  .alias("ts"))
+          .repartitionByRange(6, "id"))
+    write_version(df, root, stats_columns=["ts"])
+    man = _manifest(root, 1)
+    day2 = datetime.date(2024, 1, 2)     # matches exactly hour 24
+    for op, val, n_want in [("=", day2, 1), ("<=", day2, 25),
+                            ("between", (day2, day2), 1),
+                            ("<", day2, 24), (">=", day2, 72)]:
+        got = _rows(read_version(spark, root, prune=("ts", op, val)))
+        from etl_pipeline_mini_project_01_spark.sources.versioned import (
+            _pred_column,
+        )
+        want = _rows(read_version(spark, root)
+                     .filter(_pred_column("ts", op, val)))
+        assert got == want and len(got) == n_want, (op, val)
+    kept, total = pruned_files(man, [("ts", "=", day2)])
+    assert 0 < len(kept) < total
+
+
+def test_in_list_prune(spark, root):
+    """IN-list point lookups: only files whose range may hold a member
+    survive; the read equals filter(isin(...))."""
+    df = _clustered_df(spark, n=4000, files=8)
+    write_version(df, root, stats_columns=["id"])
+    man = _manifest(root, 1)
+    members = [5, 3995]
+    kept, total = pruned_files(man, [("id", "in", members)])
+    assert len(kept) == 2 and total == 8
+    got = _rows(read_version(spark, root, prune=("id", "in", members)))
+    assert got == _rows(read_version(spark, root)
+                        .filter(F.col("id").isin(members)))
+    assert len(got) == 2
+    # empty IN matches no row: every file pruned, read is empty -
+    # exactly what filter(isin()) returns
+    kept0, _ = pruned_files(man, [("id", "in", [])])
+    assert kept0 == []
+    assert read_version(spark, root, prune=("id", "in", [])).count() == 0
+    # a NaN member keeps every file (NaN = NaN is TRUE in Spark/DuckDB)
+    keptn, _ = pruned_files(man, [("id", "in", [float("nan")])])
+    assert len(keptn) == total
+
+
+def test_null_count_pruning(spark, root):
+    """IS [NOT] NULL prunes on the manifest's exact per-file null
+    counts: all-null files drop for IS NOT NULL, null-free files drop
+    for IS NULL, and the reads equal their filters."""
+    df = (spark.range(1000)
+          .select("id",
+                  F.when(F.col("id") < 500, None)
+                  .otherwise(F.col("id")).alias("k"))
+          .repartitionByRange(4, "id"))
+    write_version(df, root, stats_columns=["k"])
+    man = _manifest(root, 1)
+    kept_null, total = pruned_files(man, [("k", "is_null", None)])
+    kept_notnull, _ = pruned_files(man, [("k", "is_not_null", None)])
+    assert 0 < len(kept_null) < total
+    assert 0 < len(kept_notnull) < total
+    # value-less 2-tuple spelling works end-to-end
+    got_null = _rows(read_version(spark, root, prune=("k", "is_null")))
+    assert got_null == _rows(read_version(spark, root)
+                             .filter(F.col("k").isNull()))
+    assert len(got_null) == 500
+    got_nn = _rows(read_version(spark, root, prune=("k", "is_not_null")))
+    assert got_nn == _rows(read_version(spark, root)
+                           .filter(F.col("k").isNotNull()))
+    assert len(got_nn) == 500
+
+
+def test_null_ops_conservatism():
+    """Null-count pruning only trusts EXACT counts: a missing 'nulls'
+    key (some row group reported no null_count) or missing 'rows'
+    keeps the file."""
+    s = filestats.survives
+    exact = {"rows": 10, "cols": {"a": {"min": 1, "max": 9, "nulls": 0}}}
+    assert not s(exact, "a", "is_null", None)
+    assert s(exact, "a", "is_not_null", None)
+    all_null = {"rows": 10, "cols": {"a": {"nulls": 10}}}
+    assert s(all_null, "a", "is_null", None)
+    assert not s(all_null, "a", "is_not_null", None)
+    no_nulls_key = {"rows": 10, "cols": {"a": {"min": 1, "max": 9}}}
+    assert s(no_nulls_key, "a", "is_null", None)
+    assert s(no_nulls_key, "a", "is_not_null", None)
+    no_rows = {"cols": {"a": {"nulls": 0}}}
+    assert s(no_rows, "a", "is_not_null", None)
+    assert not s(no_rows, "a", "is_null", None)   # exact 0 still prunes
+    # unknown column / no stats at all -> keep both ways
+    assert s(None, "a", "is_null", None)
+    assert s({}, "a", "is_not_null", None)
+    # IN against missing stats -> keep; IN with one in-range member
+    st = {"rows": 10, "cols": {"a": {"min": 10, "max": 20, "nulls": 0}}}
+    assert s(st, "a", "in", [1, 15])
+    assert not s(st, "a", "in", [1, 25])
+    assert s(None, "a", "in", [1])
+
+
 # ---------------------------------------------------------------- layout
 
 
