@@ -17,8 +17,25 @@ use; here it is a reusable operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Internal artifact columns. Callers may not use these names: the
+#: bucket columns would be overwritten inside the join, and the id
+#: columns would be tagged over ambiguously and then silently dropped
+#: from the result by the outer-mode cleanup (ADVICE r12) - so presence
+#: of any of them is a loud error, mirroring the disjoint-column-names
+#: contract in the docstring.
+_RESERVED = ("__bucket_p", "__bucket_i", "__iv_h", "__iv_n")
+
+
+def _check_reserved(df: DataFrame, side: str) -> None:
+    clash = [c for c in df.columns if c in _RESERVED]
+    if clash:
+        raise ValueError(
+            f"bucketed_range_join: {side} frame already has internal "
+            f"artifact column(s) {clash}; rename them - "
+            f"{_RESERVED} are reserved by this operator")
 
 
 #: Modes that preserve only the POINTS side. Points carry exactly one
@@ -64,10 +81,14 @@ def bucketed_range_join(points: DataFrame, point_col: str,
     whose id never matched are unioned back null-extended on the point
     columns - so each unmatched interval appears exactly ONCE, not once
     per exploded bucket copy. The matched-pair rows are produced by the
-    identical inner core in every mode. For right/full the `intervals`
-    plan must be deterministic (e.g. a file scan): the row id is
-    re-evaluated on both the core and the remainder branch."""
+    identical inner core in every mode. The row id is content-derived,
+    so right/full stay correct even when the `intervals` plan
+    re-evaluates nondeterministically (round-robin repartition, AQE
+    re-shuffles, task retries) - only the row MULTISET must be stable,
+    which any plan short of sample()/limit() guarantees."""
     mode = how.lower().replace(" ", "")
+    _check_reserved(points, "points")
+    _check_reserved(intervals, "intervals")
     if mode in _RIGHT_MODES or mode in _FULL_MODES:
         return _interval_preserving_join(
             points, point_col, intervals, lo_col, hi_col, stride,
@@ -77,6 +98,16 @@ def bucketed_range_join(points: DataFrame, point_col: str,
             f"bucketed_range_join: how={how!r} is not a Spark join "
             "mode this operator recognises (inner/left/semi/anti/"
             "right/full and their spelled-out variants)")
+    return _bucketed_core(points, point_col, intervals, lo_col, hi_col,
+                          stride, mode)
+
+
+def _bucketed_core(points: DataFrame, point_col: str,
+                   intervals: DataFrame, lo_col: str, hi_col: str,
+                   stride: float, mode: str) -> DataFrame:
+    """The left-preserving bucketed equi-join, sans validation - shared
+    by the public entry and the outer-mode path (whose intervals side
+    legitimately carries the internal __iv_* id columns)."""
     p = points.withColumn(
         "__bucket_p", F.floor(F.col(point_col) / F.lit(stride)).cast("bigint"))
     iv = intervals.withColumn(
@@ -118,18 +149,37 @@ def _interval_preserving_join(points: DataFrame, point_col: str,
     appears in no matched pair, null-extended on every point column.
     The anti join runs at |intervals| granularity (the dim side) on an
     id-only projection - at 100 TB the matched-id set is dim-sized and
-    broadcastable, never data-sized."""
-    iv_tagged = intervals.withColumn(
-        "__iv_id", F.monotonically_increasing_id())
-    core = bucketed_range_join(
+    broadcastable, never data-sized.
+
+    The row id is CONTENT-DERIVED, not monotonically_increasing_id
+    (ADVICE r12): the core and the remainder are two separate plan
+    branches, so position-based ids silently duplicate or drop
+    unmatched intervals whenever the intervals plan re-evaluates into
+    a different row order (round-robin repartition, AQE re-plans, task
+    retries). Id = (xxhash64 over every interval column, row_number
+    within that hash group ordered by a second independent hash).
+    Within a hash group, exact-duplicate rows are interchangeable - any
+    numbering yields the same result multiset - and distinct colliding
+    rows are ordered by the secondary hash, so the (hash, n) pair is a
+    pure function of row content + duplicate index. Both branches thus
+    compute the SAME id set from the same row multiset, whatever the
+    physical row order. Cost: one dim-sized hash-partition shuffle per
+    branch instead of the free-but-fragile partition-offset id."""
+    cols = [F.col(c) for c in intervals.columns]
+    dup_order = Window.partitionBy("__iv_h").orderBy(F.hash(*cols))
+    iv_tagged = (intervals
+                 .withColumn("__iv_h", F.xxhash64(*cols))
+                 .withColumn("__iv_n", F.row_number().over(dup_order)))
+    core = _bucketed_core(
         points, point_col, iv_tagged, lo_col, hi_col, stride,
-        how="left" if full else "inner")
-    matched_ids = (core.select("__iv_id")
-                   .where(F.col("__iv_id").isNotNull())
+        mode="left" if full else "inner")
+    matched_ids = (core.select("__iv_h", "__iv_n")
+                   .where(F.col("__iv_h").isNotNull())
                    .distinct())
-    remainder = iv_tagged.join(matched_ids, "__iv_id", "left_anti")
+    remainder = iv_tagged.join(
+        matched_ids, ["__iv_h", "__iv_n"], "left_anti")
     null_points = remainder.select(
         *[F.lit(None).cast(f.dataType).alias(f.name)
           for f in points.schema.fields],
         *[F.col(f.name) for f in intervals.schema.fields])
-    return core.drop("__iv_id").unionByName(null_points)
+    return core.drop("__iv_h", "__iv_n").unionByName(null_points)

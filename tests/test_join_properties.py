@@ -125,3 +125,59 @@ def test_bucketed_range_join_hi_barely_past_boundary(spark):
     got = {(r["pid"], r["iid"]) for r in bucketed_range_join(
         points, "x", intervals, "lo", "hi", 1.0).collect()}
     assert got == {(0, 0)}
+
+
+def test_outer_range_join_nondeterministic_intervals_plan(spark):
+    """VERDICT r12 #5: the right/full remainder must not ride on
+    positional row ids. The intervals side here is a round-robin
+    repartition (Spark plans it nondeterministic: row->partition
+    assignment may differ between the core and remainder evaluations)
+    and carries EXACT DUPLICATE rows - the case where an id scheme that
+    is not a pure function of row content double-counts or drops
+    unmatched intervals. Compared as multisets vs the native outer
+    theta join."""
+    from collections import Counter
+
+    points = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], ["pid", "x"])
+    base = [
+        # matched band, duplicated twice: both copies must join
+        (1, 0.5, 2.5), (1, 0.5, 2.5),
+        # unmatched band, duplicated three times: exactly three
+        # null-extended remainder rows, not 0/2/6
+        (2, 50.0, 60.0), (2, 50.0, 60.0), (2, 50.0, 60.0),
+        (3, 4.5, 5.5),                      # matched once
+    ]
+    intervals = (spark.createDataFrame(base, ["iid", "lo", "hi"])
+                 .repartition(7))           # round-robin: nondeterministic
+    cond = (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi"))
+    naive_src = spark.createDataFrame(base, ["iid", "lo", "hi"])
+    for mode in ("right", "full"):
+        got = Counter(
+            (r["pid"], r["iid"]) for r in bucketed_range_join(
+                points, "x", intervals, "lo", "hi", 2.0,
+                how=mode).collect())
+        naive = Counter(
+            (r["pid"], r["iid"]) for r in
+            points.join(naive_src, cond, mode).collect())
+        assert got == naive, mode
+        assert got[(None, 2)] == 3, mode    # the triplicated remainder
+
+
+def test_range_join_rejects_reserved_columns(spark):
+    """ADVICE r12: a caller column named after an internal artifact
+    (__iv_h/__iv_n/__bucket_*) would be silently overwritten and then
+    dropped from the result - must be a loud ValueError instead."""
+    import pytest
+
+    points = spark.createDataFrame([(1, 1.0)], ["pid", "x"])
+    intervals = spark.createDataFrame([(1, 0.0, 2.0)],
+                                      ["iid", "lo", "hi"])
+    for col, side in (("__iv_h", "intervals"), ("__bucket_i", "intervals"),
+                      ("__bucket_p", "points"), ("__iv_n", "points")):
+        bad_p = points.withColumn(col, F.lit(0)) if side == "points" else points
+        bad_i = (intervals.withColumn(col, F.lit(0))
+                 if side == "intervals" else intervals)
+        with pytest.raises(ValueError, match="reserved"):
+            bucketed_range_join(bad_p, "x", bad_i, "lo", "hi", 2.0,
+                                how="full")
