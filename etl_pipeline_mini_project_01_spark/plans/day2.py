@@ -602,6 +602,14 @@ cut AS (
                * INTERVAL 1 DAY AS dcut
     FROM b
 ),
+kb AS (
+    SELECT MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax FROM orders
+),
+kcut AS (
+    SELECT printf('ok-%010d', kmin) AS klo,
+           printf('ok-%010d', kmin + (kmax - kmin) // 10) AS khi
+    FROM kb
+),
 m AS (
     SELECT
         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, cut
@@ -610,7 +618,10 @@ m AS (
          WHERE o_orderdate < dcut) AS date_rows,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, cut
          WHERE o_custkey BETWEEN clo AND chi
-           AND o_orderdate < dcut) AS conj_rows
+           AND o_orderdate < dcut) AS conj_rows,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, kcut
+         WHERE printf('ok-%010d', o_orderkey)
+               BETWEEN klo AND khi) AS text_rows
 )
 SELECT s.step, s.value
 FROM m, LATERAL (VALUES
@@ -619,7 +630,9 @@ FROM m, LATERAL (VALUES
     ('2_date_range_rows', date_rows),
     ('2b_date_skips_files', CAST(1 AS BIGINT)),
     ('3_conjunction_rows', conj_rows),
-    ('3b_conjunction_skips_files', CAST(1 AS BIGINT))) s(step, value)
+    ('3b_conjunction_skips_files', CAST(1 AS BIGINT)),
+    ('4_text_key_range_rows', text_rows),
+    ('4b_text_key_skips_files', CAST(1 AS BIGINT))) s(step, value)
 ORDER BY s.step
 """
 
@@ -683,5 +696,27 @@ def zorder_multi_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       int(rows)))
         steps.append((f"{key}b_{'custkey' if key == '1' else 'date' if key == '2' else 'conjunction'}_skips_files",
                       int(0 < len(kept) < total)))
+
+    # r13: the TEXT-key path (the reference's natural PK is id TEXT) -
+    # a zero-padded order-key string z-orders through sampled
+    # lexicographic boundary cells and must prune files just like a
+    # numeric key.
+    troot = os.path.join(os.path.dirname(root), "orders_text")
+    write_version_zordered(
+        orders.withColumn("ok_text",
+                          F.format_string("ok-%010d", F.col("o_orderkey"))),
+        troot, ["ok_text", "o_custkey"], num_files=16)
+    kb = orders.agg(F.min("o_orderkey").alias("kmin"),
+                    F.max("o_orderkey").alias("kmax")).first()
+    kmin, kmax = int(kb["kmin"]), int(kb["kmax"])
+    klo = f"ok-{kmin:010d}"
+    khi = f"ok-{kmin + (kmax - kmin) // 10:010d}"
+    tman = fsio.read_json(os.path.join(troot, "_versions",
+                                       "v00000001.json"))
+    tpred = [("ok_text", "between", (klo, khi))]
+    trows = read_version(spark, troot, prune=tpred).count()
+    tkept, ttotal = pruned_files(tman, tpred)
+    steps.append(("4_text_key_range_rows", int(trows)))
+    steps.append(("4b_text_key_skips_files", int(0 < len(tkept) < ttotal)))
     return (steps_frame(spark, steps, "step string, value bigint")
             .orderBy("step"))

@@ -159,3 +159,70 @@ def test_zorder_date_column_normalizes(spark, tmp_path):
     assert 0 < len(kept) < total
     got = read_version(spark, root, prune=pred).count()
     assert got == df.filter(F.col("d") < F.lit("2024-02-01")).count() > 0
+
+
+def test_zorder_rejects_non_orderable_column_types(spark):
+    """VERDICT r12 #2: a non-orderable clustered column (array, map,
+    binary) must raise naming the column and accepted types - the old
+    minmax path silently cast it to NULL and z-ordered every row into
+    cell 0."""
+    df = (spark.range(8)
+          .select("id", F.array("id").alias("emb"),
+                  (F.col("id") * 2).alias("v")))
+    for mode in ("minmax", "rank"):
+        with pytest.raises(ValueError, match="emb.*array|array.*emb"):
+            with_zorder(df, ["emb", "v"], normalize=mode)
+    with pytest.raises(ValueError, match="numeric"):
+        with_zorder(df.select("id", F.col("id").cast("string")
+                              .cast("binary").alias("b")),
+                    ["id", "b"])
+
+
+def test_string_zorder_clusters_and_prunes_text_key(spark, tmp_path):
+    """String clustered columns cell through sampled lexicographic
+    boundaries (the reference's documents PK is `id TEXT`): a z-order
+    on (doc_id string, y int) must prune files for a doc_id BETWEEN
+    predicate AND for a y predicate, in both normalize modes, with the
+    pruned read exactly equal to the filter."""
+    n = 4000
+    df = (spark.range(n)
+          .select("id",
+                  F.format_string("doc-%06d", F.col("id")).alias("doc_id"),
+                  ((F.col("id") * 7919 + 13) % 991).alias("y")))
+    lo, hi = "doc-001000", "doc-001199"
+    for mode in ("minmax", "rank"):
+        root = str(tmp_path / f"zs_{mode}")
+        write_version_zordered(df, root, ["doc_id", "y"], num_files=16,
+                               normalize=mode)
+        man = fsio.read_json(f"{root}/_versions/v00000001.json")
+        kept, total = pruned_files(man, [("doc_id", "between", (lo, hi))])
+        assert total >= 8 and 0 < len(kept) < total, (mode, kept, total)
+        got = sorted(r.id for r in read_version(
+            spark, root, prune=("doc_id", "between", (lo, hi))).collect())
+        assert got == list(range(1000, 1200)), mode
+        kept_y, total_y = pruned_files(man, [("y", "between", (700, 749))])
+        assert 0 < len(kept_y) < total_y, mode
+
+
+def test_string_zorder_all_null_column_is_constant_cell(spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "x double, s string")
+    rows = with_zorder(df, ["x", "s"], bits=4).collect()
+    assert all(r["__z"] is not None for r in rows)
+
+
+def test_batched_approx_quantile_matches_per_column_with_nulls(spark):
+    """The r13 rank path batches every numeric column into ONE
+    approxQuantile call (VERDICT r12 #7); this pins the Spark behavior
+    the rewrite rides on - the multi-column form excludes nulls
+    PER-COLUMN and returns the same boundaries as k single-column
+    calls."""
+    df = spark.createDataFrame(
+        [(float(i) if i % 3 else None,
+          float(i * i) if i % 5 else None) for i in range(200)],
+        "a double, b double")
+    probs = [i / 16 for i in range(1, 16)]
+    batched = df.approxQuantile(["a", "b"], probs, 0.001)
+    singles = [df.approxQuantile("a", probs, 0.001),
+               df.approxQuantile("b", probs, 0.001)]
+    assert batched == singles
