@@ -19,10 +19,11 @@ writers do, which this manifest format accepts unchanged.
 
 Conservatism contract - a file may always be KEPT spuriously, never
 dropped wrongly:
-  * a column missing from a file, lacking footer min/max on ANY row
-    group, or of an order-unsafe JSON type (bytes, Decimal - their
-    canonical forms don't sort like the values) records no stats and
-    survives every predicate;
+  * a column missing from a file records no stats and survives every
+    predicate; one lacking usable min/max on ANY row group (absent
+    footer bounds, NaN pollution, or an order-unsafe canonical type:
+    bytes, Decimal, bool) records its exact null counts ONLY - range
+    predicates keep the file, IS [NOT] NULL can still prune;
   * an all-null column records nulls only; it survives everything
     (NULL never matches a comparison, but the planner stays out of
     three-valued-logic business - the query's own filter handles it);
@@ -139,6 +140,7 @@ def file_stats(path: str, columns: list[str]) -> dict | None:
         # pruning rides on the count being exact (an undercounted 0
         # would wrongly prune a file that does hold NULLs).
         nulls_exact = True
+        bounds_ok = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None:
@@ -152,19 +154,26 @@ def file_stats(path: str, columns: list[str]) -> dict | None:
                         and st.null_count == md.row_group(rg).num_rows)
             if all_null:
                 continue                 # contributes no min/max
+            # unusable BOUNDS (absent min/max, or a canonical form
+            # that doesn't sort like the value: NaN, bytes, Decimal,
+            # bool) no longer discard the whole column - the exact
+            # null counts keep accumulating and land as a nulls-only
+            # entry, so IS [NOT] NULL pruning still works (r13: also
+            # what keeps the footer path field-identical to the
+            # task-side scan collector)
             if not st.has_min_max:
-                ok = False
-                break
+                bounds_ok = False
+                continue
             cmn, cmx = _canon(st.min), _canon(st.max)
             if cmn is None or cmx is None:
-                ok = False
-                break
+                bounds_ok = False
+                continue
             mn = cmn if mn is None or cmn < mn else mn
             mx = cmx if mx is None or cmx > mx else mx
         if not ok:
             continue
         entry: dict = {"nulls": nulls} if nulls_exact else {}
-        if mn is not None:
+        if bounds_ok and mn is not None:
             entry["min"] = mn
             entry["max"] = mx
         if entry:
@@ -234,6 +243,128 @@ def collect_stats(snapshot_dir: str, columns: list[str],
 
     walk(snapshot_dir, "")
     return stats_for_files(pairs, columns, spark)
+
+
+#: Spark column types whose min/max the scan-side stats pass records -
+#: the exact counterpart of the footer path's _ORDERED/_canon gate.
+_SCAN_TYPES = frozenset({
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "date", "timestamp", "timestamp_ntz",
+})
+
+#: Types whose bounds are unusable (boolean: useless; decimal/binary:
+#: canonical form doesn't sort like the value) but whose exact null
+#: counts still feed IS [NOT] NULL pruning - recorded nulls-only, the
+#: same shape the footer path produces for them. Complex types record
+#: nothing on either path.
+_SCAN_NULLS_ONLY = ("boolean", "binary")
+
+
+def _scan_mode(dtype: str) -> str | None:
+    if dtype in _SCAN_TYPES:
+        return "bounds"
+    if dtype in _SCAN_NULLS_ONLY or dtype.startswith("decimal("):
+        return "nulls"
+    return None
+
+
+def stats_via_scan(spark, snapshot_dir: str,
+                   columns: list[str]) -> dict[str, dict]:
+    """TASK-SIDE per-file stats (VERDICT r12 #3): one column-pruned
+    Spark aggregation job over the freshly-staged snapshot, grouped by
+    `_metadata.file_path` - min/max/null-count per (file, column)
+    computed on the executors, through Spark's own readers, so
+    scheme-qualified roots (hdfs:// s3a:// file://) fan out exactly
+    like local ones (the footer path's executors-have-no-Hadoop-client
+    limitation does not apply: this IS a Spark job). The collect is
+    file-count-sized (control plane).
+
+    Output parity with :func:`collect_stats` (pytest-pinned field-for-
+    field on every recorded type): same canonical forms via _canon,
+    NaN-polluted float columns record no bounds (footer writers
+    disagree on NaN, scan mirrors by dropping bounds when any NaN is
+    present), all-null columns record nulls only, partition-key
+    columns (directory-encoded, no physical chunk) record nothing,
+    empty part files record {"rows": 0, cols: {c: {"nulls": 0}}}. The
+    one DOCUMENTED divergence: parquet truncates long-string footer
+    stats (64-byte prefix, max's last byte bumped) where the scan
+    records the exact bounds - strictly tighter, conservative in the
+    same direction, prune==filter unaffected.
+
+    This is the per-partition-file aggregation shape of Delta's
+    task-side stats collection; PySpark exposes no hook inside the
+    write job's tasks themselves, so the pass runs as a second
+    metadata+stats-columns-only job over the staged files rather than
+    piggybacked on the write - the manifest format is identical either
+    way."""
+    # membership + partition-key discovery from the directory walk
+    # (metadata-sized; the walk is the same one collect_stats does)
+    rels: list[str] = []
+
+    def walk(d: str, rel: str) -> None:
+        for entry in sorted(fsio.scandir(d), key=lambda e: e.name):
+            full = os.path.join(d, entry.name)
+            r = f"{rel}{entry.name}"
+            if entry.is_dir:
+                if not entry.name.startswith(("_", ".")):
+                    walk(full, f"{r}/")
+            elif (entry.name.endswith(".parquet")
+                    and not entry.name.startswith(("_", "."))):
+                rels.append(r)
+
+    walk(snapshot_dir, "")
+    part_keys = {seg.split("=", 1)[0]
+                 for r in rels for seg in r.split("/")[:-1] if "=" in seg}
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(snapshot_dir)
+    types = dict(df.dtypes)
+    modes = {c: _scan_mode(types[c]) for c in columns
+             if c in types and c not in part_keys}
+    cols = [c for c, m in modes.items() if m is not None]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for i, c in enumerate(cols):
+        qc = F.col(c)
+        aggs.append((F.count(F.lit(1)) - F.count(qc)).alias(f"__nu_{i}"))
+        if modes[c] == "bounds":
+            aggs += [F.min(qc).alias(f"__mn_{i}"),
+                     F.max(qc).alias(f"__mx_{i}")]
+            if types[c] in ("float", "double"):
+                aggs.append(F.max(F.isnan(qc).cast("int"))
+                            .alias(f"__nan_{i}"))
+    grouped = (df.groupBy(F.col("_metadata.file_path").alias("__path"))
+               .agg(*aggs).collect())
+
+    # URI -> manifest-relative path: split on the unique staged dir
+    # name (stage dirs are ._stage_<uuid>; version dirs vNNNNNNNN -
+    # both unique within the path)
+    marker = "/" + os.path.basename(snapshot_dir.rstrip("/")) + "/"
+    out: dict[str, dict] = {}
+    for row in grouped:
+        rel = row["__path"].split(marker, 1)[1]
+        entry_cols: dict[str, dict] = {}
+        for i, c in enumerate(cols):
+            nulls = int(row[f"__nu_{i}"])
+            e: dict = {"nulls": nulls}
+            if modes[c] == "bounds":
+                mn = _canon(row[f"__mn_{i}"])
+                mx = _canon(row[f"__mx_{i}"])
+                nan = (types[c] in ("float", "double")
+                       and (row[f"__nan_{i}"] or 0) > 0)
+                if mn is not None and mx is not None and not nan:
+                    e["min"] = mn
+                    e["max"] = mx
+            entry_cols[c] = e
+        out[rel] = {"rows": int(row["__rows"]), "cols": entry_cols}
+    # empty part files produce no scan group but are still manifest
+    # members (membership authority: absent = invisible to pruned
+    # reads) - record them the way an empty footer does
+    for rel in rels:
+        if rel not in out:
+            out[rel] = {"rows": 0,
+                        "cols": {c: {"nulls": 0} for c in cols}}
+    return out
 
 
 #: Predicate ops understood by :func:`survives`. "between" takes a

@@ -119,17 +119,28 @@ def _manifest_with_stats(manifest: dict, stage: str,
     {"stats": {"columns": [...], "files": {rel: file-stats}}} (VERDICT
     r11 #3 - the b-tree-index analogue: a selective read prunes files
     from the KB-sized manifest instead of listing/opening every live
-    file). Collected from the fully-staged snapshot's parquet footers
-    (metadata-only IO) BEFORE the version number is claimed, so the
-    commit protocol and its crash windows are untouched."""
+    file). Collected from the fully-staged snapshot BEFORE the version
+    number is claimed, so the commit protocol and its crash windows
+    are untouched.
+
+    Default path (r13, VERDICT r12 #3): TASK-SIDE collection - one
+    column-pruned Spark aggregation job over the staged files
+    (filestats.stats_via_scan), Delta's per-file stats shape. No
+    post-write footer reads, and scheme-qualified roots (hdfs/s3a/
+    file) fan out through Spark's own readers instead of degrading to
+    a driver-side pyarrow loop. The footer path remains the spark-less
+    fallback (stats_for_files is also still the layout-manifest
+    collector)."""
     if not stats_columns:
         return manifest
-    from .filestats import collect_stats
+    from .filestats import collect_stats, stats_via_scan
 
+    files = (stats_via_scan(spark, stage, list(stats_columns))
+             if spark is not None
+             else collect_stats(stage, stats_columns))
     return dict(manifest,
                 stats={"columns": sorted(stats_columns),
-                       "files": collect_stats(stage, stats_columns,
-                                              spark=spark)})
+                       "files": files})
 
 
 def write_version(df: DataFrame, root: str,

@@ -610,3 +610,101 @@ def test_layout_pre_stats_manifest_never_pruned(spark, tmp_path):
     got = _rows(read_layout_manifest(
         spark, path, file_pred=("vec_id", "=", 123)).select("vec_id"))
     assert got == [(123,)]
+
+
+def test_scan_stats_byte_identical_to_footer_path(spark, root):
+    """VERDICT r12 #3: the task-side scan collector (the r13 default
+    for versioned commits) must produce FIELD-IDENTICAL stats to the
+    footer path across the whole recorded type matrix - ints, doubles
+    (with a NaN-polluted file and an all-null file), short strings,
+    dates, timestamps, null mixes - on plain and file:// roots, and on
+    a partitioned snapshot (partition keys record nothing on either
+    path)."""
+    import math
+    import os
+
+    df = (spark.range(400)
+          .select("id",
+                  F.when(F.col("id") % 7 == 0, None)
+                  .otherwise(F.col("id") * 2).alias("k"),
+                  F.when(F.col("id") == 399, float("nan"))
+                  .when(F.col("id") % 11 == 0, None)
+                  .otherwise(F.col("id").cast("double") / 3).alias("x"),
+                  F.lit(None).cast("double").alias("dead"),
+                  F.format_string("u%06d", "id").alias("name"),
+                  F.date_add(F.lit("2024-01-01").cast("date"),
+                             (F.col("id") % 200).cast("int")).alias("d"),
+                  (F.lit("2024-03-01 00:00:00").cast("timestamp")
+                   + F.make_interval(secs=F.col("id"))).alias("ts"))
+          .repartitionByRange(5, "id"))
+    write_version(df, root)
+    snap = os.path.join(root, "v00000001")
+    cols = ["id", "k", "x", "dead", "name", "d", "ts", "ghost"]
+    scan = filestats.stats_via_scan(spark, snap, cols)
+    footer = filestats.collect_stats(snap, cols)
+    assert set(scan) == set(footer) and len(scan) == 5
+    for rel in footer:
+        assert scan[rel] == footer[rel], (rel, scan[rel], footer[rel])
+    # the NaN file recorded no x bounds on BOTH paths
+    nan_entries = [st["cols"]["x"] for st in scan.values()
+                   if "min" not in st["cols"]["x"]]
+    assert len(nan_entries) == 1 and nan_entries[0]["nulls"] >= 0
+    # all-null column: nulls-only entries everywhere
+    assert all("min" not in st["cols"]["dead"]
+               and st["cols"]["dead"]["nulls"] > 0
+               for st in scan.values())
+
+    # partitioned snapshot: partition keys record nothing, data
+    # columns stay identical
+    pdf = df.withColumn("bucket", (F.col("id") % 3).cast("int"))
+    write_version(pdf, root, partition_by=["bucket"])
+    psnap = os.path.join(root, "v00000002")
+    pcols = ["bucket", "k", "name"]
+    pscan = filestats.stats_via_scan(spark, psnap, pcols)
+    pfooter = filestats.collect_stats(psnap, pcols)
+    assert pscan == pfooter and len(pscan) >= 3
+    assert all("bucket" not in st["cols"] for st in pscan.values())
+    assert all(rel.startswith("bucket=") for rel in pscan)
+
+
+def test_scan_stats_exact_on_long_strings(spark, root):
+    """The one documented scan/footer divergence: parquet truncates
+    long-string footer stats (64-byte prefix, max's last byte bumped)
+    where the scan records EXACT bounds - strictly tighter, same
+    conservative direction, and the pruned read still equals the
+    filter."""
+    import os
+
+    prefix = "p" * 80
+    df = (spark.range(300)
+          .select("id", F.concat(F.lit(prefix),
+                                 F.format_string("%06d", "id"))
+                  .alias("s"))
+          .repartitionByRange(4, "id"))
+    write_version(df, root, stats_columns=["s"])   # scan path default
+    man = _manifest(root, 1)
+    ent = next(iter(man["stats"]["files"].values()))["cols"]["s"]
+    assert ent["min"].startswith(prefix) and len(ent["min"]) == 86
+    assert ent["max"].startswith(prefix) and len(ent["max"]) == 86
+    target = prefix + "000123"
+    got = read_version(spark, root, prune=("s", "=", target)).collect()
+    assert [r.id for r in got] == [123]
+    # exact bounds prune the equality lookup to ONE file
+    kept, total = pruned_files(man, [("s", "=", target)])
+    assert len(kept) == 1 and total == 4
+
+
+def test_default_write_path_does_no_footer_reads(spark, root, monkeypatch):
+    """The r13 contract sentence itself: a stats-bearing versioned
+    commit from a live session must never open a parquet footer
+    driver-side - collection goes through the scan job."""
+    def boom(*a, **k):
+        raise AssertionError("footer path used on the default write")
+
+    monkeypatch.setattr(filestats, "file_stats", boom)
+    df = _clustered_df(spark, n=500, files=4)
+    write_version(df, root, stats_columns=["id", "val"])
+    man = _manifest(root, 1)
+    assert len(man["stats"]["files"]) == 4
+    kept, total = pruned_files(man, [("id", "<", 100)])
+    assert 0 < len(kept) < total
