@@ -45,16 +45,42 @@ MANIFEST_SUBDIR = "_index"
 
 
 
-def route_by_cluster(df, id_col: str, files_per_cluster: int):
-    """One hash shuffle on the (low-cardinality, k-means-balanced)
-    cluster key routes each cluster to `files_per_cluster` write tasks
-    before partitionBy - ~k*files_per_cluster output files, never the
-    W x k partitionBy sliver explosion. The single routing rule every
-    layout builder (float, two-level, generation, compaction, PQ)
-    shares."""
+def route_by_cluster(df, id_col: str, files_per_cluster: int,
+                     split: str = "hash",
+                     num_clusters: int | None = None):
+    """One shuffle on the (low-cardinality, k-means-balanced) cluster
+    key routes each cluster to `files_per_cluster` write tasks before
+    partitionBy - ~k*files_per_cluster output files, never the W x k
+    partitionBy sliver explosion. The single routing rule every layout
+    builder (float, two-level, generation, compaction, PQ) shares.
+
+    `split` picks how a cluster's rows spread across its files:
+      * 'hash' (default): xxhash64 salt on `id_col` - maximally
+        balanced, order-free; every file spans the cluster's whole id
+        range, so per-file id stats prune nothing;
+      * 'range': repartitionByRange on (cluster, id) + a within-task
+        sort - each file holds a CONTIGUOUS id slice, so the
+        per-(cluster,file) manifest stats make an id point-lookup
+        (the delete/GDPR access path) open ~one file per cluster
+        instead of all of them, and row-group stats tighten the same
+        way. Needs `num_clusters` to size the range exchange
+        (k * files_per_cluster tasks). The secondary clustering inside
+        a partition-pruned primary key is the same trade Delta's
+        OPTIMIZE ZORDER makes; with ONE residual access column a plain
+        range sort IS the optimal z-order (see operators/zorder.py for
+        the 2+-column form)."""
     if files_per_cluster < 1:
         raise ValueError(f"files_per_cluster must be >= 1, "
                          f"got {files_per_cluster}")
+    if split == "range":
+        if num_clusters is None:
+            raise ValueError("split='range' needs num_clusters to size "
+                             "the range exchange")
+        n = max(1, num_clusters * files_per_cluster)
+        return (df.repartitionByRange(n, F.col("cluster"), F.col(id_col))
+                .sortWithinPartitions("cluster", id_col))
+    if split != "hash":
+        raise ValueError(f"split must be 'hash' or 'range', got {split!r}")
     if files_per_cluster == 1:
         return df.repartition("cluster")
     return df.repartition(
@@ -300,7 +326,8 @@ def write_ivf_layout(emb: DataFrame, cents: list[list[float]], dim: int,
                      kernel: str | None = None,
                      mode: str = "overwrite",
                      files_per_cluster: int = 1,
-                     stats_columns: list[str] | None = None) -> None:
+                     stats_columns: list[str] | None = None,
+                     split: str = "hash") -> None:
     """Materialize the corpus at `path` partitioned by its coarse
     cluster id under the FROZEN model `cents`. At 100 TB this is the
     stored form of the corpus for serving: each cluster directory is
@@ -332,14 +359,19 @@ def write_ivf_layout(emb: DataFrame, cents: list[list[float]], dim: int,
     tasks/files via a hash salt on `id_col` - the knob for the cluster
     scale where one posting list exceeds one task's output (set it to
     ~cluster_bytes / target_file_bytes); probes are unaffected (the
-    directory, not the file count, is the pruning unit)."""
+    directory, not the file count, is the pruning unit). `split='range'`
+    instead gives each file a contiguous id slice (sorted within), so
+    with `stats_columns=[id_col]` an id point-lookup through
+    `read_layout_manifest(file_pred=...)` opens ~one file per cluster -
+    the delete/GDPR access path (see route_by_cluster)."""
     # _scaled/_assign add (xi, xd, cluster, centroid_dist) alongside ALL
     # of emb's own columns, so every payload column rides the same
     # map-side pass into the layout - same output contract as the old
     # join-based build, minus the join.
     assigned = (_assign(_scaled(emb, vec_col), cents, dim, kernel)
                 .drop("xi", "xd", "centroid_dist"))
-    routed = route_by_cluster(assigned, id_col, files_per_cluster)
+    routed = route_by_cluster(assigned, id_col, files_per_cluster,
+                              split=split, num_clusters=len(cents))
     routed.write.partitionBy("cluster").mode(mode).parquet(path)
     commit_layout_manifest(emb.sparkSession, path,
                            stats_columns=stats_columns)
@@ -406,8 +438,8 @@ def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],
                                 kernel: str | None = None,
                                 files_per_cluster: int = 1,
                                 max_retries: int = 5,
-                                stats_columns: list[str] | None = None
-                                ) -> int:
+                                stats_columns: list[str] | None = None,
+                                split: str = "hash") -> int:
     """E49: an IMMUTABLE-GENERATION index rebuild - the lock-free swap.
     Unlike `write_ivf_layout(mode="overwrite")`, which deletes the
     standing files (a reader mid-scan can lose them), each rebuild
@@ -440,7 +472,8 @@ def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],
     stage = os.path.join(path, gen)
     assigned = (_assign(_scaled(emb, vec_col), cents, dim, kernel)
                 .drop("xi", "xd", "centroid_dist"))
-    routed = route_by_cluster(assigned, id_col, files_per_cluster)
+    routed = route_by_cluster(assigned, id_col, files_per_cluster,
+                              split=split, num_clusters=len(cents))
     routed.write.partitionBy("cluster").mode("errorifexists").parquet(stage)
     return commit_generation_manifest(emb.sparkSession, path, gen,
                                       max_retries,

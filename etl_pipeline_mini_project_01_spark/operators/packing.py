@@ -71,8 +71,11 @@ def pack_into_shards(df: DataFrame, budget: int, key_col: str = "doc_id",
     local = local.localCheckpoint()
     # (groups x P)-row totals relation: cumulative offsets over partition
     # ids within each group.
+    # sum of the token column, NOT max of the running sum: identical
+    # for the valid (non-negative counts) domain, but max would
+    # silently corrupt offsets if a negative count ever slipped in
     totals = (local.groupBy(*groups, "_pid")
-              .agg(F.max("_local_sum").alias("_ptotal")))
+              .agg(F.sum(token_col).alias("_ptotal")))
     w_off = (Window.partitionBy(*groups).orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.withColumn(

@@ -99,7 +99,8 @@ def scd2_initial(snapshot: DataFrame, valid_from: str,
 
 
 def assign_surrogate_keys(df: DataFrame, key_col: str,
-                          order_by: Sequence[str], offset: int = 0) -> Column | DataFrame:
+                          order_by: Sequence[str],
+                          offset: int = 0) -> DataFrame:
     """M4: deterministic surrogate keys - row_number over the natural-key
     order (+ offset for appends), replacing SERIAL. Deliberately NOT
     monotonically_increasing_id (partition-dependent, not reproducible).
@@ -111,6 +112,19 @@ def assign_surrogate_keys(df: DataFrame, key_col: str,
     """
     w = Window.orderBy(*order_by)
     return df.withColumn(key_col, F.row_number().over(w) + F.lit(offset))
+
+
+def _check_artifact_names(df: DataFrame, reserved: Sequence[str],
+                          op: str) -> None:
+    """A caller column named after an internal artifact would be
+    silently overwritten by withColumn and then dropped from the
+    result - raise loudly instead (same contract as
+    operators/rangejoin.py's reserved-name guard)."""
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"{op}: column name(s) {clash} are reserved internal "
+            f"artifacts of this operator; rename them")
 
 
 def idempotent_append(existing: DataFrame, incoming: DataFrame,
@@ -131,6 +145,7 @@ def idempotent_append(existing: DataFrame, incoming: DataFrame,
     per-key dedup window (partitionBy would have grouped them and kept
     one) and pass the anti-join by construction (NULL = NULL is
     UNKNOWN)."""
+    _check_artifact_names(incoming, ("__rn",), "idempotent_append")
     others = [c for c in incoming.columns if c != key]
     w = Window.partitionBy(key).orderBy(*(others or [key]))
     # Schema-aware fast path (VERDICT r11 #5): a non-nullable key
@@ -162,6 +177,7 @@ def upsert_latest(existing: DataFrame, incoming: DataFrame, key: str,
     column tuple (deterministic, mirroring idempotent_append; unique
     (key, version) per side remains the caller's contract, like
     scd2_merge's unique-source-key precondition)."""
+    _check_artifact_names(incoming, ("__rn", "__src"), "upsert_latest")
     others = [c for c in incoming.columns if c != key]
     w = Window.partitionBy(key).orderBy(
         *[F.desc(c) for c in version_cols],

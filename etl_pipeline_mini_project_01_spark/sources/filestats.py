@@ -10,12 +10,16 @@ This module is the shared stats layer: `sources/versioned.py` embeds
 its output in version manifests, `operators/ivf_layout.py` in layout
 manifest rows.
 
-Collection reads parquet FOOTERS only (row-group statistics pyarrow
-already has decoded) - metadata-sized IO, no data pages. On
-scheme-qualified roots the bytes come through fsio (whole-object read:
-the local-grade fallback, same as manifest resolution); a production
-deployment computes stats task-side during the write like Delta's
-writers do, which this manifest format accepts unchanged.
+Two collectors, one output contract (field-identical, pytest-pinned):
+  * :func:`stats_via_scan` (r13, the DEFAULT for versioned commits):
+    one column-pruned Spark aggregation job over the staged snapshot,
+    grouped by `_metadata.file_path` - task-side, scheme-agnostic
+    (executors read through Spark's own readers), no footer IO;
+  * :func:`collect_stats` / :func:`file_stats` (the footer path):
+    parquet footer row-group statistics via pyarrow - metadata-sized
+    IO, faster on local disks, the spark-less fallback and the
+    layout-manifest collector. On scheme-qualified roots the bytes
+    come through fsio (whole-object read, driver-side).
 
 Conservatism contract - a file may always be KEPT spuriously, never
 dropped wrongly:

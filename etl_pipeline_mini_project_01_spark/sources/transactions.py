@@ -218,6 +218,14 @@ def read_txn_snapshot(spark: SparkSession, root: str,
     as single-table reads, against exactly the pinned snapshot."""
     pins = read_txn_manifest(root, txn)
     names = list(pins) if tables is None else list(tables)
+    # a prune key naming no table in the read set is a caller typo
+    # ("ordrs") that would otherwise silently return an UNPRUNED,
+    # UNFILTERED read of the intended table - surface it loudly
+    stray = set(prune or {}) - set(names)
+    if stray:
+        raise KeyError(
+            f"prune names table(s) {sorted(stray)} that this snapshot "
+            f"read does not include (reading: {sorted(names)})")
     out: dict[str, DataFrame] = {}
     for name in names:
         if name not in pins:

@@ -708,3 +708,67 @@ def test_default_write_path_does_no_footer_reads(spark, root, monkeypatch):
     assert len(man["stats"]["files"]) == 4
     kept, total = pruned_files(man, [("id", "<", 100)])
     assert 0 < len(kept) < total
+
+
+def test_range_split_layout_prunes_id_point_lookups(spark, tmp_path):
+    """r13 (VERDICT r12 #8, the z-order x IVF composition): with the
+    default hash split, every file of a cluster spans the cluster's
+    whole id range, so the r12 per-(cluster,file) stats cannot prune an
+    id point-lookup - the delete/GDPR access path opens every file.
+    split='range' gives each file a contiguous id slice; the SAME
+    file_pred machinery then opens ~one file per cluster. Embedding
+    and id are deliberately DECORRELATED (cluster = id % 4) so the
+    contrast is the split's doing, not the data's."""
+    import json as _json
+
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        manifest_entries,
+        read_layout_manifest,
+        route_by_cluster,
+        write_ivf_layout,
+    )
+
+    band = (F.col("id") % 4).cast("float")
+    emb = (spark.range(400)
+           .select(F.col("id").alias("vec_id"),
+                   F.array(band, band).alias("embedding")))
+    cents = [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [3.0, 3.0]]
+
+    surv = {}
+    total = {}
+    reads = {}
+    for split in ("hash", "range"):
+        path = str(tmp_path / split)
+        write_ivf_layout(emb, cents, dim=2, path=path,
+                         files_per_cluster=4, stats_columns=["vec_id"],
+                         split=split)
+        entries = manifest_entries(path)
+        total[split] = len(entries)
+        surv[split] = sum(
+            1 for _, _, s in entries
+            if filestats.survives(_json.loads(s) if s else None,
+                                  "vec_id", "=", 123))
+        reads[split] = _rows(read_layout_manifest(spark, path)
+                             .select("vec_id", "cluster"))
+        got = _rows(read_layout_manifest(
+            spark, path, file_pred=("vec_id", "=", 123))
+            .select("vec_id"))
+        assert got == [(123,)], split
+
+    # same logical content either way
+    assert reads["hash"] == reads["range"]
+    # the composition claim: under the hash salt every file spans the
+    # full id range, so an id lookup prunes NOTHING (survivors = all
+    # files); contiguous range slices keep ~one file per cluster
+    assert surv["hash"] == total["hash"], (surv, total)
+    assert surv["range"] < total["range"], (surv, total)
+    assert surv["range"] <= len(cents) + 2, (surv, total)
+    assert total["range"] == 4 * len(cents), total
+
+    # loud errors on the new knob
+    with pytest.raises(ValueError, match="num_clusters"):
+        route_by_cluster(emb.withColumn("cluster", F.lit(0)), "vec_id",
+                         2, split="range")
+    with pytest.raises(ValueError, match="hash.*range|range.*hash"):
+        route_by_cluster(emb.withColumn("cluster", F.lit(0)), "vec_id",
+                         2, split="zorder")

@@ -344,3 +344,24 @@ def test_upsert_latest_incoming_wins_version_ties(spark):
     out = {(r.k, r.v) for r in
            upsert_latest(existing, incoming, "k", ["ver"]).collect()}
     assert out == {(1, "new"), (2, "keep")}
+
+
+def test_scd_operators_reject_reserved_artifact_columns(spark):
+    """r13 sweep: an incoming frame already carrying __rn/__src would
+    be overwritten in the window tag and silently dropped from the
+    result - loud ValueError instead (the rangejoin reserved-name
+    contract, applied to the scd family)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_mini_project_01_spark.operators.scd import (
+        idempotent_append,
+        upsert_latest,
+    )
+
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(ValueError, match="__rn.*reserved|reserved.*__rn"):
+        idempotent_append(base, base.withColumn("__rn", F.lit(1)), "k")
+    with pytest.raises(ValueError, match="reserved"):
+        upsert_latest(base.withColumn("__src", F.lit(9)),
+                      base.withColumn("__src", F.lit(9)), "k", ["v"])

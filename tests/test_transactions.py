@@ -412,3 +412,21 @@ def test_snapshot_prune_skips_files_at_pinned_version(spark, root):
         root, "orders", "_versions", f"v{ov1:08d}.json"))
     kept, total = pruned_files(man, [pred])
     assert 0 < len(kept) < total
+
+
+def test_snapshot_prune_rejects_stray_table_keys(spark, tmp_path):
+    """r13 sweep: prune={'ordrs': ...} (a typo for a table the read
+    does not include) must raise, not silently return the intended
+    table unpruned and unfiltered."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    df = spark.range(10).select("id")
+    v = write_version(df, os.path.join(root, "orders"))
+    commit_txn(root, {"orders": v}, 0)
+    with pytest.raises(KeyError, match="ordrs"):
+        read_txn_snapshot(spark, root, prune={"ordrs": ("id", "<", 5)})
+    # and a valid key still works
+    got = read_txn_snapshot(spark, root,
+                            prune={"orders": ("id", "<", 5)})
+    assert got["orders"].count() == 5
