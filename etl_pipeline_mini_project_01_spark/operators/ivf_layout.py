@@ -615,7 +615,8 @@ def read_layout_manifest(spark: SparkSession, path: str,
     generation layouts - a plain spark.read.parquet(path) would union
     every generation's files.
 
-    `file_pred` = (column, op, value) with op in filestats.OPS: files
+    `file_pred` = (column, op, value) with op in filestats.OPS - or a
+    LIST of such tuples, meaning their DISJUNCTION (r13): files
     whose manifest add-action stats (committed with `stats_columns=`)
     provably exclude every matching row are dropped from the scan, and
     the predicate is re-applied as a filter - so the result is always
@@ -629,14 +630,20 @@ def read_layout_manifest(spark: SparkSession, path: str,
                          "generation layouts are read through it")
     mf: dict[int, list[str]] = {}
     pruned_empty = False
+    clause = None
     if file_pred is not None:
         import json
 
-        from ..sources.filestats import survives
+        from ..sources.filestats import clause_survives
+        from ..sources.versioned import _is_atom, _norm_atom
 
-        col, op, value = file_pred
+        # one atom, or a LIST of atoms meaning their DISJUNCTION (r13;
+        # conjunctions compose by nesting reads or filtering)
+        clause = (_norm_atom(file_pred) if _is_atom(file_pred)
+                  else [_norm_atom(a) for a in file_pred])
         kept = [(c, f) for c, f, s in entries
-                if survives(json.loads(s) if s else None, col, op, value)]
+                if clause_survives(json.loads(s) if s else None,
+                                   clause)]
         if not kept and entries:
             # predicate provably matches nothing: scan ONE file for the
             # schema, emit zero rows (the re-applied filter keeps the
@@ -674,10 +681,10 @@ def read_layout_manifest(spark: SparkSession, path: str,
     if gens:
         parts.append(_read(gens).drop("gen"))
     out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    if file_pred is not None:
-        from ..sources.versioned import _pred_column
+    if clause is not None:
+        from ..sources.versioned import _clause_column
 
-        out = out.filter(_pred_column(*file_pred))
+        out = out.filter(_clause_column(clause))
         if pruned_empty:
             out = out.limit(0)
     return out

@@ -380,6 +380,21 @@ OPS = ("=", "<", "<=", ">", ">=", "between", "in",
        "is_null", "is_not_null")
 
 
+def clause_survives(stats: dict | None, clause) -> bool:
+    """CNF clause verdict (r13): an ATOM (col, op[, value]) keeps the
+    file per :func:`survives`; a LIST of atoms is their DISJUNCTION -
+    the file is kept when ANY member might match (still conservative:
+    a clause is dropped only when every disjunct provably excludes
+    every row)."""
+    if isinstance(clause, tuple) or (len(clause) > 0
+                                     and isinstance(clause[0], str)):
+        atom = tuple(clause)
+        if len(atom) == 2:
+            atom = (*atom, None)
+        return survives(stats, *atom)
+    return any(clause_survives(stats, a) for a in clause)
+
+
 def survives(stats: dict | None, col: str, op: str, value) -> bool:
     """May this file contain a row matching `col op value`? False ONLY
     when the recorded stats provably exclude every match; every doubt

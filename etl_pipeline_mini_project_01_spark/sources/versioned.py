@@ -280,7 +280,11 @@ def read_version(spark: SparkSession, root: str,
     value an iterable of members, the point-lookup disjunction;
     "is_null" / "is_not_null" - value ignored, may be omitted
     entirely: ("col", "is_null") works, pruning on the manifest's
-    exact per-file null counts). When the
+    exact per-file null counts). A conjunction member may itself be a
+    LIST of such tuples, meaning their DISJUNCTION (r13: CNF -
+    `[("a", "<", 5), [("b", "=", 1), ("c", ">", 9)]]` is
+    a < 5 AND (b = 1 OR c > 9); a disjunctive clause drops a file only
+    when EVERY disjunct provably excludes it). When the
     manifest carries add-action stats (committed with
     `stats_columns=`), files whose recorded [min, max] provably
     exclude every predicate are DROPPED FROM THE SCAN's file list -
@@ -308,22 +312,54 @@ def read_version(spark: SparkSession, root: str,
     if not preds:
         return spark.read.parquet(snap)
     df = _pruned_scan(spark, snap, manifest, preds)
-    for col, op, value in preds:
-        df = df.filter(_pred_column(col, op, value))
+    for clause in preds:
+        df = df.filter(_clause_column(clause))
     return df
 
 
 def _norm_prune(prune) -> list[tuple]:
-    """One (col, op[, value]) tuple or a list of them -> list of
-    3-tuples (the null-test ops take no value; None is filled in)."""
+    """Normalize `prune` into CNF clause form: a list whose elements
+    are either a 3-tuple atom (col, op, value) - the null-test ops may
+    omit the value - or a LIST of such atoms, meaning their DISJUNCTION
+    (r13: conjunction-of-disjunctions covers every boolean combination
+    of simple predicates; a clause's file-level verdict is "keep if ANY
+    disjunct might match", still conservative)."""
     if prune is None:
         return []
-    if (isinstance(prune, (tuple, list)) and len(prune) in (2, 3)
-            and isinstance(prune[0], str)):
-        preds = [tuple(prune)]
-    else:
-        preds = [tuple(p) for p in prune]
-    return [p if len(p) == 3 else (p[0], p[1], None) for p in preds]
+    if _is_atom(prune):
+        return [_norm_atom(prune)]
+    out: list = []
+    for p in prune:
+        if _is_atom(p):
+            out.append(_norm_atom(p))
+        else:
+            disj = [_norm_atom(a) for a in p]
+            if not disj:
+                raise ValueError("empty OR-group in prune: a disjunction "
+                                 "of nothing matches nothing - filter "
+                                 "explicitly instead")
+            out.append(disj)
+    return out
+
+
+def _is_atom(p) -> bool:
+    return (isinstance(p, (tuple, list)) and len(p) in (2, 3)
+            and isinstance(p[0], str))
+
+
+def _norm_atom(p) -> tuple:
+    t = tuple(p)
+    return t if len(t) == 3 else (t[0], t[1], None)
+
+
+def _clause_column(clause):
+    """Spark filter Column for one CNF clause (atom or disjunction)."""
+    if isinstance(clause, list):
+        out = _pred_column(*clause[0])
+        for a in clause[1:]:
+            out = out | _pred_column(*a)
+        return out
+    return _pred_column(*clause)
 
 
 def _pred_column(col: str, op: str, value):
@@ -351,11 +387,11 @@ def pruned_files(manifest: dict, preds: list[tuple]
     stats = manifest.get("stats")
     if not stats:
         return None
-    from .filestats import survives
+    from .filestats import clause_survives
 
     files = stats.get("files", {})
     kept = [rel for rel, st in sorted(files.items())
-            if all(survives(st, col, op, v) for col, op, v in preds)]
+            if all(clause_survives(st, cl) for cl in preds)]
     return kept, len(files)
 
 

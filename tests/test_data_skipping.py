@@ -772,3 +772,58 @@ def test_range_split_layout_prunes_id_point_lookups(spark, tmp_path):
     with pytest.raises(ValueError, match="hash.*range|range.*hash"):
         route_by_cluster(emb.withColumn("cluster", F.lit(0)), "vec_id",
                          2, split="zorder")
+
+
+def test_cnf_prune_or_groups(spark, root):
+    """r13: a prune conjunction member may be a LIST of atoms = their
+    DISJUNCTION (CNF). Equality vs unpruned+filter, strict-subset
+    skipping for a two-range OR on a clustered key, conservative keep
+    when one disjunct is unbounded, and loud rejection of an empty OR
+    group."""
+    df = _clustered_df(spark)
+    write_version(df, root, stats_columns=["id", "val"])
+    man = _manifest(root, 1)
+
+    # (id < 300 OR id >= 3700): two slivers at opposite ends - both
+    # end-files survive, the middle is dropped
+    clause = [("id", "<", 300), ("id", ">=", 3700)]
+    kept, total = pruned_files(man, [clause])
+    assert total == 8 and 1 < len(kept) < total, (kept, total)
+    got = sorted(r.id for r in
+                 read_version(spark, root, prune=[clause]).collect())
+    assert got == list(range(300)) + list(range(3700, 4000))
+
+    # conjunction AND disjunction together:
+    # val <= 1000 AND (id < 300 OR id >= 3700) -> only the low sliver
+    # (val = 2*id), pruned to fewer files than the OR alone
+    both = [("val", "<=", 1000.0), clause]
+    kept2, _ = pruned_files(man, both)
+    assert 0 < len(kept2) < len(kept), (kept2, kept)
+    got2 = sorted(r.id for r in
+                  read_version(spark, root, prune=both).collect())
+    assert got2 == list(range(300))
+
+    # a no-stats disjunct keeps every file (conservative OR)
+    kept3, _ = pruned_files(man, [[("id", "<", 300),
+                                   ("ghost", "=", 1)]])
+    assert len(kept3) == total
+
+    # empty OR group is a loud caller error
+    with pytest.raises(ValueError, match="OR"):
+        read_version(spark, root, prune=[("id", "<", 300), []])
+
+
+def test_layout_file_pred_disjunction(spark, tmp_path):
+    """read_layout_manifest's file_pred accepts a disjunction list:
+    two id point-lookups in one pruned scan (the multi-key GDPR
+    delete shape), exactly equal to the filtered full read."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        read_layout_manifest,
+    )
+
+    path = str(tmp_path / "lay")
+    _fit_tiny_layout(spark, path, stats_columns=["vec_id"])
+    pred = [("vec_id", "=", 123), ("vec_id", "=", 377)]
+    got = sorted(r.vec_id for r in read_layout_manifest(
+        spark, path, file_pred=pred).collect())
+    assert got == [123, 377]
