@@ -340,13 +340,16 @@ def stats_via_scan(spark, snapshot_dir: str,
     grouped = (df.groupBy(F.col("_metadata.file_path").alias("__path"))
                .agg(*aggs).collect())
 
-    # URI -> manifest-relative path: split on the unique staged dir
-    # name (stage dirs are ._stage_<uuid>; version dirs vNNNNNNNN -
-    # both unique within the path)
+    # URI -> manifest-relative path: split on the LAST occurrence of
+    # the snapshot dir's name segment (rsplit: a root path that itself
+    # contains a segment spelled like the version dir - e.g.
+    # /data/v00000001/t/v00000001/... - must not split at the first).
+    # Partition segments below the snapshot are key=value shaped, so
+    # they can never collide with the marker.
     marker = "/" + os.path.basename(snapshot_dir.rstrip("/")) + "/"
     out: dict[str, dict] = {}
     for row in grouped:
-        rel = row["__path"].split(marker, 1)[1]
+        rel = row["__path"].rsplit(marker, 1)[1]
         entry_cols: dict[str, dict] = {}
         for i, c in enumerate(cols):
             nulls = int(row[f"__nu_{i}"])

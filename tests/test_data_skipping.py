@@ -827,3 +827,22 @@ def test_layout_file_pred_disjunction(spark, tmp_path):
     got = sorted(r.vec_id for r in read_layout_manifest(
         spark, path, file_pred=pred).collect())
     assert got == [123, 377]
+
+
+def test_scan_stats_root_containing_version_dir_name(spark, tmp_path):
+    """rsplit hardening: a table ROOT that itself contains a segment
+    spelled like the snapshot dir (v00000001) must still produce
+    manifest-relative stats keys."""
+    import os
+
+    root = str(tmp_path / "v00000001" / "t")
+    df = _clustered_df(spark, n=300, files=3)
+    write_version(df, root, stats_columns=["id"])
+    man = _manifest(root, 1)
+    rels = list(man["stats"]["files"])
+    assert rels and all("/" not in r for r in rels), rels
+    kept, total = pruned_files(man, [("id", "<", 50)])
+    assert 0 < len(kept) < total
+    got = _rows(read_version(spark, root, prune=("id", "<", 50)))
+    assert got == _rows(read_version(spark, root)
+                        .filter(F.col("id") < 50))
