@@ -846,3 +846,53 @@ def test_scan_stats_root_containing_version_dir_name(spark, tmp_path):
     got = _rows(read_version(spark, root, prune=("id", "<", 50)))
     assert got == _rows(read_version(spark, root)
                         .filter(F.col("id") < 50))
+
+
+def test_cnf_prune_equals_filter_property(spark, tmp_path):
+    """Property (r13): for RANDOM conjunctions of random disjunction
+    groups - mixed ops, null tests, IN-lists, two columns - the pruned
+    read equals the unpruned read + filter. Extends the atom property
+    above to the full CNF surface."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    root = str(tmp_path / "t")
+    df = (spark.range(600)
+          .select("id",
+                  F.when(F.col("id") % 17 == 0, None)
+                  .otherwise((F.col("id") % 97) - 48).alias("k"),
+                  (F.col("id") % 7).alias("g"))
+          .repartitionByRange(6, "k"))
+    write_version(df, root, stats_columns=["k", "g"])
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        _clause_column,
+        _norm_prune,
+    )
+
+    atom = st.one_of(
+        st.tuples(st.sampled_from(["k", "g"]),
+                  st.sampled_from(["=", "<", "<=", ">", ">="]),
+                  st.integers(-60, 60)),
+        st.tuples(st.sampled_from(["k", "g"]),
+                  st.just("between"),
+                  st.tuples(st.integers(-60, 0), st.integers(0, 60))),
+        st.tuples(st.sampled_from(["k", "g"]),
+                  st.just("in"),
+                  st.lists(st.integers(-60, 60), min_size=1, max_size=4)),
+        st.tuples(st.sampled_from(["k"]),
+                  st.sampled_from(["is_null", "is_not_null"]),
+                  st.none()),
+    )
+    clause = st.one_of(atom, st.lists(atom, min_size=1, max_size=3))
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(prune=st.lists(clause, min_size=1, max_size=3))
+    def run(prune):
+        got = _rows(read_version(spark, root, prune=prune))
+        want = read_version(spark, root)
+        for cl in _norm_prune(prune):
+            want = want.filter(_clause_column(cl))
+        assert got == _rows(want), prune
+
+    run()
