@@ -615,35 +615,39 @@ def read_layout_manifest(spark: SparkSession, path: str,
     generation layouts - a plain spark.read.parquet(path) would union
     every generation's files.
 
-    `file_pred` = (column, op, value) with op in filestats.OPS - or a
-    LIST of such tuples, meaning their DISJUNCTION (r13): files
-    whose manifest add-action stats (committed with `stats_columns=`)
-    provably exclude every matching row are dropped from the scan, and
-    the predicate is re-applied as a filter - so the result is always
+    `file_pred` takes the SAME CNF shape as read_version's `prune=`
+    (r13, one shape = one meaning across both readers): a (column, op
+    [, value]) atom with op in filestats.OPS, a LIST of atoms/groups
+    meaning their CONJUNCTION, where a nested list is a DISJUNCTION of
+    its atoms - e.g. [("id", ">=", 100), [("k", "=", 1), ("k", "=",
+    7)]] is id >= 100 AND (k = 1 OR k = 7). Files whose manifest
+    add-action stats (committed with `stats_columns=`) provably
+    exclude every matching row are dropped from the scan, and the
+    predicate is re-applied as a filter - so the result is always
     exactly the unpruned read filtered (VERDICT r11 #3: a point-lookup
     on a NON-partition key stops listing every live file; stats-less
     rows are conservatively kept). An all-files-excluded predicate
-    yields an empty frame with the layout's schema."""
+    yields an empty frame with the layout's schema; an empty list is
+    no predicate at all."""
     entries = manifest_entries(path, version)
     if entries is None:
         raise ValueError(f"{path} has no committed layout manifest - "
                          "generation layouts are read through it")
     mf: dict[int, list[str]] = {}
     pruned_empty = False
-    clause = None
+    clauses = None
     if file_pred is not None:
+        from ..sources.versioned import _norm_prune
+
+        clauses = _norm_prune(file_pred) or None
+    if clauses is not None:
         import json
 
         from ..sources.filestats import clause_survives
-        from ..sources.versioned import _is_atom, _norm_atom
 
-        # one atom, or a LIST of atoms meaning their DISJUNCTION (r13;
-        # conjunctions compose by nesting reads or filtering)
-        clause = (_norm_atom(file_pred) if _is_atom(file_pred)
-                  else [_norm_atom(a) for a in file_pred])
         kept = [(c, f) for c, f, s in entries
-                if clause_survives(json.loads(s) if s else None,
-                                   clause)]
+                if all(clause_survives(json.loads(s) if s else None, cl)
+                       for cl in clauses)]
         if not kept and entries:
             # predicate provably matches nothing: scan ONE file for the
             # schema, emit zero rows (the re-applied filter keeps the
@@ -681,10 +685,11 @@ def read_layout_manifest(spark: SparkSession, path: str,
     if gens:
         parts.append(_read(gens).drop("gen"))
     out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    if clause is not None:
+    if clauses is not None:
         from ..sources.versioned import _clause_column
 
-        out = out.filter(_clause_column(clause))
+        for cl in clauses:
+            out = out.filter(_clause_column(cl))
         if pruned_empty:
             out = out.limit(0)
     return out

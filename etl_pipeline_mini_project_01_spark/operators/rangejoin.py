@@ -164,11 +164,20 @@ def _interval_preserving_join(points: DataFrame, point_col: str,
     pure function of row content + duplicate index. Both branches thus
     compute the SAME id set from the same row multiset, whatever the
     physical row order. Cost: one dim-sized hash-partition shuffle per
-    branch instead of the free-but-fragile partition-offset id."""
+    branch instead of the free-but-fragile partition-offset id.
+
+    NULL-pattern flags ride in the hash input (r13 review): Spark's
+    hash functions SKIP null arguments (the seed passes through), so
+    (1, 2.0, NULL) and (1, NULL, 2.0) would otherwise hash the same
+    sequence on BOTH algorithms and tie-break nondeterministically;
+    the isNull booleans are never null, making the hashed sequence
+    injective in (values, null pattern) up to true hash collisions."""
     cols = [F.col(c) for c in intervals.columns]
-    dup_order = Window.partitionBy("__iv_h").orderBy(F.hash(*cols))
+    flags = [F.col(c).isNull() for c in intervals.columns]
+    dup_order = Window.partitionBy("__iv_h").orderBy(
+        F.hash(*cols, *flags))
     iv_tagged = (intervals
-                 .withColumn("__iv_h", F.xxhash64(*cols))
+                 .withColumn("__iv_h", F.xxhash64(*cols, *flags))
                  .withColumn("__iv_n", F.row_number().over(dup_order)))
     core = _bucketed_core(
         points, point_col, iv_tagged, lo_col, hi_col, stride,

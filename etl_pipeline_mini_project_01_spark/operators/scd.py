@@ -178,6 +178,7 @@ def upsert_latest(existing: DataFrame, incoming: DataFrame, key: str,
     (key, version) per side remains the caller's contract, like
     scd2_merge's unique-source-key precondition)."""
     _check_artifact_names(incoming, ("__rn", "__src"), "upsert_latest")
+    _check_artifact_names(existing, ("__rn", "__src"), "upsert_latest")
     others = [c for c in incoming.columns if c != key]
     w = Window.partitionBy(key).orderBy(
         *[F.desc(c) for c in version_cols],

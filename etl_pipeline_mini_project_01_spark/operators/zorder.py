@@ -136,29 +136,50 @@ def _rank_cell(v: Column, boundaries: list) -> Column:
     return F.when(v.isNull(), F.lit(0).cast("bigint")).otherwise(cnt)
 
 
-def _string_boundaries(df: DataFrame, col: str, cells: int,
+def _string_boundaries(df: DataFrame, cols: Sequence[str], cells: int,
                        sample_rows: int = 65536,
-                       seed: int = 42) -> list[str]:
-    """Equal-mass lexicographic boundaries for a string column from a
-    bounded driver-side sample - the same sampling family Spark's own
-    RangePartitioner (and Delta's ZORDER range ids) uses for its range
-    bounds. Two jobs (count + sample-collect), <= `sample_rows` strings
-    ever reach the driver; boundary quality degrades gracefully with
-    sample error, correctness never depends on it (cells only steer
-    layout)."""
-    src = df.select(F.col(col).alias("v")).where(F.col(col).isNotNull())
-    n = src.count()
-    if n == 0:
-        return []
-    frac = min(1.0, sample_rows / n)
-    vals = sorted(r["v"] for r in src.sample(False, frac, seed).collect())
-    if not vals:  # unlucky tiny-fraction draw: fall back to any rows
-        vals = sorted(r["v"] for r in src.limit(cells).collect())
-    out: list[str] = []
-    for i in range(1, cells):
-        q = vals[min(len(vals) - 1, (i * len(vals)) // cells)]
-        if not out or q != out[-1]:
-            out.append(q)
+                       seed: int = 42) -> dict[str, list[str]]:
+    """Equal-mass lexicographic boundaries for EVERY string column in
+    TWO driver jobs total (the same batching discipline as the numeric
+    approxQuantile pass - r13 review caught the per-column 2k-job
+    draft): one agg for the non-null counts, then one agg whose
+    per-column rate-limited collect_list gathers ~`sample_rows`
+    values per column (F.when(rand < frac) -> null, which
+    collect_list skips). The same sampling family Spark's own
+    RangePartitioner (and Delta's ZORDER range ids) uses; boundary
+    quality degrades gracefully with sample error, correctness never
+    depends on it (cells only steer layout)."""
+    if not cols:
+        return {}
+    counts = df.agg(*[F.count(F.col(f"`{c}`")).alias(f"__n_{i}")
+                      for i, c in enumerate(cols)]).first()
+    live = [(i, c) for i, c in enumerate(cols)
+            if int(counts[f"__n_{i}"] or 0) > 0]
+    out: dict[str, list[str]] = {c: [] for c in cols}
+    if not live:
+        return out
+    # rand gate in a PROJECTION (Spark rejects nondeterministic
+    # expressions inside aggregate arguments), collect_list above it
+    gated = df.select(*[
+        F.when(F.rand(seed + i)
+               < min(1.0, sample_rows / int(counts[f"__n_{i}"])),
+               F.col(f"`{c}`")).alias(f"__s_{i}")
+        for i, c in live])
+    samples = gated.agg(*[F.collect_list(f"__s_{i}").alias(f"__s_{i}")
+                          for i, _ in live]).first()
+    for i, c in live:
+        vals = sorted(samples[f"__s_{i}"] or [])
+        if not vals:  # unlucky tiny-fraction draw: fall back to any rows
+            vals = sorted(r[0] for r in
+                          df.select(F.col(f"`{c}`"))
+                          .where(F.col(f"`{c}`").isNotNull())
+                          .limit(cells).collect())
+        bnds: list[str] = []
+        for k in range(1, cells):
+            q = vals[min(len(vals) - 1, (k * len(vals)) // cells)]
+            if not bnds or q != bnds[-1]:
+                bnds.append(q)
+        out[c] = bnds
     return out
 
 
@@ -212,8 +233,11 @@ def with_zorder(df: DataFrame, cols: Sequence[str],
            if c not in str_cols}
     prepped = df.withColumns({t: _num(c) for c, t in tmp.items()})
 
+    str_bnds = _string_boundaries(df, [c for c in cols if c in str_cols],
+                                  1 << str_b)
+
     def _string_cell(c: str) -> Column:
-        bnds = _string_boundaries(df, c, 1 << str_b)
+        bnds = str_bnds[c]
         # all-null column: no boundaries -> constant cell 0 (the column
         # contributes no bits, like a constant under minmax)
         if not bnds:

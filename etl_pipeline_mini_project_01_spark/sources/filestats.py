@@ -224,15 +224,14 @@ def stats_for_files(pairs: list[tuple], columns: list[str],
     return {k: (file_stats(p, cols) or {}) for k, p in pairs}
 
 
-def collect_stats(snapshot_dir: str, columns: list[str],
-                  spark=None) -> dict[str, dict]:
-    """{relative-path: file_stats(...)} for every data file under
-    `snapshot_dir` (recursive: partitioned snapshots keep their
-    `key=value/` segments in the relative path). Files whose footer
-    stats are unavailable are recorded as {} - present in the manifest
-    (membership authority), never pruned. Fan-out per
-    :func:`stats_for_files` when `spark` is given."""
-    pairs: list[tuple] = []
+def walk_parquet(snapshot_dir: str) -> list[tuple[str, str]]:
+    """(relative-path, full-path) of every visible data file under
+    `snapshot_dir`, recursive (partitioned snapshots keep their
+    `key=value/` segments in the relative path; underscore/dot-
+    prefixed names are hidden). THE file-visibility rule both
+    collectors share - one walker, so the footer and scan paths can
+    never disagree on the file set."""
+    pairs: list[tuple[str, str]] = []
 
     def walk(d: str, rel: str) -> None:
         for entry in sorted(fsio.scandir(d), key=lambda e: e.name):
@@ -246,7 +245,17 @@ def collect_stats(snapshot_dir: str, columns: list[str],
                 pairs.append((r, full))
 
     walk(snapshot_dir, "")
-    return stats_for_files(pairs, columns, spark)
+    return pairs
+
+
+def collect_stats(snapshot_dir: str, columns: list[str],
+                  spark=None) -> dict[str, dict]:
+    """{relative-path: file_stats(...)} for every data file under
+    `snapshot_dir` (see :func:`walk_parquet`). Files whose footer
+    stats are unavailable are recorded as {} - present in the manifest
+    (membership authority), never pruned. Fan-out per
+    :func:`stats_for_files` when `spark` is given."""
+    return stats_for_files(walk_parquet(snapshot_dir), columns, spark)
 
 
 #: Spark column types whose min/max the scan-side stats pass records -
@@ -301,22 +310,10 @@ def stats_via_scan(spark, snapshot_dir: str,
     metadata+stats-columns-only job over the staged files rather than
     piggybacked on the write - the manifest format is identical either
     way."""
-    # membership + partition-key discovery from the directory walk
-    # (metadata-sized; the walk is the same one collect_stats does)
-    rels: list[str] = []
-
-    def walk(d: str, rel: str) -> None:
-        for entry in sorted(fsio.scandir(d), key=lambda e: e.name):
-            full = os.path.join(d, entry.name)
-            r = f"{rel}{entry.name}"
-            if entry.is_dir:
-                if not entry.name.startswith(("_", ".")):
-                    walk(full, f"{r}/")
-            elif (entry.name.endswith(".parquet")
-                    and not entry.name.startswith(("_", "."))):
-                rels.append(r)
-
-    walk(snapshot_dir, "")
+    # membership + partition-key discovery from the shared walker
+    # (metadata-sized; the SAME file-visibility rule collect_stats
+    # applies, so the two collectors agree on the file set)
+    rels = [r for r, _ in walk_parquet(snapshot_dir)]
     part_keys = {seg.split("=", 1)[0]
                  for r in rels for seg in r.split("/")[:-1] if "=" in seg}
 
@@ -329,7 +326,10 @@ def stats_via_scan(spark, snapshot_dir: str,
     cols = [c for c, m in modes.items() if m is not None]
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for i, c in enumerate(cols):
-        qc = F.col(c)
+        # backtick-quoted: a column literally named 'a.b' must resolve
+        # as the column, not a struct path (the footer path matched
+        # names exactly; the scan path must too)
+        qc = F.col(f"`{c}`")
         aggs.append((F.count(F.lit(1)) - F.count(qc)).alias(f"__nu_{i}"))
         if modes[c] == "bounds":
             aggs += [F.min(qc).alias(f"__mn_{i}"),
@@ -347,16 +347,41 @@ def stats_via_scan(spark, snapshot_dir: str,
     # Partition segments below the snapshot are key=value shaped, so
     # they can never collide with the marker.
     marker = "/" + os.path.basename(snapshot_dir.rstrip("/")) + "/"
+
+    # PySpark's collect() materializes TIMESTAMP (the LTZ type) via
+    # datetime.fromtimestamp, i.e. NAIVE datetimes in the PYTHON
+    # PROCESS's OS timezone (not spark.sql.session.timeZone - that
+    # governs the Arrow/toPandas path); _canon's canonical space is
+    # naive UTC (what parquet footers hand back), so re-anchor before
+    # canonicalizing - otherwise a non-UTC host writes local bounds
+    # that wrongly prune against UTC predicate values (r13 review).
+    # astimezone() on a naive datetime attaches the OS zone; _canon's
+    # tz-aware branch then converts to naive UTC. timestamp_ntz and
+    # date need no conversion (timezone-free).
+    def _canon_val(c: str, v):
+        if (types[c] == "timestamp" and isinstance(v, datetime.datetime)
+                and v.tzinfo is None):
+            v = v.astimezone()
+        return _canon(v)
+
+    # _metadata.file_path is a URI: percent-decode before matching the
+    # raw marker, or a snapshot path with a space/'#' in any parent
+    # segment never matches and the commit crashes after staging.
+    # Hive-escaped partition dir names round-trip correctly: their
+    # on-disk '%XX' is double-encoded in the URI and one unquote
+    # restores the on-disk (scandir-visible) spelling.
+    from urllib.parse import unquote
+
     out: dict[str, dict] = {}
     for row in grouped:
-        rel = row["__path"].rsplit(marker, 1)[1]
+        rel = unquote(row["__path"]).rsplit(marker, 1)[1]
         entry_cols: dict[str, dict] = {}
         for i, c in enumerate(cols):
             nulls = int(row[f"__nu_{i}"])
             e: dict = {"nulls": nulls}
             if modes[c] == "bounds":
-                mn = _canon(row[f"__mn_{i}"])
-                mx = _canon(row[f"__mx_{i}"])
+                mn = _canon_val(c, row[f"__mn_{i}"])
+                mx = _canon_val(c, row[f"__mx_{i}"])
                 nan = (types[c] in ("float", "double")
                        and (row[f"__nan_{i}"] or 0) > 0)
                 if mn is not None and mx is not None and not nan:
@@ -440,16 +465,28 @@ def survives(stats: dict | None, col: str, op: str, value) -> bool:
             return True
     elif _isnan(value):
         return True
+    # Temporal alignment triggers on the CANONICAL FORM, not the
+    # Python type (r13 review): date/datetime objects canonicalize to
+    # form-matching strings, and a STRING-typed predicate spelled like
+    # a date ('2024-02-01' - Spark casts it to midnight in the filter)
+    # has the identical midnight-granularity hazard against timestamp
+    # stats the ADVICE-r12 fix closed for datetime objects. Aligning
+    # is order-preserving within the form-matching subset, so string
+    # columns whose values are date-shaped keep their pruning power;
+    # a date-shaped predicate against NON-temporal bounds returns
+    # don't-know -> keep.
+    def _temporalish(s) -> bool:
+        return isinstance(s, str) and bool(_TEMPORAL_FORM.match(s))
+
     try:
         if op == "between":
-            t0 = isinstance(value[0], datetime.date)
-            t1 = isinstance(value[1], datetime.date)
-            if t0 != t1:
-                return True          # mixed-granularity pair: keep
             lo, hi = (canon_pred_value(value[0]),
                       canon_pred_value(value[1]))
             if lo is None or hi is None:
                 return True
+            t0, t1 = _temporalish(lo), _temporalish(hi)
+            if t0 != t1:
+                return True          # mixed-granularity pair: keep
             if t0:
                 a = _temporal_align(lo, mn, mx)
                 if a is None:
@@ -460,7 +497,7 @@ def survives(stats: dict | None, col: str, op: str, value) -> bool:
         v = canon_pred_value(value)
         if v is None:
             return True
-        if isinstance(value, datetime.date):   # datetime is a subclass
+        if _temporalish(v):
             a = _temporal_align(v, mn, mx)
             if a is None:
                 return True

@@ -813,20 +813,35 @@ def test_cnf_prune_or_groups(spark, root):
         read_version(spark, root, prune=[("id", "<", 300), []])
 
 
-def test_layout_file_pred_disjunction(spark, tmp_path):
-    """read_layout_manifest's file_pred accepts a disjunction list:
-    two id point-lookups in one pruned scan (the multi-key GDPR
-    delete shape), exactly equal to the filtered full read."""
+def test_layout_file_pred_cnf(spark, tmp_path):
+    """read_layout_manifest's file_pred takes the SAME CNF shape as
+    read_version's prune= (one shape = one boolean meaning across
+    both readers): a nested list is a disjunction - two id
+    point-lookups in one pruned scan (the multi-key GDPR delete
+    shape) - while a top-level list is a conjunction; an empty list
+    is no predicate; an empty OR group raises."""
     from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
         read_layout_manifest,
     )
 
     path = str(tmp_path / "lay")
     _fit_tiny_layout(spark, path, stats_columns=["vec_id"])
-    pred = [("vec_id", "=", 123), ("vec_id", "=", 377)]
     got = sorted(r.vec_id for r in read_layout_manifest(
-        spark, path, file_pred=pred).collect())
+        spark, path,
+        file_pred=[[("vec_id", "=", 123), ("vec_id", "=", 377)]])
+        .collect())
     assert got == [123, 377]
+    # top-level list = AND, same as read_version(prune=...)
+    band = read_layout_manifest(
+        spark, path, file_pred=[("vec_id", ">=", 100),
+                                ("vec_id", "<", 110)])
+    assert sorted(r.vec_id for r in band.collect()) == list(range(100, 110))
+    # empty list = no predicate
+    n_all = read_layout_manifest(spark, path).count()
+    assert read_layout_manifest(spark, path, file_pred=[]).count() == n_all
+    with pytest.raises(ValueError, match="OR"):
+        read_layout_manifest(spark, path,
+                             file_pred=[("vec_id", ">=", 0), []])
 
 
 def test_scan_stats_root_containing_version_dir_name(spark, tmp_path):
@@ -896,3 +911,91 @@ def test_cnf_prune_equals_filter_property(spark, tmp_path):
         assert got == _rows(want), prune
 
     run()
+
+
+def test_string_typed_date_predicate_midnight_alignment():
+    """r13 review: the midnight-granularity fix must trigger on the
+    CANONICAL FORM, not the Python type - a STRING predicate spelled
+    like a date (Spark casts it to midnight in the filter) against
+    timestamp-column stats has the identical hazard the datetime fix
+    closed."""
+    s = filestats.survives
+    st = {"cols": {"ts": {"min": "2024-02-01 00:00:00",
+                          "max": "2024-02-01 00:00:00", "nulls": 0}}}
+    # the row at exactly midnight matches all three string-date forms
+    assert s(st, "ts", "=", "2024-02-01")
+    assert s(st, "ts", "<=", "2024-02-01")
+    assert s(st, "ts", "between", ("2024-01-15", "2024-02-01"))
+    # and a provably-out-of-range string date still prunes
+    assert not s(st, "ts", "<", "2024-02-01")
+    assert not s(st, "ts", "=", "2024-01-31")
+    # date-shaped string vs NON-temporal bounds: don't-know -> keep
+    st2 = {"cols": {"name": {"min": "alice", "max": "zed", "nulls": 0}}}
+    assert s(st2, "name", "=", "2024-02-01")
+
+
+def test_scan_stats_utc_canonical_on_non_utc_host(spark, tmp_path):
+    """r13 review: PySpark's collect() hands TIMESTAMP (LTZ) back as
+    naive datetimes in the PYTHON PROCESS's OS timezone (via
+    datetime.fromtimestamp); the scan collector must re-anchor them to
+    the naive-UTC canonical space (what footers record) or a non-UTC
+    host writes local bounds that wrongly prune UTC predicate values.
+    Simulated by flipping the driver process TZ for the collection."""
+    import os
+    import time
+
+    root = str(tmp_path / "t")
+    df = (spark.range(48)
+          .select("id",
+                  (F.lit("2024-06-01 00:00:00").cast("timestamp")
+                   + F.make_interval(hours=F.col("id"))).alias("ts"))
+          .repartitionByRange(4, "id"))
+    write_version(df, root, stats_columns=["ts"])
+    snap = os.path.join(root, "v00000001")
+    footer = filestats.collect_stats(snap, ["ts"])
+    prior = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        scan = filestats.stats_via_scan(spark, snap, ["ts"])
+    finally:
+        if prior is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prior
+        time.tzset()
+    assert scan == footer
+    # and the UTC-host fast path stays identical too
+    assert filestats.stats_via_scan(spark, snap, ["ts"]) == footer
+
+
+def test_scan_stats_snapshot_path_with_space(spark, tmp_path):
+    """r13 review: _metadata.file_path is a percent-encoded URI; a
+    snapshot path with a space in a parent segment must still map to
+    manifest-relative keys (the footer collector always handled it)."""
+    root = str(tmp_path / "my snap" / "t")
+    df = _clustered_df(spark, n=300, files=3)
+    write_version(df, root, stats_columns=["id"])
+    man = _manifest(root, 1)
+    assert len(man["stats"]["files"]) == 3
+    got = _rows(read_version(spark, root, prune=("id", "<", 50)))
+    assert got == _rows(read_version(spark, root)
+                        .filter(F.col("id") < 50))
+
+
+def test_scan_stats_dotted_column_name(spark, tmp_path):
+    """r13 review: a stats column literally named 'a.b' must resolve
+    as the column (backtick-quoted), not a struct path - the footer
+    collector matched names exactly."""
+    import os
+
+    root = str(tmp_path / "t")
+    df = (spark.range(200)
+          .select("id", (F.col("id") * 2).alias("a.b"))
+          .repartitionByRange(2, "id"))
+    write_version(df, root, stats_columns=["a.b"])
+    snap = os.path.join(root, "v00000001")
+    scan = filestats.stats_via_scan(spark, snap, ["a.b"])
+    footer = filestats.collect_stats(snap, ["a.b"])
+    assert scan == footer
+    assert all("a.b" in st["cols"] for st in scan.values())

@@ -181,3 +181,41 @@ def test_range_join_rejects_reserved_columns(spark):
         with pytest.raises(ValueError, match="reserved"):
             bucketed_range_join(bad_p, "x", bad_i, "lo", "hi", 2.0,
                                 how="full")
+
+
+def test_outer_range_join_null_pattern_rows_get_distinct_ids(spark):
+    """r13 review: Spark's hash functions SKIP null arguments, so
+    (1, 2.0, NULL, 5.0) and (1, 2.0, 5.0, NULL) hash the same value
+    sequence - without null-pattern flags both content hashes collide
+    and the remainder tie-breaks nondeterministically. The full-outer
+    result must stay a correct multiset with such rows present, and
+    the two rows' content hashes must actually differ."""
+    from collections import Counter
+
+    points = spark.createDataFrame([(0, 1.0)], ["pid", "x"])
+    base = [
+        # same non-null value sequence, different null pattern:
+        # A has hi=5.0 (matches x=1.0), B has hi=NULL (matches nothing)
+        (1, 0.0, 5.0, None),
+        (1, 0.0, None, 5.0),
+    ]
+    intervals = (spark.createDataFrame(
+        base, "iid int, lo double, hi double, tag double")
+        .repartition(5))
+    cond = (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi"))
+    naive_src = spark.createDataFrame(
+        base, "iid int, lo double, hi double, tag double")
+    got = Counter(
+        (r["pid"], r["iid"], r["hi"], r["tag"]) for r in
+        bucketed_range_join(points, "x", intervals, "lo", "hi", 2.0,
+                            how="full").collect())
+    naive = Counter(
+        (r["pid"], r["iid"], r["hi"], r["tag"]) for r in
+        points.join(naive_src, cond, "full").collect())
+    assert got == naive
+    # the id hashes themselves must distinguish the null patterns
+    flags = [F.col(c).isNull() for c in naive_src.columns]
+    hs = [r["h"] for r in naive_src.select(
+        F.xxhash64(*[F.col(c) for c in naive_src.columns], *flags)
+        .alias("h")).collect()]
+    assert hs[0] != hs[1]

@@ -365,3 +365,21 @@ def test_scd_operators_reject_reserved_artifact_columns(spark):
     with pytest.raises(ValueError, match="reserved"):
         upsert_latest(base.withColumn("__src", F.lit(9)),
                       base.withColumn("__src", F.lit(9)), "k", ["v"])
+
+
+def test_upsert_latest_guards_existing_side_too(spark):
+    """r13 review: the reserved-name guard must cover the EXISTING
+    frame as well - existing.withColumn('__src', 0) would silently
+    destroy a caller's __src column and drop it from the result."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_mini_project_01_spark.operators.scd import (
+        upsert_latest,
+    )
+
+    inc = spark.createDataFrame([(1, "a", 2)], "k int, v string, ver int")
+    bad_existing = inc.withColumn("__src", F.lit(9))
+    with pytest.raises(ValueError, match="reserved"):
+        upsert_latest(bad_existing, inc.withColumn("__src", F.lit(9))
+                      .drop("__src"), "k", ["ver"])
