@@ -168,7 +168,17 @@ def file_stats(path: str, columns: list[str]) -> dict | None:
             if not st.has_min_max:
                 bounds_ok = False
                 continue
-            cmn, cmx = _canon(st.min), _canon(st.max)
+            try:
+                raw_mn, raw_mx = st.min, st.max
+            except Exception:
+                # pyarrow refuses to DECODE stats for some physical/
+                # logical combos even when has_min_max is True
+                # (ArrowNotImplementedError on Decimal-over-INT64, r13
+                # review matrix) - unusable bounds, exact null counts
+                # still accumulate
+                bounds_ok = False
+                continue
+            cmn, cmx = _canon(raw_mn), _canon(raw_mx)
             if cmn is None or cmx is None:
                 bounds_ok = False
                 continue

@@ -999,3 +999,34 @@ def test_scan_stats_dotted_column_name(spark, tmp_path):
     footer = filestats.collect_stats(snap, ["a.b"])
     assert scan == footer
     assert all("a.b" in st["cols"] for st in scan.values())
+
+
+def test_scan_stats_parity_ntz_and_nulls_only_types(spark, tmp_path):
+    """Parity-matrix extension: timestamp_ntz records bounds with no
+    timezone re-anchoring, and the nulls-only types (boolean, decimal)
+    record exact null counts but never bounds - identically on both
+    collectors."""
+    import os
+
+    root = str(tmp_path / "t")
+    df = (spark.range(300)
+          .select("id",
+                  (F.lit("2024-06-01 00:00:00")
+                   .cast("timestamp_ntz")
+                   + F.make_interval(hours=F.col("id"))).alias("tn"),
+                  (F.col("id") % 3 == 0).alias("flag"),
+                  F.when(F.col("id") % 5 == 0, None)
+                  .otherwise((F.col("id") * 7).cast("decimal(12,2)"))
+                  .alias("amt"))
+          .repartitionByRange(3, "id"))
+    write_version(df, root)
+    snap = os.path.join(root, "v00000001")
+    cols = ["tn", "flag", "amt"]
+    scan = filestats.stats_via_scan(spark, snap, cols)
+    footer = filestats.collect_stats(snap, cols)
+    assert scan == footer and len(scan) == 3
+    for st in scan.values():
+        assert "min" in st["cols"]["tn"]          # ntz bounds recorded
+        assert "min" not in st["cols"]["flag"]    # nulls-only
+        assert "min" not in st["cols"]["amt"]
+        assert st["cols"]["amt"]["nulls"] > 0
