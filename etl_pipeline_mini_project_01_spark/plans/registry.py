@@ -60,82 +60,73 @@ _PLAN_MODULES = (
 #: exist - so the test's verdict is stable across the moment the current
 #: round's results land, and flips red exactly when a new round starts
 #: without the window being rebuilt.
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
 
 #: Driver-check priority: the grading driver verifies only the FIRST 50
-#: registered queries each round. Round-13 window (VERDICT r12 #1) =
-#: (a) the 39 round-10-only greens precomputed at r12 (verified
-#: name-for-name by the r12 judge), and (b) 11 slots for this round's
-#: changed code: rangejoin_outer_modes + rangejoin_value_bands re-vouch
-#: the operators/rangejoin.py row-id hardening (VERDICT r12 #5 / ADVICE
-#: r12); versioned_time_travel / versioned_stream_sink / txn_multi_table
-#: re-vouch the task-side manifest-stats write path and the prune=
-#: IN-list / IS [NOT] NULL extension (VERDICT r12 #3-#4, ADVICE r12's
-#: date/datetime canonicalization fix in sources/filestats.py);
-#: zorder_multi_skip re-vouches the with_zorder type guard + string
-#: cells + batched quantile pass (VERDICT r12 #2/#7); ivf_generation_swap
-#: and the three stored-ANN probes re-vouch operators/ivf_layout.py's
-#: consumption of the edited filestats collection core (and are exactly
-#: the family VERDICT r12 #6 wants bench-watched); training_mix_shards
-#: is the one spare slot, pre-rotating the heaviest r11-only row to
-#: trim the r14 debt to 45.
+#: registered queries each round. Round-14 window (VERDICT r13 #1) =
+#: (a) the 45 round-11-only greens precomputed at r13 (the full
+#: rotation debt, verified name-for-name by the r13 judge and
+#: re-verified against the CORRECTNESS_r01..r13 union when this window
+#: was built), and (b) 5 slots for this round's changed code:
+#: versioned_stream_sink re-vouches the NEW differential (append-delta
+#: + merge-on-read) upsert mode that clears VERDICT r13's one `weak`
+#: (streaming/versioned_sink.py + sources/versioned.py);
+#: versioned_time_travel and txn_multi_table re-vouch the
+#: sources/filestats.py edits (ADVICE r13's string-temporal strict-op
+#: relaxation + empty-clause rejection + scan-marker guard, and the
+#: NEW partition-value manifest stats, VERDICT r13 #3);
+#: zorder_multi_skip re-vouches the deterministic string-boundary
+#: fallback (VERDICT r13 #7); ann_ivf_layout_probe re-vouches the
+#: scheme-routed layout-manifest stats collector (VERDICT r13 #5).
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- r13 slots: this round's changed code + one r11 pre-rotation ----
-    "rangejoin_outer_modes",          # row-id pinning + collision guard
-    "rangejoin_value_bands",          # operators/rangejoin.py edited
-    "versioned_time_travel",          # task-side stats + IN-list prune
-    "versioned_stream_sink",          # same manifest writer, stream side
-    "txn_multi_table",                # snapshot prune over new ops
-    "zorder_multi_skip",              # type guard + string cells
-    "ivf_generation_swap",            # ivf_layout.py stats-core consumer
-    "ann_ivf_layout_probe",           # filestats collection core edited
-    "ann_ivf_hier_layout_probe",      # filestats collection core edited
-    "ann_ivfpq_stored_probe",         # filestats collection core edited
-    "training_mix_shards",            # r11 pre-rotation (heaviest row)
-    # -- round-10-only greens: the precomputed r13 rotation debt (39) ----
-    "a12_daily_modal_event_type", "a14_table_stats", "tfidf_top_terms",
-    "stats_quantile_sketch", "a1_language_distribution",
-    "a2_event_type_distribution", "a3_engagement_stats",
-    "a5_latest_user_snapshot", "a7_dedup_keep_first", "a8_null_profile",
-    "curation_docs_ledger", "curation_funnel", "dq_violation_summary",
-    "f11_user_activity_age", "f12_engagement_ratio", "f1_html_clean",
-    "f2_json_array_ops", "f4_json_field_extraction", "f5_json_roundtrip",
-    "f9_date_dimension", "g2_top_performing_content",
-    "g3_account_influence", "g4_hashtag_performance",
-    "g5_hourly_posting_patterns", "g7_viral_content", "j2_dimension_lookup",
-    "j4_anti_join_missing_fk", "j7_star_join_region_revenue",
-    "o1_global_sort", "o2_top_events", "p2_time_window_cutoff",
-    "p6_normalized_documents", "p_clean_documents", "p_clean_events",
-    "s10_dynamic_ddl", "s2_retry_backoff", "stream_tumbling_counts",
-    "text_quality_scores", "x1_token_frequencies",
+    # -- r14 slots: this round's changed code (5) ----------------------
+    "versioned_stream_sink",          # differential upsert mode (NEW)
+    "versioned_time_travel",          # filestats fixes + partition stats
+    "txn_multi_table",                # prune path over edited survives()
+    "zorder_multi_skip",              # deterministic fallback boundaries
+    "ann_ivf_layout_probe",           # scheme-routed layout stats
+    # -- round-11-only greens: the precomputed r14 rotation debt (45) --
+    "a6_dedup_latest_version", "ann_ivf_kmeans_recall",
+    "ann_multitable_recall", "asof_join_latest_order",
+    "decontamination_bloom", "dedup_minhash_lsh", "dedup_substring_spans",
+    "digest_run_summary", "g1_daily_engagement_summary",
+    "j1_change_detection", "kmeans_embedding_clusters",
+    "kmeans_incremental_assign", "kmeans_twolevel_clusters",
+    "m2_idempotent_dim_insert", "mm_binary_frames", "olap_cube_type_weekend",
+    "olap_grouping_sets", "olap_pivot_status_qty",
+    "olap_rollup_returnflag_status", "p7_top_positive_docs", "pii_redaction",
+    "q1_pricing_summary", "rolling_7day_user_value", "semdedup_incremental",
+    "semdedup_prune", "session_window_native", "setops_user_segments",
+    "sim_cosine_topk", "sim_embedding_near_dups", "sim_lsh_buckets",
+    "skew_salted_aggregate", "split_train_val_test",
+    "sql_surface_daily_trends", "sql_surface_star_revenue", "stats_moments",
+    "stats_value_quantiles", "stream_sliding_value_avg",
+    "stream_stateful_running_totals", "stream_static_join_segments",
+    "text_fingerprint", "text_language_id", "text_token_counts",
+    "u2_sentiment_distribution", "u2_sentiment_inference", "w_rank_family",
 )
 
-#: Round-14 rotation debt, precomputed from the CORRECTNESS_r01..r12
-#: union (newest green round per name, with every r13-window name
-#: advanced to r13): 45 round-11-only greens fall due at
-#: WINDOW_ROUND=14 (the 46 r11-only names minus training_mix_shards,
-#: pre-rotated into the r13 window), leaving FIVE slots for r14
-#: new/changed code - r14 work should therefore concentrate on code
-#: paths whose rows are already in this debt list:
-#:   a6_dedup_latest_version, ann_ivf_kmeans_recall,
-#:   ann_multitable_recall, asof_join_latest_order,
-#:   decontamination_bloom, dedup_minhash_lsh, dedup_substring_spans,
-#:   digest_run_summary, g1_daily_engagement_summary,
-#:   j1_change_detection, kmeans_embedding_clusters,
-#:   kmeans_incremental_assign, kmeans_twolevel_clusters,
-#:   m2_idempotent_dim_insert, mm_binary_frames, olap_cube_type_weekend,
-#:   olap_grouping_sets, olap_pivot_status_qty,
-#:   olap_rollup_returnflag_status, p7_top_positive_docs, pii_redaction,
-#:   q1_pricing_summary, rolling_7day_user_value, semdedup_incremental,
-#:   semdedup_prune, session_window_native, setops_user_segments,
-#:   sim_cosine_topk, sim_embedding_near_dups, sim_lsh_buckets,
-#:   skew_salted_aggregate, split_train_val_test,
-#:   sql_surface_daily_trends, sql_surface_star_revenue, stats_moments,
-#:   stats_value_quantiles, stream_sliding_value_avg,
-#:   stream_stateful_running_totals, stream_static_join_segments,
-#:   text_fingerprint, text_language_id, text_token_counts,
-#:   u2_sentiment_distribution, u2_sentiment_inference, w_rank_family.
+#: Round-15 rotation debt, precomputed from the CORRECTNESS_r01..r13
+#: union (newest green round per name, with every r14-window name
+#: advanced to r14): the 40 round-12-only greens fall due at
+#: WINDOW_ROUND=15 (none of them were consumed by the r14 window - its
+#: 5 changed-code slots all re-vouch r13-green names), leaving TEN
+#: slots for r15 new/changed code, the roomiest round of the 3-cycle:
+#:   a11_approx_distinct, chunk_context_windows, cluster_split_audit,
+#:   day2_incremental_counts, day2_schema_evolution,
+#:   decontamination_scores, dedup_clusters, dedup_editdistance_pairs,
+#:   dedup_exact, dedup_incremental, dedup_ngram_jaccard, dedup_simhash,
+#:   f1_html_entities, g6_daily_event_trends, j3_band_join,
+#:   j5_semi_join_cleanup, m1_scd2_account_dim, m4_surrogate_keys,
+#:   m5_orphan_cleanup, mm_decode_features, mm_image_resize,
+#:   pack_token_shards, pq_codes_rerank_topk, s4_csv_fallback_roundtrip,
+#:   s9_ddl_catalog, sample_cluster_balanced, sample_stratified,
+#:   semdedup_miss_audit, sessionization_gaps, silver_fact_build,
+#:   sim_ivf_probe_topk, stream_dedup_events, stream_file_sink_counts,
+#:   stream_interval_join, temperature_mix_counts, text_gopher_quality,
+#:   text_repetition, topk_per_group_docs, w1_user_engagement_rank,
+#:   w2_user_daily_value_change.
 #:
 #: r11 review-sweep scd fixes, both landed this round with no orphaned
 #: vouching: idempotent_append no longer dedups NULL-key incoming rows
