@@ -346,7 +346,14 @@ def test_date_datetime_granularity_alignment():
         "min": "2024-02-01", "max": "2024-02-03", "nulls": 0}}}
     assert s(date_stats, "d", "=", datetime.datetime(2024, 2, 3))
     assert s(date_stats, "d", "<=", datetime.datetime(2024, 2, 1))
-    assert not s(date_stats, "d", "<", datetime.datetime(2024, 2, 1))
+    # ADVICE r13: '<' with a bare-date MIN and a midnight predicate
+    # must KEEP - the stats cannot distinguish a DATE column (where
+    # pruning would be exact) from a STRING column holding
+    # '2024-02-01', whose bare-date row sorts strictly below the
+    # midnight spelling and WOULD match the string filter.
+    assert s(date_stats, "d", "<", datetime.datetime(2024, 2, 1))
+    # ...but away from the collapsed boundary strictness is kept
+    assert not s(date_stats, "d", "<", datetime.datetime(2024, 1, 31))
     assert not s(date_stats, "d", "=",
                  datetime.datetime(2024, 2, 3, 0, 0, 1))
     # a temporal predicate against NON-temporal stats: don't-know, keep
@@ -618,8 +625,8 @@ def test_scan_stats_byte_identical_to_footer_path(spark, root):
     footer path across the whole recorded type matrix - ints, doubles
     (with a NaN-polluted file and an all-null file), short strings,
     dates, timestamps, null mixes - on plain and file:// roots, and on
-    a partitioned snapshot (partition keys record nothing on either
-    path)."""
+    a partitioned snapshot (partition keys record identical
+    path-derived min=max entries on both paths since r14)."""
     import math
     import os
 
@@ -654,8 +661,9 @@ def test_scan_stats_byte_identical_to_footer_path(spark, root):
                and st["cols"]["dead"]["nulls"] > 0
                for st in scan.values())
 
-    # partitioned snapshot: partition keys record nothing, data
-    # columns stay identical
+    # partitioned snapshot: partition keys record path-derived min=max
+    # entries (r14, VERDICT r13 #3) identically on both collectors,
+    # data columns stay identical
     pdf = df.withColumn("bucket", (F.col("id") % 3).cast("int"))
     write_version(pdf, root, partition_by=["bucket"])
     psnap = os.path.join(root, "v00000002")
@@ -663,7 +671,9 @@ def test_scan_stats_byte_identical_to_footer_path(spark, root):
     pscan = filestats.stats_via_scan(spark, psnap, pcols)
     pfooter = filestats.collect_stats(psnap, pcols)
     assert pscan == pfooter and len(pscan) >= 3
-    assert all("bucket" not in st["cols"] for st in pscan.values())
+    for rel, st in pscan.items():
+        b = int(rel.split("=", 1)[1].split("/", 1)[0])
+        assert st["cols"]["bucket"] == {"min": b, "max": b, "nulls": 0}
     assert all(rel.startswith("bucket=") for rel in pscan)
 
 
@@ -1030,3 +1040,179 @@ def test_scan_stats_parity_ntz_and_nulls_only_types(spark, tmp_path):
         assert "min" not in st["cols"]["flag"]    # nulls-only
         assert "min" not in st["cols"]["amt"]
         assert st["cols"]["amt"]["nulls"] > 0
+
+
+def test_advice_r13_string_column_midnight_boundaries():
+    """ADVICE r13 exact repros: STRING columns holding date/datetime-
+    shaped values must not be pruned by strict ops at the midnight
+    granularity boundary - the bare-date spelling sorts strictly BELOW
+    its own midnight spelling, so the collapse that makes temporal
+    alignment work hid real matches. Relaxation is per-operand: only
+    the hazardous side loses strictness."""
+    s = filestats.survives
+    bare = {"rows": 1, "cols": {"c": {"min": "2024-02-01",
+                                      "max": "2024-02-01", "nulls": 0}}}
+    mid = {"rows": 1, "cols": {"c": {"min": "2024-02-01 00:00:00",
+                                     "max": "2024-02-01 00:00:00",
+                                     "nulls": 0}}}
+    # repro 1: bare-date bounds, '<' midnight predicate - the row
+    # '2024-02-01' < '2024-02-01 00:00:00' lexicographically: KEEP
+    assert s(bare, "c", "<", "2024-02-01 00:00:00")
+    # repro 2: midnight bounds, '>' bare-date predicate - the row
+    # '2024-02-01 00:00:00' > '2024-02-01' lexicographically: KEEP
+    assert s(mid, "c", ">", "2024-02-01")
+    # the NON-hazardous strict directions keep full pruning power:
+    # no string in [midnight, midnight] sorts below '2024-02-01',
+    assert not s(mid, "c", "<", "2024-02-01")
+    # and no string in [bare, bare] sorts above '2024-02-01 00:00:00'
+    assert not s(bare, "c", ">", "2024-02-01 00:00:00")
+    # away from the boundary, everything still prunes
+    assert not s(bare, "c", "<", "2024-01-31 00:00:00")
+    assert not s(mid, "c", ">", "2024-02-02")
+
+
+def test_advice_r13_string_column_prune_equals_filter(spark, root):
+    """End-to-end r13 repro: a string column holding mixed bare-date /
+    midnight spellings, pruned with strict predicates at the boundary,
+    returns exactly the unpruned filtered rows."""
+    rows = [("2024-02-01",), ("2024-02-01 00:00:00",),
+            ("2024-02-02",), ("2024-01-31 23:59:59",)]
+    df = spark.createDataFrame(rows, "c string").repartition(4)
+    write_version(df, root, stats_columns=["c"])
+    for pred in [("c", "<", "2024-02-01 00:00:00"),
+                 ("c", ">", "2024-02-01"),
+                 ("c", "<", "2024-02-01"),
+                 ("c", ">", "2024-02-01 00:00:00"),
+                 ("c", "<=", "2024-02-01"), ("c", ">=", "2024-02-01")]:
+        got = _rows(read_version(spark, root, prune=pred))
+        want = _rows(read_version(spark, root)
+                     .filter(_str_pred(F.col("c"), pred)))
+        assert got == want, pred
+
+
+def _str_pred(c, pred):
+    _, op, v = pred
+    return {"<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
+
+
+def test_empty_prune_clause_rejected():
+    """ADVICE r13: an empty clause silently pruned every file through
+    pruned_files (raw caller predicates bypass _norm_prune) or raised
+    a bare TypeError for an empty tuple - both now fail loudly."""
+    with pytest.raises(ValueError, match="empty prune clause"):
+        filestats.clause_survives({"rows": 1, "cols": {}}, [])
+    with pytest.raises(ValueError, match="empty prune clause"):
+        filestats.clause_survives({"rows": 1, "cols": {}}, ())
+    man = {"stats": {"columns": ["a"],
+                     "files": {"f.parquet": {"rows": 1, "cols": {}}}}}
+    with pytest.raises(ValueError, match="empty prune clause"):
+        pruned_files(man, [[]])
+
+
+def test_add_partition_stats_typing_and_nulls():
+    """VERDICT r13 #3 unit: key=value path segments become min=max
+    stats entries. INT typing is global (every non-null value must be
+    a pure integer literal, like Spark's partition-column inference);
+    anything else keeps the unescaped string spelling; the hive NULL
+    marker records nulls=rows."""
+    files = {
+        "k=1/a.parquet": {"rows": 3, "cols": {}},
+        "k=2/a.parquet": {"rows": 4, "cols": {}},
+        "k=__HIVE_DEFAULT_PARTITION__/a.parquet": {"rows": 2, "cols": {}},
+    }
+    out = filestats.add_partition_stats(files, ["k"])
+    assert out["k=1/a.parquet"]["cols"]["k"] == {"min": 1, "max": 1,
+                                                 "nulls": 0}
+    assert (out["k=__HIVE_DEFAULT_PARTITION__/a.parquet"]["cols"]["k"]
+            == {"nulls": 2})
+    # one non-integer value anywhere -> the whole column types STRING
+    files2 = {"k=01/a.parquet": {"rows": 1, "cols": {}},
+              "k=x/a.parquet": {"rows": 1, "cols": {}}}
+    out2 = filestats.add_partition_stats(files2, ["k"])
+    assert out2["k=01/a.parquet"]["cols"]["k"]["min"] == "01"
+    # date-shaped values stay strings (canonical temporal compare)
+    files3 = {"d=2024-02-01/a.parquet": {"rows": 1, "cols": {}}}
+    out3 = filestats.add_partition_stats(files3, ["d"])
+    assert out3["d=2024-02-01/a.parquet"]["cols"]["d"]["min"] == "2024-02-01"
+    # hive %XX escaping unescapes; unrequested keys record nothing;
+    # physical entries are never overwritten
+    files4 = {"s=a%20b/a.parquet": {"rows": 1,
+                                    "cols": {"s": {"nulls": 0}}},
+              "t=5/a.parquet": {"rows": 1, "cols": {}}}
+    out4 = filestats.add_partition_stats(files4, ["s"])
+    assert out4["s=a%20b/a.parquet"]["cols"]["s"] == {"nulls": 0}
+    assert "t" not in out4["t=5/a.parquet"]["cols"]
+
+
+def test_partition_value_stats_prune_end_to_end(spark, root):
+    """VERDICT r13 #3: `prune=` on a partition key now drops files
+    driver-side (Delta's partitionValues treated as min=max) instead
+    of relying on the re-applied filter; the hive NULL partition
+    answers the null tests exactly."""
+    df = (spark.range(1000)
+          .select("id",
+                  F.when(F.col("id") % 4 == 0, None)
+                  .otherwise(F.col("id") % 4).alias("p"),
+                  (F.col("id") * 3).alias("x"))
+          .repartitionByRange(8, "id"))
+    write_version(df, root, partition_by=["p"], stats_columns=["id", "p"])
+    man = _manifest(root, 1)
+    # equality on the key keeps only that partition's files (plus the
+    # all-null hive partition, which by documented contract survives
+    # every comparison - NULL never matches, the filter handles it)
+    kept, total = pruned_files(man, [("p", "=", 2)])
+    assert 0 < len(kept) < total
+    assert all("p=2/" in rel or "__HIVE_DEFAULT_PARTITION__" in rel
+               for rel in kept)
+    assert any("p=2/" in rel for rel in kept)
+    got = _rows(read_version(spark, root, prune=("p", "=", 2)))
+    want = _rows(read_version(spark, root).filter(F.col("p") == 2))
+    assert got == want and len(want) > 0
+    # IS NOT NULL drops exactly the hive null partition's files
+    kept_nn, _ = pruned_files(man, [("p", "is_not_null")])
+    assert all("__HIVE_DEFAULT_PARTITION__" not in rel for rel in kept_nn)
+    assert len(kept_nn) < total
+    # IS NULL keeps ONLY the null partition (others record nulls=0)
+    kept_n, _ = pruned_files(man, [("p", "is_null")])
+    assert kept_n and all("__HIVE_DEFAULT_PARTITION__" in rel
+                          for rel in kept_n)
+    got_n = _rows(read_version(spark, root, prune=("p", "is_null")))
+    want_n = _rows(read_version(spark, root).filter(F.col("p").isNull()))
+    assert got_n == want_n and len(want_n) > 0
+    # range predicate on the int-typed key prunes too
+    kept_r, _ = pruned_files(man, [("p", ">=", 3)])
+    assert kept_r and all("p=3/" in rel or "__HIVE_DEFAULT_PARTITION__"
+                          in rel for rel in kept_r)
+    assert any("p=3/" in rel for rel in kept_r)
+
+
+def test_layout_stats_scheme_routed_collector(spark, tmp_path):
+    """VERDICT r13 #5: layout-manifest stats route on the root's
+    scheme - a file:// root collects task-side (stats_via_scan,
+    no per-footer driver round-trips), a plain root keeps the cheap
+    footer loop - and the two manifests are FIELD-IDENTICAL, so the
+    route is invisible to every consumer."""
+    from etl_pipeline_mini_project_01_spark.operators.ivf_layout import (
+        manifest_entries,
+        read_layout_manifest,
+    )
+
+    plain = str(tmp_path / "lay_plain")
+    uri = f"file://{tmp_path}/lay_uri"
+    _fit_tiny_layout(spark, plain, stats_columns=["vec_id"])
+    _fit_tiny_layout(spark, uri, stats_columns=["vec_id"])
+    ep = {rel: s for _, rel, s in manifest_entries(plain)}
+    eu = {rel: s for _, rel, s in manifest_entries(uri)}
+    # same file-naming convention modulo Spark's random part names:
+    # compare the per-cluster multiset of stats payloads
+    def by_cluster(entries):
+        out = {}
+        for rel, s in entries.items():
+            out.setdefault(rel.split("/", 1)[0], []).append(s)
+        return {c: sorted(v) for c, v in out.items()}
+    assert by_cluster(ep) == by_cluster(eu)
+    assert all(s is not None for s in eu.values())
+    # and the scheme root's pruned read behaves identically
+    got = _rows(read_layout_manifest(
+        spark, uri, file_pred=("vec_id", "=", 123)).select("vec_id"))
+    assert got == [(123,)]
