@@ -213,7 +213,8 @@ def _publish_latest(root: str, manifest: dict) -> None:
 
 def write_version_cas(df: DataFrame, root: str, expected_version: int,
                       partition_by: list[str] | None = None,
-                      stats_columns: list[str] | None = None) -> int:
+                      stats_columns: list[str] | None = None,
+                      manifest_extra: dict | None = None) -> int:
     """Optimistic-concurrency commit (VERDICT r7 #7): commit `df` as
     `expected_version + 1` IFF no other writer got there first, else
     raise the retryable :class:`VersionConflict`. The arbitration
@@ -232,9 +233,16 @@ def write_version_cas(df: DataFrame, root: str, expected_version: int,
          3 and 4 leaves a zero-byte manifest: the version number is
          burned but `read_version` reports it as a crashed commit and
          the log keeps allocating past it);
-      5. _LATEST advances via the monotonic publish."""
+      5. _LATEST advances via the monotonic publish.
+
+    `manifest_extra` merges additional fields into the manifest (the
+    differential sink records its {"delta": {"keys": [...]}} marker
+    this way); the protocol-owned fields are protected."""
     import uuid
 
+    if manifest_extra and {"version", "dir", "stats"} & set(manifest_extra):
+        raise ValueError("manifest_extra may not override the "
+                         "protocol-owned fields version/dir/stats")
     fsio.makedirs(_manifest_dir(root))
     head = max(list_versions(root), default=0)
     if head != expected_version:
@@ -251,9 +259,9 @@ def write_version_cas(df: DataFrame, root: str, expected_version: int,
     # footer-stat collection runs on the STAGED tree, before the claim:
     # the claim->finalize window (a crash there burns the number as a
     # zero-byte manifest) stays as short as the stat-less protocol's
-    manifest = _manifest_with_stats({"version": v, "dir": vdir},
-                                    stage, stats_columns,
-                                    spark=df.sparkSession)
+    manifest = _manifest_with_stats(
+        {"version": v, "dir": vdir, **(manifest_extra or {})},
+        stage, stats_columns, spark=df.sparkSession)
     mpath = os.path.join(_manifest_dir(root), f"{vdir}.json")
     try:
         claim = fsio.claim_excl(mpath)
@@ -307,14 +315,139 @@ def read_version(spark: SparkSession, root: str,
             f"version {version} of {root} is a crashed CAS commit "
             "(manifest claimed, never finalized)")
     manifest = fsio.read_json(mpath)
-    snap = os.path.join(root, manifest["dir"])
     preds = _norm_prune(prune)
+    if manifest.get("delta"):
+        return _read_delta_chain(spark, root, manifest, preds)
+    snap = os.path.join(root, manifest["dir"])
     if not preds:
         return spark.read.parquet(snap)
     df = _pruned_scan(spark, snap, manifest, preds)
     for clause in preds:
         df = df.filter(_clause_column(clause))
     return df
+
+
+def _delta_chain(root: str, head: dict) -> list[dict]:
+    """Manifests of `head`'s merge-on-read chain, newest first: the
+    head, every delta below it, and the first FULL snapshot reached
+    (the base), if any. Burned zero-byte CAS claims are skipped (they
+    contributed no rows); a MISSING manifest below a delta breaks the
+    chain loudly - vacuum_versions protects live chains, so this only
+    fires on manual manifest deletion."""
+    keys = list(head["delta"]["keys"])
+    chain = [head]
+    v = head["version"] - 1
+    while chain[-1].get("delta") and v >= 1:
+        mpath = os.path.join(_manifest_dir(root), f"v{v:08d}.json")
+        if not fsio.exists(mpath):
+            raise FileNotFoundError(
+                f"delta chain of {root} version {head['version']} is "
+                f"broken at version {v} (manifest missing) - cannot "
+                "resolve merge-on-read")
+        if fsio.getsize(mpath) == 0:
+            v -= 1
+            continue
+        man = fsio.read_json(mpath)
+        if man.get("delta") and list(man["delta"]["keys"]) != keys:
+            raise ValueError(
+                f"delta chain of {root} mixes upsert keys: version "
+                f"{head['version']} uses {keys}, version {v} uses "
+                f"{man['delta']['keys']}")
+        chain.append(man)
+        v -= 1
+    return chain
+
+
+def _read_delta_chain(spark: SparkSession, root: str, head: dict,
+                      preds: list) -> DataFrame:
+    """MERGE-ON-READ resolution of a differential upsert chain
+    (VERDICT r13 #2): union every member snapshot tagged with its
+    version, keep each key's rows from the NEWEST version that
+    carries the key (latest-wins, the upsert_latest window shape at
+    operators/scd.py:167 generalized to whole-version precedence),
+    drop the tags. Reference analogue: the cumulative effect of
+    per-run ON CONFLICT DO UPDATE upserts
+    (/root/reference/src/loader/bronze_loader.py:143-188).
+
+    One shuffle on the upsert keys over |chain rows| - with periodic
+    compaction (compact_latest) the chain is base + few deltas, so
+    the resolution cost tracks |table| + |recent batches|, never
+    |table| x |chain|. Window partitionBy groups NULL keys into one
+    partition, matching the rewrite path's eqNullSafe anti-join.
+
+    File-level pruning inside a chain is applied ONLY for clauses
+    whose every column is a merge key: all rows sharing a key agree
+    on key-column values, so a key-pruned row (winner or shadowed
+    loser) could never survive the post-resolution filter - whereas
+    pruning on a NON-key column could drop a key's newest version
+    pre-resolution and resurrect its stale row. Non-key clauses run
+    as plain post-resolution filters."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    chain = _delta_chain(root, head)
+    keys = list(head["delta"]["keys"])
+    key_set = set(keys)
+
+    def _clause_cols(clause) -> set:
+        if isinstance(clause, tuple):
+            return {clause[0]}
+        return {a[0] for a in clause}
+
+    key_preds = [c for c in preds if _clause_cols(c) <= key_set]
+    union = None
+    for man in chain:
+        snap = os.path.join(root, man["dir"])
+        df = (_pruned_scan(spark, snap, man, key_preds)
+              if key_preds else spark.read.parquet(snap))
+        bad = {"__v", "__maxv"} & set(df.columns)
+        if bad:
+            raise ValueError(
+                f"columns {sorted(bad)} are reserved by the delta-chain "
+                "resolver; rename them before committing differential "
+                "versions")
+        df = df.withColumn("__v", F.lit(man["version"]))
+        union = df if union is None else union.unionByName(df)
+    w = Window.partitionBy(*keys)
+    out = (union.withColumn("__maxv", F.max("__v").over(w))
+           .filter(F.col("__v") == F.col("__maxv"))
+           .drop("__v", "__maxv"))
+    for clause in preds:
+        out = out.filter(_clause_column(clause))
+    return out
+
+
+def compact_latest(spark: SparkSession, root: str,
+                   partition_by: list[str] | None = None,
+                   stats_columns: list[str] | None = None,
+                   max_retries: int = 5) -> int:
+    """Fold the latest delta chain into a FULL snapshot committed as a
+    new version (the ivf_layout.compact_layout_generation shape for
+    versioned tables): readers switch from merge-on-read over the
+    chain to a plain single-snapshot scan, and vacuum can then reclaim
+    the folded chain (keep_last=1 after compaction drops every delta).
+    Returns the compacted version number - or the current head
+    unchanged when it is already a full snapshot (nothing to fold).
+    Runs the optimistic CAS loop: a concurrent delta commit during the
+    fold just re-reads and re-folds."""
+    for _ in range(max_retries):
+        head = latest_readable_version(root)
+        if head == 0:
+            raise FileNotFoundError(f"nothing committed at {root}")
+        man = fsio.read_json(
+            os.path.join(_manifest_dir(root), f"v{head:08d}.json"))
+        if not man.get("delta"):
+            return head
+        resolved = read_version(spark, root, head)
+        try:
+            return write_version_cas(
+                resolved, root,
+                expected_version=max(list_versions(root), default=0),
+                partition_by=partition_by, stats_columns=stats_columns)
+        except VersionConflict:
+            continue
+    raise VersionConflict(
+        f"gave up compacting {root} after {max_retries} conflicts")
 
 
 def _norm_prune(prune) -> list[tuple]:
@@ -449,6 +582,11 @@ def vacuum_versions(root: str, keep_last: int = 2,
 
     `keep_last` counts READABLE versions: a crashed zero-byte claim
     can never consume a retention slot and evict a readable snapshot.
+    A kept DIFFERENTIAL version additionally protects its whole
+    merge-on-read chain (base + intermediate deltas, r14) - so a delta
+    chain is reclaimed by first folding it (compact_latest) and then
+    vacuuming with keep_last=1, never by partial deletion that would
+    wedge a promised-kept version.
     Zero-byte claims outside the kept set are themselves age-gated by
     `stage_retention_sec` (a fresh one may be an IN-FLIGHT CAS
     committer between its claim and its finalize; removing it would
@@ -468,6 +606,23 @@ def vacuum_versions(root: str, keep_last: int = 2,
             return -1                      # rival vacuum removed it
     readable = [v for v in versions if _msize(v) > 0]
     keep = set(readable[-keep_last:]) | {latest_version(root)}
+    # Delta-chain closure (r14): a kept DIFFERENTIAL version is only
+    # readable together with every chain member below it - dropping
+    # its base (or a middle delta) would break merge-on-read for a
+    # version the retention policy promised to keep. An already-broken
+    # chain protects nothing extra (the read fails either way).
+    closure: set[int] = set()
+    for v in keep:
+        mp = os.path.join(_manifest_dir(root), f"v{v:08d}.json")
+        try:
+            if fsio.getsize(mp) == 0:
+                continue
+            man = fsio.read_json(mp)
+            if man.get("delta"):
+                closure |= {m["version"] for m in _delta_chain(root, man)}
+        except (FileNotFoundError, ValueError, KeyError):
+            continue
+    keep |= closure
     import time as _time
 
     _now = _time.time()

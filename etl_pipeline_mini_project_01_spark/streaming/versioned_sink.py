@@ -16,16 +16,28 @@ after a crash between a version commit and the checkpoint write, the
 restarted query re-runs the batch and commits it AGAIN as a new
 version. With `keys` (upsert mode) the re-commit is IDEMPOTENT IN
 CONTENT (same keys upserted to the same values - the reader-visible
-table converges), it just burns a version number; vacuum reclaims the
-duplicate snapshot. Append mode re-appends (true at-least-once) -
-callers who need exact dedup add an event-id anti-join, which is the
-documented reference pattern (SURVEY SS2.9 M2).
+table converges; in differential mode the duplicate delta's rows
+shadow their twins through latest-wins), it just burns a version
+number; compaction + vacuum reclaim the duplicate. Append mode
+re-appends (true at-least-once) - callers who need exact dedup add an
+event-id anti-join, which is the documented reference pattern
+(SURVEY SS2.9 M2).
 
-At 100 TB: each micro-batch commit writes |changed-keys| + |table|
-parquet ONLY in upsert mode's snapshot rewrite - the honest cost of a
-format-free snapshot store (a real Delta/Iceberg writes deltas +
-manifest instead; sources/table_format.py is that seam). Append mode
-writes |batch| only. Time travel across versions is free either way.
+At 100 TB (r14, VERDICT r13 #2 - this cleared the last O(|table|)-
+per-batch path in the tree): upsert mode now defaults to DIFFERENTIAL
+commits - each keyed micro-batch lands ALONE as an O(|batch|) delta
+snapshot whose manifest carries {"delta": {"keys": [...]}}, and
+`read_version` resolves the chain merge-on-read with a latest-wins
+window over the upsert keys (sources/versioned.py _read_delta_chain).
+Periodic `compact_latest` folds the chain into a full snapshot so
+resolution cost stays |table| + |recent batches|; vacuum protects
+live chains and reclaims folded ones. This is Delta's MOR
+streaming-upsert story on the engine's own format. The pre-r14
+snapshot-rewrite mode (`differential=False`: previous-rows-not-in-
+batch + batch, O(|table|) writes per trigger) remains for tables
+small enough that a single self-contained snapshot per version is
+worth the write amplification - the two modes are bit-equal at every
+version boundary (pytest-pinned).
 """
 
 from __future__ import annotations
@@ -39,20 +51,31 @@ from ..sources.versioned import (VersionConflict, latest_readable_version,
 
 def commit_batch_versioned(batch_df: DataFrame, root: str,
                            keys: list[str] | None = None,
-                           max_retries: int = 5) -> int | None:
+                           max_retries: int = 5,
+                           differential: bool = True) -> int | None:
     """Commit one (micro-)batch as the table's next version via the
     optimistic CAS loop; returns the committed version, or None for an
-    empty batch (no version burned). With `keys`, the new snapshot is
-    previous-version-rows-not-in-batch + batch (per-key upsert);
-    without, the batch alone is the snapshot (append-log of batches).
-    On VersionConflict the loop re-reads the head and re-stages - the
-    concurrent committer's rows are INCLUDED in the rebase read.
+    empty batch (no version burned). With `keys`:
 
-    The rebase reads the newest READABLE version from the manifest log
-    (ADVICE r8), not the _LATEST pointer: after a writer crashed
-    between manifest content and the pointer swap the log is AHEAD of
-    _LATEST with a fully-readable version - rebasing from the pointer
-    would silently drop that version's rows from every future
+      * differential=True (default, r14): the batch ALONE is staged as
+        a delta snapshot - O(|batch|) bytes written - and the manifest
+        records the upsert keys; readers resolve latest-wins
+        merge-on-read across the chain.
+      * differential=False (the pre-r14 rewrite): the new snapshot is
+        previous-version-rows-not-in-batch + batch - each version is a
+        self-contained full table at O(|table|) writes per commit.
+
+    Without `keys`, the batch alone is the snapshot (append-log of
+    batches). On VersionConflict the loop re-reads the head and
+    re-stages - the concurrent committer's rows are INCLUDED in the
+    rebase read (differential mode needs no rebase staging at all: the
+    chain subsumes the rival's delta, only the version number moves).
+
+    The rewrite-mode rebase reads the newest READABLE version from the
+    manifest log (ADVICE r8), not the _LATEST pointer: after a writer
+    crashed between manifest content and the pointer swap the log is
+    AHEAD of _LATEST with a fully-readable version - rebasing from the
+    pointer would silently drop that version's rows from every future
     snapshot (and with the pointer missing entirely would crash the
     stream on a phantom version 0)."""
     if batch_df.isEmpty():
@@ -60,9 +83,30 @@ def commit_batch_versioned(batch_df: DataFrame, root: str,
     spark = batch_df.sparkSession
     for _ in range(max_retries):
         head = max(list_versions(root), default=0)
-        prev_v = latest_readable_version(root)
-        if keys and prev_v > 0:
-            prev = read_version(spark, root, prev_v)
+        if keys and differential:
+            # Fail-fast key-agreement check (r14 sweep): a delta commit
+            # whose keys differ from the live chain's would SUCCEED and
+            # poison the table - every subsequent read raises the
+            # mixed-keys error. Reject it here, before staging, against
+            # the newest readable head.
+            rv = latest_readable_version(root)
+            if rv > 0:
+                import os
+
+                from ..sources import fsio
+                hman = fsio.read_json(os.path.join(
+                    root, "_versions", f"v{rv:08d}.json"))
+                if (hman.get("delta")
+                        and list(hman["delta"]["keys"]) != list(keys)):
+                    raise ValueError(
+                        f"differential commit keys {list(keys)} do not "
+                        f"match the live chain's "
+                        f"{hman['delta']['keys']} at {root} - compact "
+                        "the chain first or keep the keys stable")
+            snapshot = batch_df
+            extra = {"delta": {"keys": list(keys)}}
+        elif keys and latest_readable_version(root) > 0:
+            prev = read_version(spark, root, latest_readable_version(root))
             # Null-safe anti-join: a NULL grouping key (e.g. after a
             # left-join enrichment) is a real upsert key here, but a
             # plain column-list anti join never matches NULL = NULL -
@@ -76,10 +120,13 @@ def commit_batch_versioned(batch_df: DataFrame, root: str,
                 cond = c if cond is None else cond & c
             snapshot = (prev.join(batch_keys, cond, "left_anti")
                         .unionByName(batch_df))
+            extra = None
         else:
             snapshot = batch_df
+            extra = None
         try:
-            return write_version_cas(snapshot, root, expected_version=head)
+            return write_version_cas(snapshot, root, expected_version=head,
+                                     manifest_extra=extra)
         except VersionConflict:
             continue
     raise VersionConflict(
@@ -91,17 +138,39 @@ def run_to_versioned_sink(result: DataFrame, root: str,
                           checkpoint_dir: str,
                           keys: list[str] | None = None,
                           output_mode: str = "update",
-                          max_retries: int = 5) -> DataFrame:
+                          max_retries: int = 5,
+                          differential: bool = True,
+                          compact_every: int = 0) -> DataFrame:
     """Execute a streaming query over all currently-available input
     (availableNow) with a foreachBatch sink that CAS-commits every
     micro-batch as a new version of the table at `root`; returns the
     final (latest-version) table. Update-mode aggregations pair with
     `keys` = the grouping keys, so each version is the upserted
     running state and `read_version(spark, root, v)` is the state as
-    of batch v - a time-travelling materialized view."""
+    of batch v - a time-travelling materialized view (in the default
+    differential mode, `v` resolves its delta chain merge-on-read;
+    the visible state is identical to the rewrite mode's).
+
+    `compact_every=N` (differential mode; r14 self-review - an
+    uncompacted chain grows one member per trigger, so a months-long
+    stream would pay a thousands-way union at every read) folds the
+    chain into a full snapshot after every N delta commits: the
+    steady-state read cost becomes |table| + at most N deltas, Delta's
+    checkpoint-interval knob. 0 = never (callers compact on their own
+    maintenance schedule via compact_latest)."""
+    state = {"since_compact": 0}
+
     def _commit(batch_df: DataFrame, _batch_id: int) -> None:
-        commit_batch_versioned(batch_df, root, keys=keys,
+        v = commit_batch_versioned(batch_df, root, keys=keys,
+                                   max_retries=max_retries,
+                                   differential=differential)
+        if v is not None and differential and keys and compact_every > 0:
+            state["since_compact"] += 1
+            if state["since_compact"] >= compact_every:
+                from ..sources.versioned import compact_latest
+                compact_latest(batch_df.sparkSession, root,
                                max_retries=max_retries)
+                state["since_compact"] = 0
 
     q = (result.writeStream
          .foreachBatch(_commit)
