@@ -3,11 +3,16 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-The set runs $SPARK_GRAFT_BENCH_RUNS times (default 2) so cold-JVM and
-steady-state cost separate cleanly: "value"/"queries" report the LAST
-(warm) iteration - the number that reflects plan cost, not codegen
-warm-up - while "cold_total" carries the first pass, so round-over-round
-deltas attribute to plan changes rather than JVM state.
+The set runs $SPARK_GRAFT_BENCH_RUNS times (default 4: one cold pass +
+up to three warm passes) so cold-JVM and steady-state cost separate
+cleanly, and - VERDICT r13 #4, after three consecutive rounds where
+same-tree pass-to-pass variance (measured up to 19%) swamped any real
+signal in a single warm capture - "value"/"queries" report the
+PER-QUERY MEDIAN across the warm passes, with each query's min/max
+spread recorded in $SPARK_GRAFT_BENCH_OUT. "cold_total" still carries
+the first pass. Warm passes stop early if total wall approaches
+$SPARK_GRAFT_BENCH_BUDGET seconds (default 420) so the run always fits
+the driver's timeout; "warm_passes" records how many completed.
 
 Output hygiene (VERDICT r3 #8 - the driver's tail-scrape kept recording
 "parsed": null): the stdout line is COMPACT (no per-run breakdown) and
@@ -131,9 +136,18 @@ def main() -> None:
     # Warm the JVM/IO path once (excluded from timings).
     registry.QUERIES[names[0]](spark, sf_dir).limit(1).collect()
 
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    bench_t0 = time.perf_counter()
     runs: list[dict[str, float]] = []
-    for _ in range(n_runs):
+    for i in range(n_runs):
+        # keep >= 1 cold + 1 warm pass regardless of budget; beyond
+        # that, start a pass only while the remaining budget plausibly
+        # fits one (estimated from the slowest completed pass)
+        if i >= 2:
+            worst = max(sum(t.values()) for t in runs)
+            if time.perf_counter() - bench_t0 + worst > budget:
+                break
         timings: dict[str, float] = {}
         for name in names:
             t0 = time.perf_counter()
@@ -141,16 +155,26 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         runs.append(timings)
 
+    import statistics
+
+    warm = runs[1:] if len(runs) > 1 else runs
+    med = {n: round(statistics.median(t[n] for t in warm), 3)
+           for n in names}
+    spread = {n: {"min": round(min(t[n] for t in warm), 3),
+                  "max": round(max(t[n] for t in warm), 3)}
+              for n in names}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     compact = {
         "metric": "headline_query_set_wall_sec",
-        "value": round(sum(runs[-1].values()), 3),
+        "value": round(sum(med.values()), 3),
         "unit": "sec",
-        "queries": runs[-1],
+        "queries": med,
         "cold_total": round(sum(runs[0].values()), 3),
+        "warm_passes": len(warm),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail = {**compact,
+              "spread": spread,
               "runs": [{"run": i + 1, "total": round(sum(t.values()), 3),
                         "queries": t} for i, t in enumerate(runs)]}
     out_path = os.environ.get(
