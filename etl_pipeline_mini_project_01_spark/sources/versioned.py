@@ -114,7 +114,8 @@ def list_versions(root: str) -> list[int]:
 
 def _manifest_with_stats(manifest: dict, stage: str,
                          stats_columns: list[str] | None,
-                         spark=None) -> dict:
+                         spark=None,
+                         partition_by: list[str] | None = None) -> dict:
     """Attach Delta-style per-file add-action stats to a manifest:
     {"stats": {"columns": [...], "files": {rel: file-stats}}} (VERDICT
     r11 #3 - the b-tree-index analogue: a selective read prunes files
@@ -130,16 +131,34 @@ def _manifest_with_stats(manifest: dict, stage: str,
     file) fan out through Spark's own readers instead of degrading to
     a driver-side pyarrow loop. The footer path remains the spark-less
     fallback (stats_for_files is also still the layout-manifest
-    collector)."""
-    if not stats_columns:
-        return manifest
-    from .filestats import collect_stats, stats_via_scan
+    collector).
 
-    files = (stats_via_scan(spark, stage, list(stats_columns))
-             if spark is not None
-             else collect_stats(stage, stats_columns))
+    Partition keys are ALWAYS in the stats set for partitioned
+    commits (r14, Delta records partitionValues unconditionally):
+    their min=max entries are parsed from the key=value path segments
+    the walker already returns - zero data or footer IO - so `prune=`
+    on a partition key skips files by default. A partitioned commit
+    with NO stats_columns records a partition-only stats block through
+    a pure path-parsing pass (no Spark job, no footer reads; per-file
+    row counts are unknown there, so the hive NULL partition records
+    no entry and conservatively survives null tests)."""
+    cols = list(stats_columns or [])
+    pkeys = [k for k in (partition_by or []) if k not in cols]
+    if not cols and not pkeys:
+        return manifest
+    from .filestats import (add_partition_stats, collect_stats,
+                            stats_via_scan, walk_parquet)
+
+    if not cols:
+        files = add_partition_stats(
+            {rel: {} for rel, _ in walk_parquet(stage)}, pkeys)
+    else:
+        all_cols = cols + pkeys
+        files = (stats_via_scan(spark, stage, all_cols)
+                 if spark is not None
+                 else collect_stats(stage, all_cols))
     return dict(manifest,
-                stats={"columns": sorted(stats_columns),
+                stats={"columns": sorted(cols + pkeys),
                        "files": files})
 
 
@@ -177,7 +196,8 @@ def write_version(df: DataFrame, root: str,
         w = w.partitionBy(*partition_by)
     w.parquet(stage)
     stats_tail = _manifest_with_stats({}, stage, stats_columns,
-                                      spark=df.sparkSession)
+                                      spark=df.sparkSession,
+                                      partition_by=partition_by)
     for _ in range(max_retries):
         v = max(list_versions(root), default=0) + 1
         vdir = f"v{v:08d}"
@@ -261,7 +281,8 @@ def write_version_cas(df: DataFrame, root: str, expected_version: int,
     # zero-byte manifest) stays as short as the stat-less protocol's
     manifest = _manifest_with_stats(
         {"version": v, "dir": vdir, **(manifest_extra or {})},
-        stage, stats_columns, spark=df.sparkSession)
+        stage, stats_columns, spark=df.sparkSession,
+        partition_by=partition_by)
     mpath = os.path.join(_manifest_dir(root), f"{vdir}.json")
     try:
         claim = fsio.claim_excl(mpath)

@@ -1216,3 +1216,33 @@ def test_layout_stats_scheme_routed_collector(spark, tmp_path):
     got = _rows(read_layout_manifest(
         spark, uri, file_pred=("vec_id", "=", 123)).select("vec_id"))
     assert got == [(123,)]
+
+
+def test_partitioned_commit_records_partition_stats_by_default(spark, root):
+    """r14 Delta parity: partition keys enter the stats set
+    UNCONDITIONALLY for partitioned commits - a stats-less partitioned
+    commit records a partition-only stats block through pure path
+    parsing (no Spark job, no footer IO), and stats_columns commits
+    get the partition keys auto-unioned."""
+    df = (spark.range(400)
+          .select("id", (F.col("id") % 4).alias("p"))
+          .repartitionByRange(4, "id"))
+    # no stats_columns at all: partition-only block
+    write_version(df, root, partition_by=["p"])
+    man = _manifest(root, 1)
+    assert man["stats"]["columns"] == ["p"]
+    kept, total = pruned_files(man, [("p", "=", 2)])
+    assert 0 < len(kept) < total
+    assert all("p=2/" in rel for rel in kept)
+    got = _rows(read_version(spark, root, 1, prune=("p", "=", 2)))
+    want = _rows(read_version(spark, root, 1).filter(F.col("p") == 2))
+    assert got == want and len(want) == 100
+    # stats_columns commit: partition key auto-unioned into the set
+    write_version(df, root, partition_by=["p"], stats_columns=["id"])
+    man2 = _manifest(root, 2)
+    assert man2["stats"]["columns"] == ["id", "p"]
+    kept2, total2 = pruned_files(man2, [("p", ">=", 3)])
+    assert 0 < len(kept2) < total2
+    # an UNPARTITIONED stats-less commit still records no stats block
+    write_version(spark.range(10).select("id"), root)
+    assert "stats" not in _manifest(root, 3)

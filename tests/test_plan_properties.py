@@ -452,3 +452,41 @@ def test_registry_wide_plan_hygiene(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_delta_chain_resolution_single_key_shuffle(spark, tmp_path):
+    """r14 merge-on-read plan guard: resolving an n-member delta chain
+    is member scans -> Union -> EXACTLY ONE exchange (the key window's
+    shuffle) -> Window; a key-clause prune collapses the scan list to
+    the stat-surviving members with the filter pushed to the scan."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        read_version,
+        write_version_cas,
+    )
+
+    root = str(tmp_path / "t")
+    for i in range(3):
+        b = (spark.range(i * 100, (i + 1) * 100 + 50)
+             .select(F.col("id").alias("k"),
+                     (F.col("id") * 1.0 + i).alias("v"))
+             .repartitionByRange(2, "k"))
+        write_version_cas(b, root, expected_version=i,
+                          stats_columns=["k"],
+                          manifest_extra={"delta": {"keys": ["k"]}})
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    full = plan_of(read_version(spark, root))
+    assert full.count("Exchange") == 1          # one key shuffle, total
+    assert "Union" in full and "Window" in full
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
+
+    pruned = plan_of(read_version(spark, root, prune=("k", "<", 50)))
+    assert pruned.count("Exchange") == 1
+    # only v1's low-key file survives the manifest prune: one scan
+    assert pruned.count("Scan parquet") == 1
+    assert "LessThan(k,50)" in pruned           # pushed to the scan
