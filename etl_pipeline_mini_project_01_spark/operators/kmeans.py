@@ -214,6 +214,77 @@ def _assign(df: DataFrame, cents: list[list[float]], dim: int,
     raise ValueError(f"unknown kernel: {kernel}")
 
 
+def _scale_list(vs) -> list[float]:
+    """Driver-side twin of _scaled for one collected vector: xd =
+    floor(double(v) * 2^20) / 2^20. float->double widening, the
+    power-of-two multiply, floor, and the power-of-two divide are all
+    exact IEEE ops, so the result is bit-identical to collecting the
+    Spark-computed xd column (pinned in tests/test_kmeans.py)."""
+    a = np.asarray([float(v) for v in vs], dtype=np.float64)
+    return [float(v) for v in np.floor(a * SCALE) / SCALE]
+
+
+def _iter_partial_sums(vecs: DataFrame, cents: list[list[float]],
+                       dim: int, vec_col: str
+                       ) -> dict[int, tuple[int, list[int]]]:
+    """One Lloyd's iteration's {cluster: (n, [component sums])} via an
+    Arrow kernel that assigns AND partially aggregates per batch
+    (guide SS2.3 "aggregate before you shuffle" / SS4.2): the exchange
+    carries k x dim integer partial-sum rows per batch instead of n
+    assigned rows, and the downstream plan is a plain 2-key/2-agg sum
+    - replacing the dim-wide Sum(ElementAt(xi, i)) aggregate whose
+    Catalyst analysis + codegen dominated the fit wall (r14 measured:
+    ~1.8 s to plan+run a fresh dim=64 agg plan vs 0.16 s to re-run it,
+    on 2000 rows - the data work was 9% of the job).
+
+    Arithmetic is bit-identical to _assign_vectorized + the bigint
+    groupBy: same float64 cast, exact *2^20 + floor scaling, fold-order
+    per-dim distance accumulation, first-min argmin; int64 partial sums
+    of xi are exact and order-insensitive, so the merged totals equal
+    the flat bigint sums for any batching."""
+    cmat = np.array([[float(v) for v in c] for c in cents],
+                    dtype=np.float64)
+    k = cmat.shape[0]
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xi = np.floor(raw * SCALE).astype(np.int64)
+            mat = xi / SCALE                     # exact: 2^20 divide
+            n = mat.shape[0]
+            dmat = np.empty((n, k), dtype=np.float64)
+            for j in range(k):
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(dim):             # fold order: dims ascending
+                    d = mat[:, i] - cmat[j, i]
+                    acc = acc + d * d
+                dmat[:, j] = acc
+            cl = np.argmin(dmat, axis=1)         # first min == lowest cid
+            outs = []
+            for c in np.unique(cl):
+                msk = cl == c
+                outs.append(pd.DataFrame({
+                    "cluster": np.int64(c),
+                    "i": np.arange(dim, dtype=np.int64),
+                    "s": xi[msk].sum(axis=0),
+                    "n": np.int64(int(msk.sum()))}))
+            yield pd.concat(outs, ignore_index=True)
+
+    sums = (vecs.mapInPandas(
+        partial, "cluster bigint, i bigint, s bigint, n bigint")
+        .groupBy("cluster", "i")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+    got: dict[int, tuple[int, list[int]]] = {}
+    for r in sums.collect():
+        c, i = int(r["cluster"]), int(r["i"])
+        slot = got.setdefault(c, (0, [0] * dim))
+        got[c] = (int(r["n"]), slot[1])
+        slot[1][i] = int(r["s"])
+    return got
+
+
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
                id_col: str = "vec_id", vec_col: str = "embedding",
                kernel: str | None = None) -> tuple[list[list[float]], int]:
@@ -224,6 +295,29 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     the iteration count is fixed (no data-dependent convergence branch),
     and every arithmetic step is engine-exact per the module docstring.
     Empty clusters keep their previous centroid."""
+    if (kernel or DEFAULT_KERNEL) == "vectorized":
+        # r14 fast path (bit-identical, guide SS1.2 step 1): seeds come
+        # from ONE collect of raw vectors scaled driver-side, and each
+        # iteration is the partially-aggregating Arrow kernel - the
+        # legacy dim-wide agg plan below cost more to PLAN than to run.
+        init = (emb.select(id_col, vec_col,
+                           _seed_key(id_col).alias("_sk"))
+                .orderBy("_sk", id_col).limit(k).collect())
+        if len(init) != k:
+            raise ValueError(
+                f"k={k} seeds need >= k rows, got {len(init)}")
+        cents = [_scale_list(r[vec_col]) for r in init]
+        dim = len(cents[0])
+        vecs = emb.select(vec_col)
+        for _ in range(iters):
+            got = _iter_partial_sums(vecs, cents, dim, vec_col)
+            cents = [
+                [got[j][1][i] / (got[j][0] * SCALE) for i in range(dim)]
+                if j in got else cents[j]
+                for j in range(k)
+            ]
+        return cents, dim
+
     x = _scaled(emb.select(id_col, vec_col), vec_col)
 
     init = (x.select(id_col, "xd", _seed_key(id_col).alias("_sk"))
@@ -449,6 +543,69 @@ def kmeans_assign_twolevel(emb: DataFrame, k1: int = 4, k2: int = 3,
             )
 
 
+def _iter_partial_sums_fine(assigned: DataFrame,
+                            fine: list[list[list[float]]], dim: int
+                            ) -> dict[tuple[int, int],
+                                      tuple[int, list[int]]]:
+    """One fine-level Lloyd's iteration's {(coarse, fine): (n, [sums])}
+    from a frame carrying (coarse, xi) - the two-level twin of
+    _iter_partial_sums, same bit-exactness argument: xd = xi / 2^20 is
+    an exact power-of-two divide, distances accumulate in fold order
+    per coarse group exactly as _assign_fine's vectorized kernel, and
+    int64 partial sums are order-insensitive."""
+    fmats = [np.array(c, dtype=np.float64) if c else None for c in fine]
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xi = np.stack(pdf["xi"].to_numpy()).astype(np.int64)
+            mat = xi / SCALE                     # exact: 2^20 divide
+            co = pdf["coarse"].to_numpy(dtype=np.int64)
+            outs = []
+            for c in np.unique(co):
+                m = co == c
+                cm = fmats[c]
+                if cm is None:
+                    raise ValueError(
+                        f"coarse cluster {c} has no fine centroids "
+                        "(empty at fit time) and no coarse_cents "
+                        "fallback was provided")
+                sub, sxi = mat[m], xi[m]
+                dmat = np.empty((sub.shape[0], cm.shape[0]),
+                                dtype=np.float64)
+                for j in range(cm.shape[0]):
+                    acc = np.zeros(sub.shape[0], dtype=np.float64)
+                    for i in range(dim):         # fold order: dims ascending
+                        d = sub[:, i] - cm[j, i]
+                        acc = acc + d * d
+                    dmat[:, j] = acc
+                sel = np.argmin(dmat, axis=1)    # first min == lowest fid
+                for f in np.unique(sel):
+                    fm = sel == f
+                    outs.append(pd.DataFrame({
+                        "coarse": np.int64(c),
+                        "fine": np.int64(f),
+                        "i": np.arange(dim, dtype=np.int64),
+                        "s": sxi[fm].sum(axis=0),
+                        "n": np.int64(int(fm.sum()))}))
+            yield pd.concat(outs, ignore_index=True)
+
+    sums = (assigned.select("coarse", "xi").mapInPandas(
+        partial,
+        "coarse bigint, fine bigint, i bigint, s bigint, n bigint")
+        .groupBy("coarse", "fine", "i")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+    got: dict[tuple[int, int], tuple[int, list[int]]] = {}
+    for r in sums.collect():
+        key = (int(r["coarse"]), int(r["fine"]))
+        i = int(r["i"])
+        slot = got.setdefault(key, (0, [0] * dim))
+        got[key] = (int(r["n"]), slot[1])
+        slot[1][i] = int(r["s"])
+    return got
+
+
 def kmeans_fit_twolevel(emb: DataFrame, k1: int = 4, k2: int = 3,
                         iters1: int = 1, iters2: int = 1,
                         id_col: str = "vec_id",
@@ -483,6 +640,21 @@ def kmeans_fit_twolevel(emb: DataFrame, k1: int = 4, k2: int = 3,
     fine: list[list[list[float]]] = [[] for _ in range(k1)]
     for r in sorted(seed_rows, key=lambda r: (r["coarse"], r["_rn"])):
         fine[int(r["coarse"])].append(list(r["xd"]))
+
+    if (kernel or DEFAULT_KERNEL) == "vectorized":
+        # r14 fast path (bit-identical): the partially-aggregating
+        # Arrow kernel replaces the dim-wide agg plan, same as
+        # kmeans_fit's - see _iter_partial_sums_fine.
+        for _ in range(iters2):
+            gotp = _iter_partial_sums_fine(assigned, fine, dim)
+            fine = [
+                [[gotp[(c, f)][1][i] / (gotp[(c, f)][0] * SCALE)
+                  for i in range(dim)]
+                 if (c, f) in gotp else fine[c][f]
+                 for f in range(len(fine[c]))]
+                for c in range(k1)
+            ]
+        return coarse_cents, fine, dim
 
     for _ in range(iters2):
         sums = (_assign_fine(assigned, fine, dim, kernel)

@@ -63,14 +63,17 @@ def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16,
              vec_col: str = "embedding") -> list[list[list[float]]]:
     """m per-subspace codebooks, each ksub x (dim/m). The m k-means
     problems are independent, so they train as ONE grouped Lloyd's:
-    the corpus explodes to (id, s, subvector) rows - m x the row
-    count, 1/m the row width, same total bytes - and every iteration
-    is a single assignment pass (per-subspace dgemm inside one Arrow
-    kernel, _assign_fine's grouping trick) plus a single
-    groupBy(s, code) integer-sum aggregation of m*ksub groups. Job
-    count is 2 + iters, NOT m*(1 + iters) - the per-subspace-
-    sequential formulation spent ~m job latencies training 16 KB of
-    model (measured 26 s at sf0.1 for m=16; grouped: ~2 s).
+    every iteration is a single Arrow kernel pass over the raw vectors
+    that scales, slices, assigns (per-subspace dgemm) and PARTIALLY
+    AGGREGATES the int64 component sums in-batch, followed by a tiny
+    groupBy(s, code, i) merge of m*ksub*dsub partial rows (r14: the
+    earlier exploded-relation formulation shuffled assigned corpus
+    rows and paid a dsub-wide Sum(ElementAt) plan per iteration whose
+    Catalyst analysis+codegen outweighed the data work at harness
+    scale). Job count is 1 + iters, NOT m*(1 + iters) - the
+    per-subspace-sequential formulation spent ~m job latencies
+    training 16 KB of model (measured 26 s at sf0.1 for m=16;
+    grouped: ~2 s; partial-agg kernel: see OPTIMIZATION_r14.md).
 
     Determinism mirrors kmeans_fit exactly: seeds are the ksub rows
     with the smallest md5('seed|'||id) digests (the SAME ids seed
@@ -83,7 +86,7 @@ def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16,
     count that grows with it. At 100 TB: train on a bounded sample
     (pass emb.sample(...) or a .limit() slice; the codebook does not
     need the tail of the distribution)."""
-    from .kmeans import SCALE, _seed_key
+    from .kmeans import SCALE, _scale_list, _seed_key
 
     first = emb.select(vec_col).first()
     if first is None:
@@ -93,69 +96,80 @@ def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16,
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
 
-    subs = F.array(*[F.slice(vec_col, s * dsub + 1, dsub)
-                     for s in range(m)])
-    x = (emb.select(id_col, F.posexplode(subs).alias("s", "sv"))
-         .withColumn("xi", F.transform(
-             "sv", lambda v: F.floor(v.cast("double") * SCALE)
-             .cast("bigint")))
-         .withColumn("xd", F.transform(
-             "xi", lambda v: v.cast("double") / SCALE))
-         .select(id_col, "s", "xi", "xd"))
-
-    seed_rows = (emb.select(id_col, _seed_key(id_col).alias("_sk"))
-                 .orderBy("_sk", id_col).limit(ksub)
-                 .select(id_col).collect())
+    # Seeds: ONE collect of the ksub hash-smallest raw vectors, scaled
+    # and sliced driver-side (r14 - the previous two-job seed phase
+    # collected ids, then re-scanned with an IN filter for their
+    # exploded slices; _scale_list is bit-identical to the Spark-side
+    # scaling, and slicing before or after the elementwise scale is the
+    # same values).
+    seed_rows = (emb.select(id_col, vec_col,
+                            _seed_key(id_col).alias("_sk"))
+                 .orderBy("_sk", id_col).limit(ksub).collect())
     if len(seed_rows) != ksub:
         raise ValueError(f"ksub={ksub} seeds need >= ksub rows, "
                          f"got {len(seed_rows)}")
-    seed_ids = [r[id_col] for r in seed_rows]
-    pos = {v: i for i, v in enumerate(seed_ids)}
-    books: list[list[list[float]]] = [[None] * ksub for _ in range(m)]
-    for r in (x.filter(F.col(id_col).isin(seed_ids))
-              .select(id_col, "s", "xd").collect()):
-        books[int(r["s"])][pos[r[id_col]]] = list(r["xd"])
+    books: list[list[list[float]]] = [
+        [_scale_list(r[vec_col])[s * dsub:(s + 1) * dsub]
+         for r in seed_rows]
+        for s in range(m)
+    ]
 
+    # Each iteration: ONE Arrow kernel that scales, slices, assigns
+    # per subspace (expanded-form distances, exactly _assign_subspace's
+    # arithmetic) and partially aggregates int64 component sums per
+    # (s, code) in-batch - the exchange carries m x ksub x dsub
+    # partial-sum rows per batch instead of the m-exploded corpus, and
+    # the plan replaces the dsub-wide Sum(ElementAt(...)) aggregate
+    # whose analysis+codegen dominated training wall at harness scale
+    # (guide SS2.3 / SS4.2; same shape as kmeans._iter_partial_sums).
+    vecs = emb.select(vec_col)
     for _ in range(iters):
-        sums = (_assign_subspace(x, books, dsub)
-                .groupBy("s", "code").agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[F.sum(F.element_at("xi", i + 1)).alias(f"s{i}")
-                      for i in range(dsub)]))
-        got = {(int(r["s"]), int(r["code"])): r for r in sums.collect()}
+        mats = _book_mats(books)
+
+        def partial(batches, mats=mats):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                raw = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                xi = np.floor(raw * SCALE).astype(np.int64)
+                xd = xi / SCALE                  # exact: 2^20 divide
+                outs = []
+                for s in range(m):
+                    sub = xd[:, s * dsub:(s + 1) * dsub]
+                    sxi = xi[:, s * dsub:(s + 1) * dsub]
+                    cm = mats[s]
+                    d = ((sub * sub).sum(axis=1)[:, None]
+                         - 2.0 * (sub @ cm.T)
+                         + (cm * cm).sum(axis=1)[None, :])
+                    code = np.argmin(d, axis=1)  # first min == lowest code
+                    for c in np.unique(code):
+                        msk = code == c
+                        outs.append(pd.DataFrame({
+                            "s": np.int64(s),
+                            "code": np.int64(c),
+                            "i": np.arange(dsub, dtype=np.int64),
+                            "sm": sxi[msk].sum(axis=0),
+                            "n": np.int64(int(msk.sum()))}))
+                yield pd.concat(outs, ignore_index=True)
+
+        sums = (vecs.mapInPandas(
+            partial, "s bigint, code bigint, i bigint, sm bigint, n bigint")
+            .groupBy("s", "code", "i")
+            .agg(F.sum("sm").alias("sm"), F.sum("n").alias("n")))
+        got: dict[tuple[int, int], tuple[int, list[int]]] = {}
+        for r in sums.collect():
+            key = (int(r["s"]), int(r["code"]))
+            slot = got.setdefault(key, (0, [0] * dsub))
+            got[key] = (int(r["n"]), slot[1])
+            slot[1][int(r["i"])] = int(r["sm"])
         books = [
-            [[int(r[f"s{i}"]) / (int(r["n"]) * SCALE)
+            [[got[(s, c)][1][i] / (got[(s, c)][0] * SCALE)
               for i in range(dsub)]
-             if (r := got.get((s, c))) is not None else books[s][c]
+             if (s, c) in got else books[s][c]
              for c in range(ksub)]
             for s in range(m)
         ]
     return books
-
-
-def _assign_subspace(x: DataFrame, books: list[list[list[float]]],
-                     dsub: int) -> DataFrame:
-    """Adds `code` (argmin codebook row OF THE ROW'S subspace, ties ->
-    lowest code) to an exploded (s, xd) frame - all m subspaces in one
-    Arrow kernel, one dgemm per (batch, subspace) group."""
-    mats = _book_mats(books)
-
-    @pandas_udf("bigint")
-    def assign(s: pd.Series, xd: pd.Series) -> pd.Series:
-        mat = np.stack(xd.to_numpy())
-        sv = s.to_numpy(dtype=np.int64)
-        out = np.zeros(len(sv), dtype=np.int64)
-        for g in np.unique(sv):
-            msk = sv == g
-            sub = mat[msk]
-            cm = mats[g]
-            d = ((sub * sub).sum(axis=1)[:, None]
-                 - 2.0 * (sub @ cm.T)
-                 + (cm * cm).sum(axis=1)[None, :])
-            out[msk] = np.argmin(d, axis=1)
-        return pd.Series(out)
-
-    return x.withColumn("code", assign("s", "xd"))
 
 
 def _book_mats(codebooks) -> list[np.ndarray]:
