@@ -463,9 +463,32 @@ def versioned_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "total_value"))
     root = os.path.join(scratch, "table")
-    final = run_to_versioned_sink(agg, root,
-                                  os.path.join(scratch, "ckpt"),
-                                  keys=["user_id"], output_mode="update")
+    # State/shuffle partitions for THIS streaming query are sized from
+    # its input bytes (ceil(bytes / 128 MB), the guide SS2.2 partition
+    # target), not left at the session's 32: a streaming aggregation's
+    # state store materializes one set of state+delta files PER
+    # PARTITION PER TRIGGER, and every micro-batch's delta snapshot
+    # inherits the same fan-out - at harness volume (~1 MB input,
+    # ~1.5k keys) the fixed 32 wrote 32 sliver state files + 32 sliver
+    # parquet files per trigger, and every downstream chain read paid
+    # the per-file open cost 32x. The derivation scales: a 100 TB/day
+    # feed sizes to ~800k partitions-worth of bytes and is then capped
+    # by cluster parallelism upstream - never a constant tuned to
+    # either environment. (The conf is restored right after the run;
+    # Structured Streaming pins the partition count into the
+    # checkpoint at first start, so the query stays consistent.)
+    in_bytes = sum(os.path.getsize(os.path.join(in_dir, f))
+                   for f in os.listdir(in_dir))
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(max(1, -(-in_bytes // (128 << 20)))))
+    try:
+        final = run_to_versioned_sink(agg, root,
+                                      os.path.join(scratch, "ckpt"),
+                                      keys=["user_id"],
+                                      output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     final = final.localCheckpoint()           # pin: versions get vacuumed
 
     versions = list_versions(root)
@@ -509,10 +532,12 @@ def versioned_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trigger). compact_latest then folds the chain into one full
     # snapshot (version nv+1) and vacuum keep_last=1 reclaims every
     # delta - the read after is untouched.
-    delta_rows_written = 0
-    for v in versions:
-        delta_rows_written += spark.read.parquet(
-            os.path.join(root, f"v{v:08d}")).count()
+    # One multi-path scan counts every staged delta row (r14: the
+    # per-version read+count loop paid one job latency per version
+    # for the same total).
+    delta_rows_written = spark.read.parquet(
+        *[os.path.join(root, f"v{v:08d}") for v in versions]).count() \
+        if versions else 0
     compacted_v = compact_latest(spark, root)
     removed = vacuum_versions(root, keep_last=1)
     keys_after = read_version(spark, root).count()

@@ -234,7 +234,8 @@ def _publish_latest(root: str, manifest: dict) -> None:
 def write_version_cas(df: DataFrame, root: str, expected_version: int,
                       partition_by: list[str] | None = None,
                       stats_columns: list[str] | None = None,
-                      manifest_extra: dict | None = None) -> int:
+                      manifest_extra: dict | None = None,
+                      skip_empty: bool = False) -> int | None:
     """Optimistic-concurrency commit (VERDICT r7 #7): commit `df` as
     `expected_version + 1` IFF no other writer got there first, else
     raise the retryable :class:`VersionConflict`. The arbitration
@@ -257,7 +258,16 @@ def write_version_cas(df: DataFrame, root: str, expected_version: int,
 
     `manifest_extra` merges additional fields into the manifest (the
     differential sink records its {"delta": {"keys": [...]}} marker
-    this way); the protocol-owned fields are protected."""
+    this way); the protocol-owned fields are protected.
+
+    `skip_empty=True` (r14, the streaming sink's empty-batch guard):
+    a row count rides the staging write as an Observation - free, the
+    write executes every row anyway - and a zero-row `df` aborts the
+    commit BEFORE the claim (stage removed, None returned, no version
+    burned). The sink previously asked `df.isEmpty()` up front, which
+    executed the whole batch plan a second time just to answer a
+    question the write already knows (guide SS1.4's count-probe trap,
+    applied to a sink)."""
     import uuid
 
     if manifest_extra and {"version", "dir", "stats"} & set(manifest_extra):
@@ -272,10 +282,20 @@ def write_version_cas(df: DataFrame, root: str, expected_version: int,
     v = expected_version + 1
     vdir = f"v{v:08d}"
     stage = os.path.join(root, f"._stage_{uuid.uuid4().hex}")
+    obs = None
+    if skip_empty:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as _F
+
+        obs = Observation()
+        df = df.observe(obs, _F.count(_F.lit(1)).alias("rows"))
     w = df.write.mode("errorifexists")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(stage)
+    if obs is not None and int(obs.get["rows"]) == 0:
+        fsio.rmtree(stage)
+        return None
     # footer-stat collection runs on the STAGED tree, before the claim:
     # the claim->finalize window (a crash there burns the number as a
     # zero-byte manifest) stays as short as the stat-less protocol's

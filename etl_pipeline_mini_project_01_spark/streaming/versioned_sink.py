@@ -77,12 +77,20 @@ def commit_batch_versioned(batch_df: DataFrame, root: str,
     AHEAD of _LATEST with a fully-readable version - rebasing from the
     pointer would silently drop that version's rows from every future
     snapshot (and with the pointer missing entirely would crash the
-    stream on a phantom version 0)."""
-    if batch_df.isEmpty():
-        return None
+    stream on a phantom version 0).
+
+    Empty-batch detection (r14): differential and append commits stage
+    the batch with an Observation-carried row count and abort before
+    the claim when it is zero (write_version_cas skip_empty) - ONE
+    execution of the batch plan instead of the previous up-front
+    `isEmpty()` probe plus the write (each action on a foreachBatch
+    frame re-runs the micro-batch's whole plan, state store reads
+    included). The rewrite mode keeps the probe: its staged snapshot
+    is prev+batch, whose emptiness says nothing about the batch's."""
     spark = batch_df.sparkSession
     for _ in range(max_retries):
         head = max(list_versions(root), default=0)
+        skip_empty = True
         if keys and differential:
             # Fail-fast key-agreement check (r14 sweep): a delta commit
             # whose keys differ from the live chain's would SUCCEED and
@@ -106,6 +114,9 @@ def commit_batch_versioned(batch_df: DataFrame, root: str,
             snapshot = batch_df
             extra = {"delta": {"keys": list(keys)}}
         elif keys and latest_readable_version(root) > 0:
+            if batch_df.isEmpty():
+                return None
+            skip_empty = False
             prev = read_version(spark, root, latest_readable_version(root))
             # Null-safe anti-join: a NULL grouping key (e.g. after a
             # left-join enrichment) is a real upsert key here, but a
@@ -126,7 +137,8 @@ def commit_batch_versioned(batch_df: DataFrame, root: str,
             extra = None
         try:
             return write_version_cas(snapshot, root, expected_version=head,
-                                     manifest_extra=extra)
+                                     manifest_extra=extra,
+                                     skip_empty=skip_empty)
         except VersionConflict:
             continue
     raise VersionConflict(

@@ -161,6 +161,33 @@ def test_empty_batch_burns_no_version(spark, scratch):
     assert list_versions(root) == []
 
 
+def test_skip_empty_staging_leaves_no_residue(spark, scratch):
+    """write_version_cas(skip_empty=True) on a zero-row frame (r14:
+    the sink's empty-batch guard rides the staging write's Observation
+    instead of a separate isEmpty job): no version burned, no stage
+    dir or manifest left behind, and a NON-empty frame still commits
+    normally through the same path."""
+    import os
+
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        write_version_cas,
+    )
+
+    root = scratch + "/table"
+    empty = spark.createDataFrame([], "k bigint, v double")
+    assert write_version_cas(empty, root, expected_version=0,
+                             skip_empty=True) is None
+    assert list_versions(root) == []
+    residue = [e for e in os.listdir(root)
+               if e.startswith("._stage_")] if os.path.isdir(root) else []
+    assert residue == []
+
+    full = spark.createDataFrame([(1, 2.0)], "k bigint, v double")
+    assert write_version_cas(full, root, expected_version=0,
+                             skip_empty=True) == 1
+    assert read_version(spark, root).count() == 1
+
+
 def test_conflict_retry_exhaustion_raises_retryable(spark, scratch,
                                                     monkeypatch):
     """When every claim loses (a pathological racer), the sink raises
@@ -174,7 +201,8 @@ def test_conflict_retry_exhaustion_raises_retryable(spark, scratch,
     root = scratch + "/table"
     b = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
 
-    def always_loses(df, r, expected_version, manifest_extra=None):
+    def always_loses(df, r, expected_version, manifest_extra=None,
+                     skip_empty=False):
         raise VersionConflict("claimed by a concurrent committer")
 
     monkeypatch.setattr(versioned_sink, "write_version_cas", always_loses)
