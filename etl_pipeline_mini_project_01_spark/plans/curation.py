@@ -27,7 +27,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -90,9 +90,12 @@ def connected_components(edges: DataFrame, max_rounds: int = 20,
     equi-join + min-aggregate per round, rounds = graph diameter. Kept as
     the easy-to-audit variant; raises if the diameter exceeds
     `max_rounds` instead of silently emitting unconverged labels.
-    Both probe convergence with `isEmpty` (a count, never row contents -
-    no data visits the driver) and truncate lineage per round with
-    localCheckpoint so plans stay flat."""
+    Both run ONE job per round (r14): convergence probes ride the
+    per-round localCheckpoint materialization as observe() metrics
+    (aggregates only - no row contents visit the driver), and lineage
+    truncates per round so plans stay flat. hash_to_min's changed-count
+    is exact (the old label folds into the same aggregate); star's
+    signature is a cheap pre-check behind an exact subtract gate."""
     if algorithm == "star":
         return _cc_star(edges, max_rounds)
     if algorithm != "hash_to_min":
@@ -106,14 +109,29 @@ def connected_components(edges: DataFrame, max_rounds: int = 20,
     for _ in range(max_rounds):
         prop = (edges.join(labels, edges.src == labels.doc_id)
                 .select(F.col("dst").alias("doc_id"), "label"))
-        new_labels = (labels.union(prop)
-                      .groupBy("doc_id").agg(F.min("label").alias("label"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .where(F.col("n.label") != F.col("o.label")))
+        # The round's ONLY job (r14): the old label rides the same
+        # min-aggregate (it is the min over the _old branch - unique
+        # per doc, and symmetric edges make prop's doc set equal the
+        # label set, so _prev is never null), and the exact
+        # changed-count is an observe() metric on the checkpoint
+        # materialization - replacing the separate new-vs-old join +
+        # isEmpty job per round.
+        merged = (labels.select("doc_id", "label",
+                                F.lit(True).alias("_old"))
+                  .union(prop.select("doc_id", "label",
+                                     F.lit(False).alias("_old")))
+                  .groupBy("doc_id")
+                  .agg(F.min("label").alias("label"),
+                       F.min(F.when(F.col("_old"), F.col("label")))
+                       .alias("_prev")))
+        obs = Observation()
+        new_labels = (merged.observe(
+            obs, F.sum((F.col("label") < F.col("_prev")).cast("bigint"))
+            .alias("chg"))
+            .select("doc_id", "label")
+            .localCheckpoint())
         labels = new_labels
-        if changed.isEmpty():
+        if not obs.get["chg"]:
             return labels
     raise RuntimeError(
         f"hash-to-min did not converge in {max_rounds} rounds (graph "
@@ -126,19 +144,23 @@ def _cc_star(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     as (hi, lo) pairs with hi > lo; at the fixed point it is a forest of
     stars whose centers are the component minima, so labels read off as
     (hi -> lo) plus self-labels for the roots."""
-    def _sig(df: DataFrame):
-        """(count, hash-sum) edge-set signature - one aggregate job.
-        The hash sum accumulates as DECIMAL(38,0): exact and
-        overflow-free under ANSI mode (a long SUM of 64-bit hashes
-        overflows)."""
-        return df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)"))
-            .alias("h")).first()
+    def _sig_aggs():
+        """(count, hash-sum) edge-set signature, as observe() metrics -
+        the signature rides the checkpoint materialization job instead
+        of costing a second aggregate job per round (r14; guide SS1.4 /
+        SS5: per-round job latency dominated this loop at harness
+        scale, the data being KB-sized). The hash sum accumulates as
+        DECIMAL(38,0): exact and overflow-free under ANSI mode (a long
+        SUM of 64-bit hashes overflows)."""
+        return (F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)"))
+                .alias("h"))
 
+    obs0 = Observation()
     e = (edges.select(F.greatest("src", "dst").alias("hi"),
                       F.least("src", "dst").alias("lo"))
-         .where(F.col("hi") != F.col("lo")).distinct().localCheckpoint())
+         .where(F.col("hi") != F.col("lo")).distinct()
+         .observe(obs0, *_sig_aggs()).localCheckpoint())
     # Node set from the CHECKPOINTED canonical edges, not the raw
     # `edges` lineage: the symmetric input's src-set equals {hi} u {lo},
     # and deriving it post-checkpoint means the final labels join reads
@@ -147,7 +169,7 @@ def _cc_star(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     # at the 30x curve point before this).
     nodes = (e.select(F.col("hi").alias("doc_id"))
              .union(e.select(F.col("lo").alias("doc_id"))).distinct())
-    prev_sig = _sig(e)
+    prev_sig = obs0.get
     for _ in range(max_rounds):
         # Large-star: per node u, attach every STRICTLY LARGER neighbor
         # to m = min(N(u) + {u}).
@@ -155,28 +177,34 @@ def _cc_star(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
         mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
                 .select("u", F.least("u", "mn").alias("m")))
+        # No distinct() here (r14): `large` only feeds a min-aggregate
+        # (duplicate-insensitive) and new_e's final distinct - the
+        # intermediate dedup exchange bought nothing. Size stays
+        # bounded by |sym| = 2|e|.
         large = (sym.join(mins, "u")
                  .where(F.col("v") > F.col("u"))
                  .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-                 .where(F.col("hi") != F.col("lo"))
-                 .distinct())
+                 .where(F.col("hi") != F.col("lo")))
         # Small-star: per node hi over its (all smaller) neighbors,
         # attach everything in N(hi) + {hi} to m = min(N(hi)).
         mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
         small = large.join(mins2, "hi")
+        obs = Observation()
         new_e = (small.where(F.col("lo") != F.col("m"))
                  .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
-                 .union(small.select("hi", F.col("m").alias("lo")).distinct())
+                 .union(small.select("hi", F.col("m").alias("lo")))
                  .where(F.col("hi") != F.col("lo"))
                  .distinct()
+                 .observe(obs, *_sig_aggs())
                  .localCheckpoint())
-        # Convergence probe, cheapest-first: a signature mismatch proves
-        # change in ONE aggregate job; only on signature equality (i.e.
-        # at/near the fixed point) pay for the exact set-equality
-        # subtracts - so the exact check runs ~once per query.
-        new_sig = _sig(new_e)
-        if new_sig == prev_sig and \
-                new_e.subtract(e).isEmpty() and e.subtract(new_e).isEmpty():
+        # Convergence probe, cheapest-first: the signature rides the
+        # checkpoint job (observe), so a changed round costs ONE job.
+        # Only on signature equality (i.e. at/near the fixed point) pay
+        # for an exact check - and since both sides are distinct sets
+        # with proven-equal cardinality (sig `n`), ONE subtract decides
+        # set equality (new_e a subset of e and |new_e| == |e|).
+        new_sig = obs.get
+        if new_sig == prev_sig and new_e.subtract(e).isEmpty():
             e = new_e
             break
         prev_sig = new_sig
