@@ -65,10 +65,31 @@ DEFAULT_KERNEL = "vectorized"
 
 
 def normalized_vectors(emb: DataFrame, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       kernel: str | None = None) -> DataFrame:
     """(id_col, nv): L2-normalized float64 vectors. The squared norm is
     projected into a column FIRST so the per-element division does not
-    re-run the fold per element (the HOF-lambda CSE pitfall)."""
+    re-run the fold per element (the HOF-lambda CSE pitfall).
+
+    Default is the expression form - right for the query-batch call
+    sites (a handful of rows; no Arrow round-trip). kernel='vectorized'
+    runs ONE Arrow kernel instead (r14): the HOF expressions are
+    CodegenFallback (interpreted per element, ~0.35 ms/row measured),
+    so corpus- or candidate-sized normalization pays seconds that the
+    batched numpy twin does not. Bit-identical: the n2 accumulation
+    runs per dim in fold order, and each element's double widening /
+    divide-by-sqrt are single correctly-rounded IEEE ops either way
+    (pinned in tests/test_semdedup.py)."""
+    if kernel == "vectorized":
+        @pandas_udf("array<double>")
+        def nvec(rv: pd.Series) -> pd.Series:
+            x = np.stack(rv.to_numpy()).astype(np.float64)
+            n2 = np.zeros(x.shape[0], dtype=np.float64)
+            for i in range(x.shape[1]):      # fold order: dims ascending
+                n2 = n2 + x[:, i] * x[:, i]
+            return pd.Series(list(x / np.sqrt(n2)[:, None]))
+
+        return emb.select(id_col, nvec(vec_col).alias("nv"))
     return (emb
             .withColumn("_n2", F.aggregate(
                 vec_col, F.lit(0.0),
@@ -77,6 +98,34 @@ def normalized_vectors(emb: DataFrame, id_col: str = "vec_id",
                     F.transform(vec_col,
                                 lambda x: x.cast("double") / F.sqrt("_n2"))
                     .alias("nv")))
+
+
+def norm_dot(raw: str, qnv: str) -> Column:
+    """score = <qnv, raw/||raw||> fused into ONE Arrow kernel - the
+    candidate-scoring tail shared by the ANN probes and the exact
+    re-rank. Replaces the interpreted chain (_n2 HOF fold -> transform
+    divide -> pair_dot) whose CodegenFallback evaluation dominated the
+    candidate-sized tails (r14, guide SS4.1: ~0.35 ms/row interpreted
+    vs one batched kernel). Bit-identical to that chain: n2 and the
+    dot both accumulate per dim in fold order from zero, the divide is
+    one IEEE op per element, and the dot consumes the SAME divided
+    doubles the transform would have produced (Arrow transport of
+    float64 is lossless, so fusing skips only the round-trip, not any
+    rounding step). Pinned in tests/test_semdedup.py."""
+    @pandas_udf("double")
+    def nd(rv: pd.Series, qv: pd.Series) -> pd.Series:
+        x = np.stack(rv.to_numpy()).astype(np.float64)
+        q = np.stack(qv.to_numpy()).astype(np.float64)
+        n2 = np.zeros(x.shape[0], dtype=np.float64)
+        for i in range(x.shape[1]):          # fold order: dims ascending
+            n2 = n2 + x[:, i] * x[:, i]
+        nv = x / np.sqrt(n2)[:, None]
+        acc = np.zeros(x.shape[0], dtype=np.float64)
+        for i in range(x.shape[1]):          # fold order: dims ascending
+            acc = acc + q[:, i] * nv[:, i]
+        return pd.Series(acc)
+
+    return nd(raw, qnv)
 
 
 def _pair_dot_fold(a: str, b: str) -> Column:
@@ -349,7 +398,10 @@ def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
     # Three scalar columns; both join sides + the verdict read it.
     assigned = kmeans_transform(emb, cents, dim, id_col, vec_col, kernel) \
         .localCheckpoint()
-    nv = normalized_vectors(emb, id_col, vec_col).localCheckpoint()
+    # corpus-sized: the Arrow normalization kernel, not the interpreted
+    # HOF expressions (r14; bit-identical, see normalized_vectors)
+    nv = normalized_vectors(emb, id_col, vec_col,
+                            kernel="vectorized").localCheckpoint()
 
     a, b = assigned.alias("a"), assigned.alias("b")
     dominance = (

@@ -1273,7 +1273,8 @@ def miss_audit_frame(emb: DataFrame, pair_pred=None) -> DataFrame:
     from ..operators.semdedup import normalized_vectors, pair_dot
 
     pool = emb.filter(pair_pred) if pair_pred is not None else emb
-    nv = normalized_vectors(pool)
+    # pool-sized: the Arrow normalization kernel (r14; bit-identical)
+    nv = normalized_vectors(pool, kernel="vectorized")
     a = nv.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("nv_a"))
     b = nv.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("nv_b"))
     pairs = (a.join(b, F.col("id_a") < F.col("id_b"))

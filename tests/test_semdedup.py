@@ -256,3 +256,40 @@ def test_miss_audit_sampled_mode_is_deterministic_subset(spark):
         assert half[m].n_pairs <= full[m].n_pairs
         assert half[m].n_straddle <= half[m].n_pairs
         assert set(half[m].asDict()) == set(full[m].asDict())
+
+
+def test_norm_dot_fuses_bit_identically(spark, emb):
+    """The fused Arrow norm+dot kernel (r14, the ANN-probe / rerank
+    scoring tail) must be bit-identical to the expression chain it
+    replaced (_n2 HOF fold -> transform divide -> pair_dot), and the
+    vectorized normalized_vectors kernel to its expression form -
+    repr-level equality so even last-ulp drift fails."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_mini_project_01_spark.operators.semdedup import (
+        norm_dot, normalized_vectors, pair_dot)
+
+    q = (normalized_vectors(emb.filter("vec_id < 3"))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("nv").alias("qnv")))
+    pairs = emb.crossJoin(F.broadcast(q))
+    old = {(r[0], r[1]): repr(r[2]) for r in (
+        pairs
+        .withColumn("_n2", F.aggregate(
+            "embedding", F.lit(0.0),
+            lambda a, v: a + v.cast("double") * v.cast("double")))
+        .withColumn("nv", F.transform(
+            "embedding", lambda x: x.cast("double") / F.sqrt("_n2")))
+        .withColumn("score", pair_dot("qnv", "nv"))
+        .select("query_id", "vec_id", "score").collect())}
+    new = {(r[0], r[1]): repr(r[2]) for r in (
+        pairs.withColumn("score", norm_dot("embedding", "qnv"))
+        .select("query_id", "vec_id", "score").collect())}
+    assert old == new and len(old) > 0
+
+    nv_expr = {r[0]: tuple(map(repr, r[1]))
+               for r in normalized_vectors(emb).collect()}
+    nv_kern = {r[0]: tuple(map(repr, r[1]))
+               for r in normalized_vectors(
+                   emb, kernel="vectorized").collect()}
+    assert nv_expr == nv_kern
