@@ -30,8 +30,10 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..sources import fsio
 from .kmeans import _assign, _scaled
@@ -779,18 +781,28 @@ def probe_clusters(query_vec: list[float], cents: list[list[float]],
 
 
 def _cosine_to_literal(q: np.ndarray):
-    """cosine(embedding, q) with q inlined as literals: the norm fold
-    and the dot fold both accumulate in dim order from 0.0 (the
-    engine-wide bit-exactness contract)."""
+    """cosine(embedding, q) with q shipped in the kernel closure: ONE
+    Arrow kernel per batch (r14 - the HOF fold expressions this
+    replaces are CodegenFallback, interpreted per element on every
+    probed row). Arithmetic is the bit-exact twin of the previous
+    expression form: the dot and the norm both accumulate per dim in
+    fold order from 0.0, each product/widening is a single
+    correctly-rounded IEEE op, and the final divide-by-sqrt matches
+    (the engine-wide bit-exactness contract; qn keeps its original
+    numpy normalization - it is part of the pinned values)."""
     qn = q / np.sqrt(float((q * q).sum()))
-    dot = F.aggregate(
-        F.zip_with(F.col("embedding"),
-                   F.array(*[F.lit(float(v)) for v in qn]),
-                   lambda x, y: x.cast("double") * y),
-        F.lit(0.0), lambda a, v: a + v)
-    n2 = F.aggregate(F.col("embedding"), F.lit(0.0),
-                     lambda a, v: a + v.cast("double") * v.cast("double"))
-    return dot / F.sqrt(n2)
+
+    @pandas_udf("double")
+    def cos_lit(rv: pd.Series) -> pd.Series:
+        x = np.stack(rv.to_numpy()).astype(np.float64)
+        dot = np.zeros(x.shape[0], dtype=np.float64)
+        n2 = np.zeros(x.shape[0], dtype=np.float64)
+        for i in range(x.shape[1]):          # fold order: dims ascending
+            dot = dot + x[:, i] * qn[i]
+            n2 = n2 + x[:, i] * x[:, i]
+        return pd.Series(dot / np.sqrt(n2))
+
+    return cos_lit(F.col("embedding"))
 
 
 #: probe_lists="auto" threshold: batches at or below this row count take

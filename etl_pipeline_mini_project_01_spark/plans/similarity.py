@@ -1971,15 +1971,27 @@ def ivf_generation_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift = sum(1 for x, y in zip(before, after) if x != y) \
         + abs(len(before) - len(after))
 
-    v1_rows = read_layout_manifest(spark, path, version=v1).count()
+    # ONE job states all three read invariants (r14 - previously three
+    # driver actions paid three job latencies for KB-sized counts): the
+    # pinned v1 read, the pinned v2 read, and the LATEST read (still
+    # three distinct reader code paths - version pin vs head resolution
+    # - unioned under tags, not a shared scan). A listing-based latest
+    # read would double-count every even id: total != distinct.
     latest = read_layout_manifest(spark, path)
-    v2_rows = read_layout_manifest(spark, path, version=v2).count()
-    # One agg job states both latest-read invariants (a listing-based
-    # read would double-count every even id: total != distinct).
-    ltot = latest.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("vec_id").alias("d")).first()
-    total_rows, distinct_ids = int(ltot["n"]), int(ltot["d"])
+    tagged = (read_layout_manifest(spark, path, version=v1)
+              .select(F.lit("v1").alias("_t"), "vec_id")
+              .unionByName(read_layout_manifest(spark, path, version=v2)
+                           .select(F.lit("v2").alias("_t"), "vec_id"))
+              .unionByName(latest
+                           .select(F.lit("latest").alias("_t"),
+                                   "vec_id")))
+    stats = {r["_t"]: r for r in
+             (tagged.groupBy("_t")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.countDistinct("vec_id").alias("d")).collect())}
+    v1_rows, v2_rows = int(stats["v1"]["n"]), int(stats["v2"]["n"])
+    total_rows = int(stats["latest"]["n"])
+    distinct_ids = int(stats["latest"]["d"])
     removed = vacuum_layout_generations(path, keep_last=1,
                                         stage_retention_sec=0.0)
     try:
