@@ -17,6 +17,7 @@ from ..streaming.windows import (
     dedup_event_stream,
     run_to_completion,
     run_to_file_sink,
+    scaled_stream_partitions,
     sliding_value_avg,
     stream_static_segment_counts,
     stream_stream_interval_join,
@@ -44,8 +45,9 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window streaming aggregation, executed as a genuine
     streaming query (readStream -> watermark -> window agg -> memory sink,
     availableNow trigger) and compared against the batch semantics."""
-    return (run_to_completion(tumbling_counts(spark, sf_dir),
-                              "stream_tumbling_counts")
+    return (run_to_completion(
+        tumbling_counts(spark, sf_dir), "stream_tumbling_counts",
+        shuffle_partitions=scaled_stream_partitions(sf_dir))
             .orderBy("window_start", "event_type"))
 
 
@@ -72,8 +74,9 @@ ORDER BY window_start
 def stream_sliding_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (12h window / 6h slide) streaming average - each
     event lands in two epoch-aligned windows; real streaming execution."""
-    return (run_to_completion(sliding_value_avg(spark, sf_dir),
-                              "stream_sliding_value_avg")
+    return (run_to_completion(
+        sliding_value_avg(spark, sf_dir), "stream_sliding_value_avg",
+        shuffle_partitions=scaled_stream_partitions(sf_dir))
             .orderBy("window_start"))
 
 
@@ -121,7 +124,9 @@ def stream_file_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = register_scratch(f"/tmp/spark_graft_stream_sink_{tag}")
     shutil.rmtree(scratch, ignore_errors=True)
     agg = tumbling_counts(spark, sf_dir, watermark="1 hour")
-    out = run_to_file_sink(agg, f"{scratch}/out", f"{scratch}/ckpt")
+    out = run_to_file_sink(
+        agg, f"{scratch}/out", f"{scratch}/ckpt",
+        shuffle_partitions=scaled_stream_partitions(sf_dir))
     return out.orderBy("window_start", "event_type")
 
 
@@ -201,8 +206,10 @@ def stream_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer dim) + per-segment aggregation, run as a real streaming
     query; on bounded input the completed result equals the batch
     join-aggregate, which is the oracle."""
-    return (run_to_completion(stream_static_segment_counts(spark, sf_dir),
-                              "stream_static_join_q")
+    return (run_to_completion(
+        stream_static_segment_counts(spark, sf_dir),
+        "stream_static_join_q",
+        shuffle_partitions=scaled_stream_partitions(sf_dir))
             .orderBy("segment"))
 
 
@@ -243,8 +250,10 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scratch = register_scratch(f"/tmp/spark_graft_stream_dedup_{tag}")
     shutil.rmtree(scratch, ignore_errors=True)
-    deduped = run_to_file_sink(dedup_event_stream(spark, sf_dir),
-                               f"{scratch}/out", f"{scratch}/ckpt")
+    deduped = run_to_file_sink(
+        dedup_event_stream(spark, sf_dir),
+        f"{scratch}/out", f"{scratch}/ckpt",
+        shuffle_partitions=scaled_stream_partitions(sf_dir))
     return (deduped
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
@@ -355,8 +364,9 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded input the emitted matches equal the batch interval join,
     which is exactly the oracle."""
     joined = stream_stream_interval_join(spark, sf_dir)
-    out = run_to_completion(joined, "stream_interval_join",
-                            output_mode="append")
+    out = run_to_completion(
+        joined, "stream_interval_join", output_mode="append",
+        shuffle_partitions=scaled_stream_partitions(sf_dir))
     return (out.select("left_id", "right_id",
                        F.col("left_user").alias("user_id"))
             .orderBy("left_id", "right_id"))

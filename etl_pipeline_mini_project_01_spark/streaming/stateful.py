@@ -167,14 +167,19 @@ def run_stateful_to_completion(spark: SparkSession, sf_dir: str,
                                query_name: str = "stateful_totals") -> DataFrame:
     """Execute over all available input; returns the latest state per user
     (the last update emitted for each key)."""
+    from .windows import _shuffle_conf, scaled_stream_partitions
+
     result = running_user_totals(spark, sf_dir)
-    q = (result.writeStream
-         .format("memory")
-         .queryName(query_name)
-         .outputMode("update")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    # state/shuffle fan-out sized from the input, not the session's 32
+    # (guide SS2.2; results are partition-count independent)
+    with _shuffle_conf(spark, scaled_stream_partitions(sf_dir)):
+        q = (result.writeStream
+             .format("memory")
+             .queryName(query_name)
+             .outputMode("update")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
     # Update mode appends one row per key per batch; keep the last emit.
     from pyspark.sql import Window
     from pyspark.sql import functions as F

@@ -11,12 +11,51 @@ code tails a directory/Kafka topic unchanged.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import harden
+
+
+def scaled_stream_partitions(sf_dir: str,
+                             prefix: str = "events") -> int | None:
+    """ceil(input bytes / 128 MB) - the guide SS2.2 partition target for
+    a streaming query over the bounded harness input. A streaming
+    aggregation's state store materializes one state+delta file set PER
+    PARTITION PER TRIGGER, so the session's fixed 32 wrote 32 sliver
+    state files per trigger at harness volume (~1 MB input); the
+    derivation scales (a 100 TB/day feed sizes to ~800k
+    partitions-worth of bytes, capped by cluster parallelism upstream)
+    instead of being tuned to either environment. None (leave the
+    session conf) when the directory is not driver-listable (scheme-
+    qualified roots go through the session's Hadoop client instead)."""
+    try:
+        total = sum(os.path.getsize(os.path.join(sf_dir, f))
+                    for f in os.listdir(sf_dir)
+                    if f.startswith(prefix) and f.endswith(".parquet"))
+    except OSError:
+        return None
+    return max(1, -(-total // (128 << 20)))
+
+
+@contextlib.contextmanager
+def _shuffle_conf(spark: SparkSession, n: int | None):
+    """Scoped spark.sql.shuffle.partitions override for one streaming
+    run (restored after; Structured Streaming pins the count into the
+    checkpoint at first start, so the query stays consistent)."""
+    if n is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 #: Streaming-source schema for events, parameterized on how `ts` is
 #: physically stored. The harness parquet has shipped it both as INT64
@@ -56,25 +95,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_completion(result: DataFrame, query_name: str | None = None,
-                      output_mode: str = "complete") -> DataFrame:
+                      output_mode: str = "complete",
+                      shuffle_partitions: int | None = None) -> DataFrame:
     """Execute a streaming query over all currently-available input
     (availableNow) into a memory sink; return the final result table.
     Aggregations use complete mode; stateful non-aggregations
-    (dropDuplicates) use append."""
+    (dropDuplicates) use append. `shuffle_partitions` sizes THIS
+    query's state/shuffle fan-out (see scaled_stream_partitions);
+    results are partition-count independent (the engine-wide 3-vs-32
+    sweep), only the state-file sliver count changes."""
     name = query_name or f"q_{uuid.uuid4().hex[:12]}"
-    q = (result.writeStream
-         .format("memory")
-         .queryName(name)
-         .outputMode(output_mode)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
     spark = result.sparkSession
+    with _shuffle_conf(spark, shuffle_partitions):
+        q = (result.writeStream
+             .format("memory")
+             .queryName(name)
+             .outputMode(output_mode)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
     return spark.table(name)
 
 
 def run_to_file_sink(result: DataFrame, out_dir: str, checkpoint_dir: str,
-                     output_mode: str = "append") -> DataFrame:
+                     output_mode: str = "append",
+                     shuffle_partitions: int | None = None) -> DataFrame:
     """The 100 TB sink story: append-mode parquet file sink + checkpoint.
 
     `run_to_completion`'s complete/memory pattern keeps the whole
@@ -86,14 +131,15 @@ def run_to_file_sink(result: DataFrame, out_dir: str, checkpoint_dir: str,
     input ends are (correctly) never emitted - that is append-mode
     semantics, and the oracle twin models it explicitly.
     """
-    q = (result.writeStream
-         .format("parquet")
-         .option("path", out_dir)
-         .option("checkpointLocation", checkpoint_dir)
-         .outputMode(output_mode)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    with _shuffle_conf(result.sparkSession, shuffle_partitions):
+        q = (result.writeStream
+             .format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .outputMode(output_mode)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
     # Read back with the aggregation's schema (the sink dir may hold zero
     # files if no window closed).
     return result.sparkSession.read.schema(result.schema).parquet(out_dir)
