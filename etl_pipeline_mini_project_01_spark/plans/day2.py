@@ -493,18 +493,26 @@ def versioned_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     versions = list_versions(root)
     n_versions = len(versions)
-    ftot = final.agg(F.count(F.lit(1)).alias("k"),
-                     F.sum("n_events").alias("e")).first()
-    final_keys = int(ftot["k"])
-    final_events = int(ftot["e"] or 0)
     truth = events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("t_n"), dsum("value", "t_v"))
-    value_mismatch_keys = (final.join(truth, "user_id", "full_outer")
-                           .where((F.col("n_events") != F.col("t_n"))
-                                  | F.col("n_events").isNull()
-                                  | F.col("t_n").isNull()
-                                  | (F.col("total_value") != F.col("t_v")))
-                           .count())
+    # ONE job states the final-table stats AND the truth comparison
+    # (r14 - previously two actions over the same checkpointed `final`):
+    # keys are unique on both sides of the full-outer join, so each
+    # final row appears exactly once and sum(_f)/sum(n_events) equal
+    # the plain aggregates over `final`.
+    fstats = (final.withColumn("_f", F.lit(1))
+              .join(truth, "user_id", "full_outer")
+              .agg(F.sum("_f").alias("k"),
+                   F.sum("n_events").alias("e"),
+                   F.sum(F.when((F.col("n_events") != F.col("t_n"))
+                                | F.col("n_events").isNull()
+                                | F.col("t_n").isNull()
+                                | (F.col("total_value") != F.col("t_v")),
+                                1).otherwise(0)).alias("mm"))
+              .first())
+    final_keys = int(fstats["k"] or 0)
+    final_events = int(fstats["e"] or 0)
+    value_mismatch_keys = int(fstats["mm"] or 0)
     # Disjoint upserts => every intermediate version's rows already
     # carry their final values. One job states it for ALL versions:
     # the union's mismatch count equals the per-version loop's sum
