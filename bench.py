@@ -153,6 +153,19 @@ def main() -> None:
             t0 = time.perf_counter()
             _consume(registry.QUERIES[name](spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
+            # Drop the query's now-dead localCheckpoint blocks BEFORE
+            # the next timing starts (outside the timed window): each
+            # row's checkpoints are lineage pins for ITS OWN plan only,
+            # nothing is reused across queries (re-verified: no
+            # module-level result memo exists), and letting them
+            # accumulate ages the JVM across passes - measured 717MB
+            # heap + 12s cumulative GC after two passes - so pass-N
+            # timings stopped being comparable to pass-1. This removes
+            # state between timed queries; it can only make each query
+            # recompute MORE, never less.
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):
+                jrdd.unpersist()
         runs.append(timings)
 
     import statistics

@@ -52,6 +52,14 @@ RUNTIME_CONF: dict[str, str] = {
 BUILD_CONF: dict[str, str] = {
     **RUNTIME_CONF,
     "spark.ui.enabled": "false",
+    # Local-mode driver hosts every executor thread in ONE JVM; the 1g
+    # default heap is starved at local[32] (measured: a two-pass bench
+    # reaches 717MB/1024MB with 12s cumulative GC - a third pass
+    # thrashes). Env-overridable; on a real cluster executor/driver
+    # memory is sized explicitly per deployment and this default is
+    # irrelevant (the correctness driver supplies its own session,
+    # where build-time confs cannot apply at all).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
 }
 
 
