@@ -326,19 +326,28 @@ def ann_multitable_topk(emb: DataFrame, n_queries: int = N_QUERIES,
     sim_ivf_probe_topk; recall/scan tradeoff measured in
     tests/test_sim_quality.py."""
     sigs = multitable_signatures(emb, k_bits, n_tables)
+    # (table, signature) pairs via ONE posexplode per side instead of L
+    # unioned joins: the union form re-executed the corpus scan + the
+    # signature kernel once PER TABLE (L=8 executions of the most
+    # expensive stage); exploding multiplies rows after a single
+    # execution and the broadcast-hash probe on (table, sig) yields the
+    # IDENTICAL candidate set - "candidate iff ANY table matches" is an
+    # equi-join on the exploded pairs followed by the same
+    # (query_id, vec_id) dedup.
+    sig_arr = F.array(*[F.col(f"sig_{t}") for t in range(n_tables)])
     q = F.broadcast(
         sigs.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("qv"),
-                *[F.col(f"sig_{t}").alias(f"qsig_{t}")
-                  for t in range(n_tables)]))
-    cands = None
-    for t in range(n_tables):
-        ct = (q.join(sigs, (F.col(f"qsig_{t}") == F.col(f"sig_{t}"))
-                     & (F.col("query_id") != F.col("vec_id")))
-              .select("query_id", "qv", "vec_id", "label", "embedding"))
-        cands = ct if cands is None else cands.union(ct)
-    cands = cands.dropDuplicates(["query_id", "vec_id"])
+                F.posexplode(sig_arr).alias("_qt", "_qsig")))
+    cpairs = sigs.select(
+        "vec_id", "label", "embedding",
+        F.posexplode(sig_arr).alias("_ct", "_csig"))
+    cands = (q.join(cpairs, (F.col("_qt") == F.col("_ct"))
+                    & (F.col("_qsig") == F.col("_csig"))
+                    & (F.col("query_id") != F.col("vec_id")))
+             .select("query_id", "qv", "vec_id", "label", "embedding")
+             .dropDuplicates(["query_id", "vec_id"]))
     scored = cands.select(
         "query_id", "vec_id", "label",
         _cosine(F.col("qv"), F.col("embedding")).alias("cosine"))
