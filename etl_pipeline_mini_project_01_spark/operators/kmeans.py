@@ -343,15 +343,23 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
 
 def kmeans_transform(emb: DataFrame, cents: list[list[float]], dim: int,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     kernel: str | None = None) -> DataFrame:
+                     kernel: str | None = None,
+                     keep_vec: bool = False) -> DataFrame:
     """(id_col, cluster, centroid_dist) for a fitted model: one map-side
     pass, no shuffle. Because `cents` are plain literals, every call
     builds an INDEPENDENT plan - so two transforms of the same input can
     be self-joined without tripping Spark's lambda-variable rebinding on
-    deduplicated higher-order-function subplans."""
+    deduplicated higher-order-function subplans.
+
+    `keep_vec=True` passes `vec_col` through the output (r14, guide
+    SS2.1): consumers that need (assignment, vector) together - the
+    SemDeDup pair stage - previously re-attached the vector with an
+    id equi-join, i.e. a full corpus shuffle to recover a column the
+    assignment pass had just read and dropped."""
     x = _scaled(emb.select(id_col, vec_col), vec_col)
-    return (_assign(x, cents, dim, kernel)
-            .select(id_col, "cluster", "centroid_dist"))
+    cols = [id_col] + ([vec_col] if keep_vec else []) \
+        + ["cluster", "centroid_dist"]
+    return _assign(x, cents, dim, kernel).select(*cols)
 
 
 def kmeans_transform_topn(emb: DataFrame, cents: list[list[float]],
@@ -758,13 +766,17 @@ def kmeans_transform_twolevel(emb: DataFrame,
                               fine: list[list[list[float]]], dim: int,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              kernel: str | None = None) -> DataFrame:
+                              kernel: str | None = None,
+                              keep_vec: bool = False) -> DataFrame:
     """(id_col, coarse, fine, fine_dist) for a fitted two-level model:
     one coarse pass + one partition-constrained fine pass, both
-    map-side."""
+    map-side. `keep_vec` passes `vec_col` through, same rationale as
+    kmeans_transform's."""
     x = _scaled(emb.select(id_col, vec_col), vec_col)
+    keep = [vec_col] if keep_vec else []
     assigned = (_assign(x, coarse_cents, dim, kernel)
-                .select(id_col, "xd", F.col("cluster").alias("coarse")))
+                .select(id_col, *keep, "xd",
+                        F.col("cluster").alias("coarse")))
     return (_assign_fine(assigned, fine, dim, kernel,
                          coarse_cents=coarse_cents)
-            .select(id_col, "coarse", "fine", "fine_dist"))
+            .select(id_col, *keep, "coarse", "fine", "fine_dist"))

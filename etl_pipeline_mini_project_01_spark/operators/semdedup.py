@@ -180,12 +180,22 @@ PAIR_BLOCK = 1024
 
 
 def _semdedup_grouped(assigned_emb: DataFrame, threshold: float,
-                      id_col: str, vec_col: str, dim: int) -> DataFrame:
+                      id_col: str, vec_col: str, dim: int,
+                      emit_pool: bool = False) -> DataFrame:
     """Per-cluster applyInPandas verdict kernel. `assigned_emb` carries
     (id_col, cluster, centroid_dist, vec_col). Bit-exactness with the
     join strategy (and the SQL oracle): squared norm accumulates per
     dim in fold order; each normalized component is one IEEE division;
-    pair dots accumulate per dim in fold order via outer products."""
+    pair dots accumulate per dim in fold order via outer products.
+
+    `emit_pool=True` additionally passes (centroid_dist, vec_col)
+    through the output (r14, guide SS2.1): the incremental bootstrap
+    consumes keeper rows WITH their assignment and vector, and
+    re-attaching them cost two id equi-joins (one of which re-executed
+    the whole assignment kernel) for columns this kernel already holds
+    in its group frame. Verdict arithmetic is untouched."""
+    vec_type = dict(assigned_emb.dtypes)[vec_col]
+
     def verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
         x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64,
                                                      copy=False)
@@ -208,15 +218,20 @@ def _semdedup_grouped(assigned_emb: DataFrame, threshold: float,
                       & (ids[None, :] < ids[blk, None])))
             other = ids[None, :] != ids[blk, None]
             kept[blk] = ~np.any(near & dom & other, axis=1)
-        return pd.DataFrame({id_col: ids,
-                             "cluster": pdf["cluster"].to_numpy(),
-                             "kept": kept})
+        out = {id_col: ids, "cluster": pdf["cluster"].to_numpy()}
+        if emit_pool:
+            out["centroid_dist"] = dist
+            out[vec_col] = pdf[vec_col].to_numpy()
+        out["kept"] = kept
+        return pd.DataFrame(out)
 
+    extra = (f"centroid_dist double, {vec_col} {vec_type}, "
+             if emit_pool else "")
     return (assigned_emb
             .groupBy("cluster")
             .applyInPandas(verdicts,
                            schema=f"{id_col} bigint, cluster bigint, "
-                                  f"kept boolean"))
+                                  f"{extra}kept boolean"))
 
 
 def _semdedup_incremental_grouped(pool_emb: DataFrame, threshold: float,
@@ -322,19 +337,25 @@ def semdedup_incremental(standing: DataFrame, delta: DataFrame,
     standing state was built."""
     cents, dim = model if model is not None else kmeans_fit(
         standing, k, iters, id_col, vec_col, kernel)
-    s_assigned = kmeans_transform(standing, cents, dim, id_col, vec_col,
-                                  kernel)
+    s_pool = kmeans_transform(standing, cents, dim, id_col, vec_col,
+                              kernel, keep_vec=True)
     if standing_verdicts is None:
-        standing_verdicts = _semdedup_grouped(
-            s_assigned.join(standing.select(id_col, vec_col), id_col),
-            threshold, id_col, vec_col, dim)
-    keepers = (standing_verdicts.filter(F.col("kept"))
-               .select(id_col)
-               .join(s_assigned, id_col)
-               .join(standing.select(id_col, vec_col), id_col)
-               .withColumn("is_delta", F.lit(False)))
-    d_pool = (kmeans_transform(delta, cents, dim, id_col, vec_col, kernel)
-              .join(delta.select(id_col, vec_col), id_col)
+        # Bootstrap (r14, guide SS2.1): ONE verdict-kernel pass emits
+        # assignment + vector + verdict together (emit_pool), so the
+        # keeper pool needs zero re-attach joins - the former shape
+        # joined verdict ids back to a SECOND execution of the
+        # assignment kernel and a third standing scan.
+        keepers = (_semdedup_grouped(s_pool, threshold, id_col, vec_col,
+                                     dim, emit_pool=True)
+                   .filter(F.col("kept")).drop("kept")
+                   .withColumn("is_delta", F.lit(False)))
+    else:
+        keepers = (standing_verdicts.filter(F.col("kept"))
+                   .select(id_col)
+                   .join(s_pool, id_col)
+                   .withColumn("is_delta", F.lit(False)))
+    d_pool = (kmeans_transform(delta, cents, dim, id_col, vec_col, kernel,
+                               keep_vec=True)
               .withColumn("is_delta", F.lit(True)))
     cols = [id_col, "cluster", "centroid_dist", vec_col, "is_delta"]
     pool = keepers.select(*cols).unionByName(d_pool.select(*cols))
@@ -362,13 +383,13 @@ def semdedup_twolevel(emb: DataFrame, k1: int = 8, k2: int = 8,
 
     coarse_cents, fine, dim = kmeans_fit_twolevel(
         emb, k1, k2, iters1, iters2, id_col, vec_col, kernel)
-    assigned = (kmeans_transform_twolevel(emb, coarse_cents, fine, dim,
-                                          id_col, vec_col, kernel)
-                .select(id_col,
-                        (F.col("coarse") * k2 + F.col("fine"))
-                        .alias("cluster"),
-                        F.col("fine_dist").alias("centroid_dist")))
-    assigned_emb = assigned.join(emb.select(id_col, vec_col), id_col)
+    assigned_emb = (kmeans_transform_twolevel(emb, coarse_cents, fine,
+                                              dim, id_col, vec_col,
+                                              kernel, keep_vec=True)
+                    .select(id_col, vec_col,
+                            (F.col("coarse") * k2 + F.col("fine"))
+                            .alias("cluster"),
+                            F.col("fine_dist").alias("centroid_dist")))
     return _semdedup_grouped(assigned_emb, threshold, id_col,
                              vec_col, dim)
 
@@ -388,9 +409,10 @@ def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
     strategy = strategy or DEFAULT_STRATEGY
     cents, dim = kmeans_fit(emb, k, iters, id_col, vec_col, kernel)
     if strategy == "grouped":
-        assigned_emb = (kmeans_transform(emb, cents, dim, id_col,
-                                         vec_col, kernel)
-                        .join(emb.select(id_col, vec_col), id_col))
+        # keep_vec (r14): the assignment pass carries the vector through
+        # instead of a corpus-wide id equi-join re-attaching it.
+        assigned_emb = kmeans_transform(emb, cents, dim, id_col,
+                                        vec_col, kernel, keep_vec=True)
         return _semdedup_grouped(assigned_emb, threshold, id_col,
                                  vec_col, dim)
     if strategy != "join":
