@@ -130,8 +130,10 @@ def bloom_filter_jvm(benchmark: DataFrame, n: int = DEFAULT_N,
         expected_items = max(1, bits // 10)
     bench = benchmark.select(
         F.monotonically_increasing_id().alias("_bid"), F.col(text_col))
-    grams = (_ngram_texts(bench, n, "_bid", text_col)
-             .select(F.xxhash64("gram").alias("h")).distinct())
+    # hash-distinct, not string-distinct: the aggregate folds xxhash64
+    # longs, so the gram strings never need to survive a shuffle (r14)
+    grams = (_ngram_hashes(bench, n, "_bid", text_col)
+             .select(F.col("gram_hash").alias("h")).distinct())
     agg = jvm.org.apache.spark.sql.catalyst.expressions.aggregate \
         .BloomFilterAggregate(
             eu.expression(F.col("h")._jc),
@@ -268,17 +270,26 @@ def bloom_contamination_scores(docs: DataFrame, benchmark: DataFrame,
             _jvm_expr_tools(spark)
         except RuntimeError:
             probe = "arrow"
-    grams = _ngram_texts(docs, n, id_col, text_col)
     if probe == "jvm":
+        # The JVM probe and the audit join both consume ONLY
+        # xxhash64(gram) (the filter is built over those longs), so
+        # hash per gram map-side and DISTINCT on (id, hash) - an
+        # 8-byte key - instead of deduping the n-gram STRINGS (~100
+        # bytes each) and hashing afterwards (r14, guide SS2.2
+        # "shuffle narrower types"). Count parity with the
+        # string-distinct is the same xxhash64-collision argument the
+        # exact path (contamination_scores) already documents, and the
+        # oracle string-counts both rows, so a collision would surface
+        # as a driver mismatch. The arrow probe keeps the string form:
+        # its k seeded hashes need the gram itself.
+        grams = _ngram_hashes(docs, n, id_col, text_col)
         bf = bitmap if bitmap is not None else \
             bloom_filter_jvm(benchmark, n, text_col, bits)
         is_hit = (F.lit(False) if bf is None
-                  else jvm_might_contain(spark, bf, F.xxhash64("gram")))
-        probed = (grams
-                  .withColumn("_bloom", is_hit)
-                  .withColumn("gram_hash", F.xxhash64("gram"))
-                  .drop("gram"))
+                  else jvm_might_contain(spark, bf, F.col("gram_hash")))
+        probed = grams.withColumn("_bloom", is_hit)
     else:
+        grams = _ngram_texts(docs, n, id_col, text_col)
         if bitmap is None:
             bitmap = bloom_bitmap(benchmark, n, text_col, bits, k)
         bc = spark.sparkContext.broadcast(bitmap)
@@ -299,10 +310,10 @@ def bloom_contamination_scores(docs: DataFrame, benchmark: DataFrame,
                       *_bloom_positions(F.col("gram"), bits, k)))
                   .withColumn("gram_hash", F.xxhash64("gram"))
                   .drop("gram"))
-    bench = (_ngram_texts(
+    bench = (_ngram_hashes(
         benchmark.select(F.monotonically_increasing_id().alias("_bid"),
                          F.col(text_col)), n, "_bid", text_col)
-        .select(F.xxhash64("gram").alias("gram_hash")).distinct())
+        .select("gram_hash").distinct())
     if audit:
         joined = probed.join(bench.withColumn("_bench", F.lit(True)),
                              "gram_hash", "left")
