@@ -254,6 +254,30 @@ def with_zorder(df: DataFrame, cols: Sequence[str],
         # string interleave left the string column unpruned entirely).
         return F.shiftleft(_rank_cell(F.col(c), bnds), b - str_b)
 
+    # Cell MATERIALIZATION (r14, guide §1.2/§4.1): _interleave
+    # references each cell expression once PER BIT, so inlining the
+    # cells duplicated every cell's full expression tree b times - for
+    # a string column that meant up to 16 evaluations per row of the
+    # interpreted 255-literal rank fold (CodegenFallback: no
+    # subexpression elimination), and Catalyst analyzed a b*k-times
+    # duplicated tree. Projecting each cell into its own column first
+    # evaluates it ONCE per row; the interleave then folds cheap
+    # shift/and ops over plain bigint columns. Values are identical by
+    # construction (same expressions, evaluated once instead of b
+    # times). Measured on zorder_multi_skip at sf0.01: the two
+    # z-ordered writes dominated a 58 s warm row; see
+    # OPTIMIZATION_r14.md.
+    cell_col = {c: f"__zcell_{i}" for i, c in enumerate(cols)}
+
+    def _materialized(frame: DataFrame, cells: dict[str, Column],
+                      extra_drop: list[str]) -> DataFrame:
+        out = (frame.withColumns({cell_col[c]: e
+                                  for c, e in cells.items()})
+               .withColumn(out_col,
+                           _interleave([F.col(cell_col[c])
+                                        for c in cols], b)))
+        return out.drop(*cell_col.values(), *extra_drop)
+
     if normalize == "rank":
         probs = [i / (1 << b) for i in range(1, 1 << b)]
         num_tmp = [tmp[c] for c in cols if c not in str_cols]
@@ -262,17 +286,16 @@ def with_zorder(df: DataFrame, cols: Sequence[str],
         # (pinned in tests/test_zorder.py)
         qs_by_tmp = dict(zip(num_tmp, prepped.approxQuantile(
             num_tmp, probs, rank_error))) if num_tmp else {}
-        cells = []
+        cells = {}
         for c in cols:
             if c in str_cols:
-                cells.append(_string_cell(c))
+                cells[c] = _string_cell(c)
             else:
                 qs = qs_by_tmp[tmp[c]]
-                cells.append(_rank_cell(F.col(tmp[c]),
-                                        [float(q) for q in qs])
-                             if qs else F.lit(0).cast("bigint"))
-        out = prepped.withColumn(out_col, _interleave(cells, b))
-        return out.drop(*tmp.values())
+                cells[c] = (_rank_cell(F.col(tmp[c]),
+                                       [float(q) for q in qs])
+                            if qs else F.lit(0).cast("bigint"))
+        return _materialized(prepped, cells, list(tmp.values()))
 
     num_tmp = list(tmp.values())
     widened = prepped
@@ -281,12 +304,12 @@ def with_zorder(df: DataFrame, cols: Sequence[str],
             f(F.col(t)).alias(f"__z{tag}_{t}")
             for t in num_tmp for tag, f in (("min", F.min), ("max", F.max))])
         widened = prepped.crossJoin(F.broadcast(bounds))
-    cells = [_string_cell(c) if c in str_cols else _minmax_cell(tmp[c], b)
-             for c in cols]
-    out = widened.withColumn(out_col, _interleave(cells, b))
-    return out.drop(*num_tmp,
-                    *[f"__zmin_{t}" for t in num_tmp],
-                    *[f"__zmax_{t}" for t in num_tmp])
+    cells = {c: _string_cell(c) if c in str_cols
+             else _minmax_cell(tmp[c], b) for c in cols}
+    return _materialized(
+        widened, cells,
+        num_tmp + [f"__zmin_{t}" for t in num_tmp]
+        + [f"__zmax_{t}" for t in num_tmp])
 
 
 def write_version_zordered(df: DataFrame, root: str,
