@@ -40,7 +40,8 @@ def main() -> None:
     registry.load_all_plans()
 
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         if name not in registry.QUERIES:
