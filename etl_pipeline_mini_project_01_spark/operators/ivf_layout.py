@@ -172,6 +172,50 @@ def _manifest_df(spark: SparkSession,
         .coalesce(1))
 
 
+def _manifest_table(rows: list[tuple[int, str, str | None]]):
+    """(cluster, file, stats) rows as a pyarrow Table with the SAME
+    parquet schema the Spark-staged commit writes (int32/utf8/utf8) -
+    the driver-side staging twin of _manifest_df (r15, guide SS1.4/SS5:
+    a manifest is k x files_per_cluster control-plane rows; writing it
+    through a Spark job paid one task-launch round-trip per commit).
+    manifest_entries reads either form identically."""
+    import pyarrow as pa
+
+    return pa.table({
+        "cluster": pa.array([r[0] for r in rows], type=pa.int32()),
+        "file": pa.array([r[1] for r in rows], type=pa.string()),
+        "stats": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+
+
+def _commit_manifest_rows(spark: SparkSession,
+                          rows: list[tuple[int, str, str | None]],
+                          mroot: str,
+                          expected_version: int | None = None) -> int:
+    """ONE manifest-commit seam for every layout builder: driver-side
+    pyarrow staging on scheme-less (local) roots - zero Spark jobs per
+    commit - and the Spark-staged write on scheme-qualified roots
+    (whose IO must go through the session's Hadoop client). Same
+    versioned-table commit protocol either way; `expected_version`
+    selects the CAS grade (generation commits) vs last-writer-wins
+    (full/incremental manifest commits)."""
+    from ..sources.versioned import (write_version, write_version_cas,
+                                     write_version_cas_table,
+                                     write_version_table)
+
+    if fsio.has_scheme(mroot):
+        df = _manifest_df(spark, rows)
+        if expected_version is None:
+            return write_version(df, mroot)
+        return write_version_cas(df, mroot,
+                                 expected_version=expected_version)
+    tab = _manifest_table(rows)
+    if expected_version is None:
+        return write_version_table(tab, mroot)
+    return write_version_cas_table(tab, mroot,
+                                   expected_version=expected_version)
+
+
 def commit_layout_manifest(spark: SparkSession, path: str,
                            stats_columns: list[str] | None = None) -> int:
     """List the layout ONCE at write time and commit its cluster->file
@@ -193,11 +237,8 @@ def commit_layout_manifest(spark: SparkSession, path: str,
     footers (VERDICT r11 #3): `read_layout_manifest(file_pred=...)`
     then drops files whose range excludes a non-partition-key
     predicate - the point-lookup lever partition pruning can't give."""
-    from ..sources.versioned import write_version
-
-    return write_version(
-        _manifest_df(spark, _manifest_rows(path, "", stats_columns,
-                                           spark=spark)),
+    return _commit_manifest_rows(
+        spark, _manifest_rows(path, "", stats_columns, spark=spark),
         os.path.join(path, MANIFEST_SUBDIR))
 
 
@@ -236,8 +277,6 @@ def commit_layout_manifest_incremental(spark: SparkSession, path: str,
     itself (two concurrent appends' parquet commits already interleave
     arbitrarily). Racing INDEX REBUILDS belong on the generation path,
     whose CAS commit serializes them."""
-    from ..sources.versioned import write_version
-
     prev = manifest_entries(path)
     if prev is None:
         return commit_layout_manifest(spark, path,
@@ -257,8 +296,8 @@ def commit_layout_manifest_incremental(spark: SparkSession, path: str,
             and not f.startswith(("_", "."))
             and f not in seen)
     rows.sort(key=lambda r: (r[0], r[1]))
-    return write_version(_manifest_df(spark, rows),
-                         os.path.join(path, MANIFEST_SUBDIR))
+    return _commit_manifest_rows(spark, rows,
+                                 os.path.join(path, MANIFEST_SUBDIR))
 
 
 def manifest_entries(path: str, version: int | None = None
@@ -454,7 +493,8 @@ def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],
                                 files_per_cluster: int = 1,
                                 max_retries: int = 5,
                                 stats_columns: list[str] | None = None,
-                                split: str = "hash") -> int:
+                                split: str = "hash",
+                                assigned: DataFrame | None = None) -> int:
     """E49: an IMMUTABLE-GENERATION index rebuild - the lock-free swap.
     Unlike `write_ivf_layout(mode="overwrite")`, which deletes the
     standing files (a reader mid-scan can lose them), each rebuild
@@ -480,13 +520,23 @@ def write_ivf_layout_generation(emb: DataFrame, cents: list[list[float]],
     Returns the committed manifest version (= the generation's pin).
     Do not mix with `write_ivf_layout` on the same path - the overwrite
     builder's manifest names bare `cluster=` paths, the generation
-    builder's are `gen=`-qualified; one path, one convention."""
+    builder's are `gen=`-qualified; one path, one convention.
+
+    `assigned` (r15) feeds the stage from a PRE-ASSIGNED frame (the
+    rows with their `cluster` already attached under the same frozen
+    model - typically a checkpointed assignment shared across several
+    generation writes, e.g. a full-corpus assignment whose filtered
+    subsets stage sibling generations): the per-row assignment is a
+    deterministic function of the model, so assign-then-filter and
+    filter-then-assign stage identical rows, and the O(n*k*dim) kernel
+    runs once instead of once per generation (guide SS1.2 step 1)."""
     import uuid as _uuid
 
     gen = f"gen={_uuid.uuid4().hex[:12]}"
     stage = os.path.join(path, gen)
-    assigned = (_assign(_scaled(emb, vec_col), cents, dim, kernel)
-                .drop("xi", "xd", "centroid_dist"))
+    if assigned is None:
+        assigned = (_assign(_scaled(emb, vec_col), cents, dim, kernel)
+                    .drop("xi", "xd", "centroid_dist"))
     routed = route_by_cluster(assigned, id_col, files_per_cluster,
                               split=split, num_clusters=len(cents))
     routed.write.partitionBy("cluster").mode("errorifexists").parquet(stage)
@@ -527,7 +577,7 @@ def commit_generation_manifest(spark: SparkSession, path: str, gen: str,
     reclaim after the retention window."""
     from ..sources.versioned import (VersionConflict,
                                      latest_readable_version,
-                                     list_versions, write_version_cas)
+                                     list_versions)
 
     rows = _manifest_rows(os.path.join(path, gen), f"{gen}/",
                           stats_columns, spark=spark)
@@ -563,9 +613,8 @@ def commit_generation_manifest(spark: SparkSession, path: str, gen: str,
                             if (r[0], r[1]) not in base_set),
                            key=lambda r: (r[0], r[1]))
         try:
-            return write_version_cas(
-                _manifest_df(spark, sorted(rows + extra,
-                                           key=lambda r: (r[0], r[1]))),
+            return _commit_manifest_rows(
+                spark, sorted(rows + extra, key=lambda r: (r[0], r[1])),
                 mroot, expected_version=head)
         except VersionConflict:
             continue
@@ -978,7 +1027,13 @@ def _ranked_candidate_scan(spark: SparkSession, path: str,
         cand_side, qv_side = F.broadcast(cand), F.broadcast(qv)
     else:
         if version is not None or manifest_clusters(path) is not None:
-            cand = cand.localCheckpoint()
+            # LAZY checkpoint (r15): the distinct-cluster collect below
+            # is the first action and materializes the blocks in the
+            # SAME job - the eager pin paid one extra job per probe for
+            # the identical result (the plan is deterministic; the pin
+            # exists so the assignment kernel runs once, not to freeze
+            # nondeterminism).
+            cand = cand.localCheckpoint(eager=False)
             union = sorted(int(r["cluster"]) for r in
                            cand.select("cluster").distinct().collect())
             lay = (_read_probed_dirs(spark, path, union, version)
@@ -1071,7 +1126,8 @@ def write_ivf_layout_twolevel(emb: DataFrame,
                               kernel: str | None = None,
                               mode: str = "overwrite",
                               files_per_cluster: int = 1,
-                              stats_columns: list[str] | None = None
+                              stats_columns: list[str] | None = None,
+                              coarse_assigned: DataFrame | None = None
                               ) -> None:
     """Materialize the corpus partitioned by its LEAF id
     (cluster = coarse*k2 + fine) under a frozen two-level model from
@@ -1084,7 +1140,19 @@ def write_ivf_layout_twolevel(emb: DataFrame,
     unoccupied - directories are only created for non-empty lists, and
     rows routed to a fit-time-empty coarse cell take its fine=0 leaf
     with the coarse centroid as representative (the `_assign_fine`
-    coarse_cents fallback, the IVF empty-list convention)."""
+    coarse_cents fallback, the IVF empty-list convention).
+
+    `coarse_assigned` (r15) feeds the build from the CHECKPOINTED
+    coarse assignment `kmeans_fit_twolevel(return_assigned=True,
+    carry=(vec_col,))` already materialized - (id_col, payload...,
+    xi, xd, coarse) - so the build skips re-scanning the corpus and
+    re-running the k1 x dim coarse kernel the fit just paid for (guide
+    SS1.2 step 1: don't compute the same pass twice). Row-identical to
+    the default path by construction: the assignment is a
+    deterministic per-row function of the frozen model and the
+    checkpoint holds exactly its output. The layout then carries the
+    checkpoint's payload columns (the caller's `carry` choice) instead
+    of every `emb` column."""
     from .kmeans import _assign, _assign_fine, _scaled
 
     if files_per_cluster < 1:
@@ -1093,9 +1161,13 @@ def write_ivf_layout_twolevel(emb: DataFrame,
     if any(len(fl) > k2 for fl in fine):
         raise ValueError("a fine list exceeds the nominal k2 "
                          f"({max(len(fl) for fl in fine)} > {k2})")
-    assigned = (_assign(_scaled(emb, vec_col), coarse_cents, dim, kernel)
-                .withColumnRenamed("cluster", "coarse")
-                .drop("centroid_dist"))
+    if coarse_assigned is not None:
+        assigned = coarse_assigned
+    else:
+        assigned = (_assign(_scaled(emb, vec_col), coarse_cents, dim,
+                            kernel)
+                    .withColumnRenamed("cluster", "coarse")
+                    .drop("centroid_dist"))
     fined = _assign_fine(assigned, fine, dim, kernel,
                          coarse_cents=coarse_cents)
     routed = (fined

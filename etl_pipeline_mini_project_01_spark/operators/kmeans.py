@@ -619,24 +619,53 @@ def kmeans_fit_twolevel(emb: DataFrame, k1: int = 4, k2: int = 3,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         kernel: str | None = None,
-                        ) -> tuple[list[list[float]],
-                                   list[list[list[float]]], int]:
+                        return_assigned: bool = False,
+                        carry: tuple[str, ...] = (),
+                        ):
     """(coarse_cents, fine, dim): the driver-resident two-level model -
     fine[c] holds the k2 sub-centroids of coarse cluster c (fewer when
     the cluster has < k2 rows). See kmeans_assign_twolevel for the
-    algorithm and determinism contract."""
+    algorithm and determinism contract.
+
+    `return_assigned=True` returns a 4th element: the checkpointed
+    coarse assignment (id_col, *carry, xi, xd, coarse) this fit already
+    materialized - so a layout BUILD under the returned model can skip
+    re-scanning the corpus and re-running the k1 x dim coarse kernel it
+    just paid for (r15, guide SS1.2 step 1: the two-level build chain
+    ran the coarse assignment twice - once inside the fit, once inside
+    the write). `carry` names payload columns (typically the raw
+    vector) to ride the checkpoint for that reuse; it widens the
+    checkpoint blocks, so callers opt in only when a build follows."""
     coarse_cents, dim = kmeans_fit(emb, k1, iters1, id_col, vec_col,
                                    kernel)
-    x = _scaled(emb.select(id_col, vec_col), vec_col)
+    keep = [c for c in carry if c not in (id_col, vec_col)]
+    x = _scaled(emb.select(id_col, *keep, vec_col), vec_col)
+    sel = [id_col, *keep] + ([vec_col] if vec_col in carry else [])
     # The coarse assignment feeds every fine phase (seeds, each
     # iteration's sums, the final assignment): pin it once instead of
     # re-evaluating the k1 x dim argmin per phase (the same
     # materialization decision as SemDeDup's assignment checkpoint).
+    # LAZY checkpoint (r15, guide SS1.4/SS5): the fine-seed collect
+    # below is the first action, so ONE job assigns the corpus,
+    # materializes the checkpoint blocks, AND returns the seed
+    # candidates - previously the eager checkpoint and the seed window
+    # were two sequential jobs, and the window shuffled the whole
+    # corpus by coarse id just to pick <= k1*k2 seed rows.
     assigned = (_assign(x, coarse_cents, dim, kernel)
-                .select(id_col, "xi", "xd",
+                .select(*sel, "xi", "xd",
                         F.col("cluster").alias("coarse"))
-                .localCheckpoint())
+                .localCheckpoint(eager=False))
 
+    # Fine seeds: the per-coarse (_sk, id) window over the checkpointed
+    # assignment. An Arrow per-batch partial-top-k2 variant (no corpus
+    # exchange - only batches x k1 x k2 candidate rows shuffle) was
+    # prototyped and REJECTED on measurement (r15): the two extra
+    # corpus Arrow hops it adds (assign kernel -> JVM -> seed kernel)
+    # cost more here than the window's memory-speed exchange saves
+    # (interleaved same-JVM A/B: 1.85 -> 2.02 s median on the
+    # kmeans_twolevel_clusters row) - the same local-measurement
+    # verdict as r14's text-HOF rejection. The window rides the lazy
+    # checkpoint's materialization job either way.
     wseed = Window.partitionBy("coarse").orderBy("_sk", id_col)
     seed_rows = (assigned
                  .select("coarse", "xd", id_col,
@@ -662,6 +691,8 @@ def kmeans_fit_twolevel(emb: DataFrame, k1: int = 4, k2: int = 3,
                  for f in range(len(fine[c]))]
                 for c in range(k1)
             ]
+        if return_assigned:
+            return coarse_cents, fine, dim, assigned
         return coarse_cents, fine, dim
 
     for _ in range(iters2):
@@ -678,6 +709,8 @@ def kmeans_fit_twolevel(emb: DataFrame, k1: int = 4, k2: int = 3,
              for f in range(len(fine[c]))]
             for c in range(k1)
         ]
+    if return_assigned:
+        return coarse_cents, fine, dim, assigned
     return coarse_cents, fine, dim
 
 

@@ -88,26 +88,26 @@ def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16,
     need the tail of the distribution)."""
     from .kmeans import SCALE, _scale_list, _seed_key
 
-    first = emb.select(vec_col).first()
-    if first is None:
-        raise ValueError("pq_train needs a non-empty corpus")
-    dim = len(first[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-
     # Seeds: ONE collect of the ksub hash-smallest raw vectors, scaled
     # and sliced driver-side (r14 - the previous two-job seed phase
     # collected ids, then re-scanned with an IN filter for their
     # exploded slices; _scale_list is bit-identical to the Spark-side
     # scaling, and slicing before or after the elementwise scale is the
-    # same values).
+    # same values). dim comes from the seed rows themselves (r15 -
+    # the separate `first()` probe paid one extra job per training run
+    # to read a value the seed collect already holds).
     seed_rows = (emb.select(id_col, vec_col,
                             _seed_key(id_col).alias("_sk"))
                  .orderBy("_sk", id_col).limit(ksub).collect())
+    if not seed_rows:
+        raise ValueError("pq_train needs a non-empty corpus")
     if len(seed_rows) != ksub:
         raise ValueError(f"ksub={ksub} seeds need >= ksub rows, "
                          f"got {len(seed_rows)}")
+    dim = len(seed_rows[0][vec_col])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
     books: list[list[list[float]]] = [
         [_scale_list(r[vec_col])[s * dsub:(s + 1) * dsub]
          for r in seed_rows]
@@ -577,7 +577,9 @@ def write_ivf_pq_layout_twolevel(emb: DataFrame,
                                  vec_col: str = "embedding",
                                  kernel: str | None = None,
                                  mode: str = "overwrite",
-                                 files_per_cluster: int = 1) -> None:
+                                 files_per_cluster: int = 1,
+                                 coarse_assigned: DataFrame | None = None
+                                 ) -> int:
     """The stored IVF-PQ index under a HIERARCHICAL quantizer - the
     full E46 x E47 composition. The flat-quantizer build
     (`write_ivf_pq_layout`) pays O(n*k*dim) in its coarse assignment,
@@ -588,18 +590,32 @@ def write_ivf_pq_layout_twolevel(emb: DataFrame,
     `write_ivf_layout_twolevel`) and the PQ encode stays one map-side
     pass. Directory contract is unchanged: `cluster=` partitions of
     (id, codes), so `ivf_pq_probe_twolevel` prunes them with the same
-    planning-time IN."""
+    planning-time IN.
+
+    `coarse_assigned` (r15): build from the fit's CHECKPOINTED coarse
+    assignment instead of re-running the coarse kernel - the same
+    reuse contract as `write_ivf_layout_twolevel`. Returns the number
+    of rows written, observed for free on the write job itself (an
+    Observation aggregate rides the write) - callers that need the
+    corpus count (the rerank=corpus exactness-limit rows) read it here
+    instead of paying a separate count job (guide SS1.4)."""
+    from pyspark.sql import Observation
+
     if files_per_cluster < 1:
         raise ValueError(f"files_per_cluster must be >= 1, "
                          f"got {files_per_cluster}")
     if any(len(fl) > k2 for fl in fine):
         raise ValueError("a fine list exceeds the nominal k2 "
                          f"({max(len(fl) for fl in fine)} > {k2})")
-    _ivf_pq_routed_twolevel(emb, coarse_cents, fine, k2, dim, codebooks,
-                            id_col, vec_col, kernel, files_per_cluster) \
-        .write.partitionBy("cluster").mode(mode).parquet(path)
+    routed = _ivf_pq_routed_twolevel(emb, coarse_cents, fine, k2, dim,
+                                     codebooks, id_col, vec_col, kernel,
+                                     files_per_cluster, coarse_assigned)
+    obs = Observation()
+    (routed.observe(obs, F.count(F.lit(1)).alias("rows"))
+     .write.partitionBy("cluster").mode(mode).parquet(path))
     from .ivf_layout import commit_layout_manifest
     commit_layout_manifest(emb.sparkSession, path)
+    return int(obs.get["rows"])
 
 
 def _ivf_pq_routed_twolevel(emb: DataFrame,
@@ -609,16 +625,23 @@ def _ivf_pq_routed_twolevel(emb: DataFrame,
                             codebooks: list[list[list[float]]],
                             id_col: str, vec_col: str,
                             kernel: str | None,
-                            files_per_cluster: int) -> DataFrame:
+                            files_per_cluster: int,
+                            coarse_assigned: DataFrame | None = None
+                            ) -> DataFrame:
     """The two-level IVF-PQ build plan, exposed for the no-self-join
     plan guard: same single-pass contract as the flat build - cluster
-    rides the encode projection, no corpus join (VERDICT r8 #2)."""
+    rides the encode projection, no corpus join (VERDICT r8 #2).
+    `coarse_assigned` swaps the coarse pass for the fit's checkpointed
+    assignment (see write_ivf_pq_layout_twolevel)."""
     from .kmeans import _assign, _assign_fine, _scaled
 
-    assigned = (_assign(_scaled(emb.select(id_col, vec_col), vec_col),
-                        coarse_cents, dim, kernel)
-                .withColumnRenamed("cluster", "coarse")
-                .drop("centroid_dist"))
+    if coarse_assigned is not None:
+        assigned = coarse_assigned
+    else:
+        assigned = (_assign(_scaled(emb.select(id_col, vec_col), vec_col),
+                            coarse_cents, dim, kernel)
+                    .withColumnRenamed("cluster", "coarse")
+                    .drop("centroid_dist"))
     fined = (_assign_fine(assigned, fine, dim, kernel,
                           coarse_cents=coarse_cents)
              .withColumn("cluster",
@@ -781,7 +804,10 @@ def _ivf_pq_plan_probe(spark, path: str, queries: DataFrame,
         # The candidate relation feeds both the distinct-cluster seed
         # and the pair join; pin it so the distributed assignment
         # kernel runs once (executor-resident, never on the driver).
-        cand = cand.localCheckpoint()
+        # LAZY (r15): the distinct collect below materializes the
+        # blocks in the same job - the eager pin was one extra job per
+        # probe for the identical result.
+        cand = cand.localCheckpoint(eager=False)
         union = sorted(int(r["cluster"]) for r in
                        cand.select("cluster").distinct().collect())
         lay = (_read_probed_dirs(spark, path, union, version)

@@ -1550,11 +1550,16 @@ def ann_ivf_hier_layout_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans_fit_twolevel
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cc, fi, dim = kmeans_fit_twolevel(
+    # r15: the fit hands back its checkpointed coarse assignment (the
+    # raw vector rides via carry=), so the layout build skips the
+    # second corpus scan + coarse-kernel pass it used to re-run.
+    cc, fi, dim, assigned = kmeans_fit_twolevel(
         emb, k1=_KM2_K1, k2=_KM2_K2,
-        iters1=_KM2_ITERS1, iters2=_KM2_ITERS2)
+        iters1=_KM2_ITERS1, iters2=_KM2_ITERS2,
+        return_assigned=True, carry=("embedding",))
     path = f"/tmp/spark_graft_ivf_{_IVF_RUN_TAG}/embeddings_hier"
-    write_ivf_layout_twolevel(emb, cc, fi, _KM2_K2, dim, path)
+    write_ivf_layout_twolevel(emb, cc, fi, _KM2_K2, dim, path,
+                              coarse_assigned=assigned)
     queries = (emb.filter(F.col("vec_id") < N_QUERIES)
                .select("vec_id", "embedding"))
     out = ivf_probe_pruned_batch_twolevel(
@@ -1852,17 +1857,24 @@ def ann_ivfpq_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 write_ivf_pq_layout_twolevel)
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cc, fi, dim = kmeans_fit_twolevel(
+    # r15 driver-sequencing cuts: the fit returns its checkpointed
+    # coarse assignment (vector carried through), PQ training reads the
+    # checkpoint blocks instead of a fourth parquet scan, the layout
+    # build skips its coarse re-run, and the corpus count for the
+    # rerank=corpus exactness limit rides the layout write as an
+    # Observation instead of a separate count job.
+    cc, fi, dim, assigned = kmeans_fit_twolevel(
         emb, k1=_KM2_K1, k2=_KM2_K2,
-        iters1=_KM2_ITERS1, iters2=_KM2_ITERS2)
-    books = pq_train(emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
+        iters1=_KM2_ITERS1, iters2=_KM2_ITERS2,
+        return_assigned=True, carry=("embedding",))
+    books = pq_train(assigned, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
     path = f"/tmp/spark_graft_ivf_{_IVF_RUN_TAG}/embeddings_ivfpq"
-    write_ivf_pq_layout_twolevel(emb, cc, fi, _KM2_K2, dim, books, path)
+    n = write_ivf_pq_layout_twolevel(emb, cc, fi, _KM2_K2, dim, books,
+                                     path, coarse_assigned=assigned)
 
     lay = spark.read.parquet(path).select("vec_id", "codes", "cluster")
     queries = (emb.filter(F.col("vec_id") < N_QUERIES)
                .select("vec_id", "embedding"))
-    n = emb.count()
     topk = ivf_pq_probe_twolevel(
         spark, path, queries, cc, fi, _KM2_K2, books,
         nprobe=_HIER_NPROBE, k=_ANN_TOP_K, nprobe_coarse=_HIER_NPC,
@@ -1963,8 +1975,20 @@ def ivf_generation_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents, dim = kmeans_fit(emb, k=_KM_K, iters=1)
-    half = emb.filter(F.col("vec_id") % 2 == 0)
-    v1 = write_ivf_layout_generation(half, cents, dim, path)
+    # r15: ONE assignment pass serves both generation writes - the
+    # model is frozen, so v1's even-id half is a filter of the
+    # full-corpus assignment (assign-then-filter == filter-then-assign
+    # per row). Lazy checkpoint: v1's stage job materializes it, v2
+    # reads the blocks - the O(n*k*dim) kernel runs once, not 1.5x.
+    from ..operators.kmeans import _assign, _scaled
+
+    assigned = (_assign(_scaled(emb.select("vec_id", "embedding"),
+                                "embedding"), cents, dim, None)
+                .drop("xi", "xd", "centroid_dist")
+                .localCheckpoint(eager=False))
+    half = assigned.filter(F.col("vec_id") % 2 == 0)
+    v1 = write_ivf_layout_generation(emb, cents, dim, path,
+                                     assigned=half)
     qv = [float(v) for v in
           emb.filter("vec_id = 1").select("embedding").first()[0]]
 
@@ -1975,7 +1999,8 @@ def ivf_generation_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
                           index_version=ver).collect())
 
     before = _probe(v1)
-    v2 = write_ivf_layout_generation(emb, cents, dim, path)
+    v2 = write_ivf_layout_generation(emb, cents, dim, path,
+                                     assigned=assigned)
     after = _probe(v1)
     drift = sum(1 for x, y in zip(before, after) if x != y) \
         + abs(len(before) - len(after))
