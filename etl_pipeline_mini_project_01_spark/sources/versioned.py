@@ -198,6 +198,15 @@ def write_version(df: DataFrame, root: str,
     stats_tail = _manifest_with_stats({}, stage, stats_columns,
                                       spark=df.sparkSession,
                                       partition_by=partition_by)
+    return _claim_and_finalize(root, stage, max_retries, stats_tail)
+
+
+def _claim_and_finalize(root: str, stage: str, max_retries: int,
+                        stats_tail: dict) -> int:
+    """write_version's commit tail, staged-snapshot-agnostic: claim the
+    next log number, rename the stage in, finalize the manifest,
+    publish the pointer. Shared by the Spark-staged and the
+    driver-staged (control-plane) writers - ONE protocol."""
     for _ in range(max_retries):
         v = max(list_versions(root), default=0) + 1
         vdir = f"v{v:08d}"
@@ -215,6 +224,41 @@ def write_version(df: DataFrame, root: str,
     raise VersionConflict(
         f"gave up allocating a version of {root} after {max_retries} "
         "claim collisions")
+
+
+def _stage_local_parquet(table, root: str) -> str:
+    """Stage a CONTROL-PLANE pyarrow table as a one-file snapshot dir
+    driver-side - the staging half of write_version without the Spark
+    job. Only for relations that are control-plane sized by
+    construction (layout file manifests: k x files_per_cluster rows,
+    the same order as the centroid model); data-sized tables keep the
+    Spark-staged path."""
+    import uuid
+
+    import pyarrow.parquet as papq
+
+    stage = os.path.join(root, f"._stage_{uuid.uuid4().hex}")
+    os.makedirs(stage)
+    papq.write_table(table, os.path.join(stage, "part-00000.parquet"))
+    return stage
+
+
+def write_version_table(table, root: str, max_retries: int = 20) -> int:
+    """:func:`write_version` for a control-plane pyarrow Table: the
+    IDENTICAL commit protocol (claim loop -> stage rename -> manifest
+    finalize -> monotonic pointer publish; same crash windows, same
+    vacuum story) with the snapshot staged driver-side instead of
+    through a Spark write job (r15, guide SS1.4/SS5: every layout
+    manifest commit paid one single-task Spark job to write KB of
+    rows). Scheme-less (driver-local) roots only - scheme-qualified
+    roots keep the Spark-staged path, whose writers go through the
+    session's Hadoop client."""
+    if fsio.has_scheme(root):
+        raise ValueError("write_version_table stages driver-side and "
+                         "supports scheme-less local roots only")
+    fsio.makedirs(_manifest_dir(root))
+    stage = _stage_local_parquet(table, root)
+    return _claim_and_finalize(root, stage, max_retries, {})
 
 
 def _publish_latest(root: str, manifest: dict) -> None:
@@ -303,6 +347,43 @@ def write_version_cas(df: DataFrame, root: str, expected_version: int,
         {"version": v, "dir": vdir, **(manifest_extra or {})},
         stage, stats_columns, spark=df.sparkSession,
         partition_by=partition_by)
+    mpath = os.path.join(_manifest_dir(root), f"{vdir}.json")
+    try:
+        claim = fsio.claim_excl(mpath)
+    except FileExistsError:
+        fsio.rmtree(stage)
+        raise VersionConflict(
+            f"version {v} of {root} was claimed by a concurrent "
+            "committer; re-read and retry") from None
+    fsio.rename(stage, os.path.join(root, vdir))
+    claim.finalize_json(manifest)
+    _publish_latest(root, manifest)
+    return v
+
+
+def write_version_cas_table(table, root: str,
+                            expected_version: int) -> int:
+    """:func:`write_version_cas` for a control-plane pyarrow Table:
+    identical arbitration (O_EXCL manifest claim = the conditional
+    PUT; losers get the retryable VersionConflict BEFORE any
+    destructive step) and identical commit order/crash windows, with
+    the snapshot staged driver-side instead of through a Spark job
+    (see write_version_table). Scheme-less local roots only; no
+    stats/skip_empty/manifest_extra - the layout-manifest commits this
+    serves carry their stats IN the rows."""
+    if fsio.has_scheme(root):
+        raise ValueError("write_version_cas_table stages driver-side "
+                         "and supports scheme-less local roots only")
+    fsio.makedirs(_manifest_dir(root))
+    head = max(list_versions(root), default=0)
+    if head != expected_version:
+        raise VersionConflict(
+            f"expected to extend version {expected_version} of {root} "
+            f"but the log is at {head}")
+    v = expected_version + 1
+    vdir = f"v{v:08d}"
+    stage = _stage_local_parquet(table, root)
+    manifest = {"version": v, "dir": vdir}
     mpath = os.path.join(_manifest_dir(root), f"{vdir}.json")
     try:
         claim = fsio.claim_excl(mpath)

@@ -142,7 +142,12 @@ def test_conflict_loser_reclaims_next_version(spark, genlayout,
     )
 
     emb, half, cents, dim, path, v1 = genlayout
+    # r15: local roots commit through the driver-staged table variant
+    # (write_version_cas_table); scheme-qualified roots keep the Spark
+    # variant. Intercept BOTH so the retry loop is exercised no matter
+    # which staging the seam picked.
     real_cas = versioned.write_version_cas
+    real_cas_table = versioned.write_version_cas_table
     calls = {"n": 0}
 
     def lose_once(df, root, expected_version, **kw):
@@ -151,9 +156,17 @@ def test_conflict_loser_reclaims_next_version(spark, genlayout,
             raise VersionConflict("claimed by a concurrent committer")
         return real_cas(df, root, expected_version, **kw)
 
-    # the writer resolves the name at call time (function-body import),
+    def lose_once_table(tab, root, expected_version, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise VersionConflict("claimed by a concurrent committer")
+        return real_cas_table(tab, root, expected_version, **kw)
+
+    # the writer resolves the names at call time (function-body import),
     # so patching the source module intercepts it
     monkeypatch.setattr(versioned, "write_version_cas", lose_once)
+    monkeypatch.setattr(versioned, "write_version_cas_table",
+                        lose_once_table)
     v = write_ivf_layout_generation(half, cents, dim, path)
     assert calls["n"] == 2 and v >= 2
 

@@ -330,3 +330,53 @@ def test_orphan_dir_sweep_rechecks_manifest_ownership(spark, root):
     vacuum_versions(root, keep_last=1)
     assert fsio.isdir(os.path.join(root, "v00000002"))   # owned: spared
     assert not fsio.exists(os.path.join(root, "v00000099"))
+
+
+def test_table_staged_commit_matches_spark_staged(spark, root):
+    """r15 driver-staged control-plane commits: write_version_table /
+    write_version_cas_table must be protocol- and content-identical to
+    the Spark-staged writers - same version numbering, same snapshot
+    shape (one parquet file a Spark read resolves), same parquet schema
+    as the Spark-staged manifest frame, and CAS arbitration intact.
+    Scheme-qualified roots are rejected (they must keep the
+    Hadoop-client path)."""
+    import pyarrow as pa
+
+    from etl_pipeline_mini_project_01_spark.sources.versioned import (
+        VersionConflict, write_version_cas_table, write_version_table)
+
+    rows = [(0, "cluster=0/a.parquet", None),
+            (1, "cluster=1/b.parquet", '{"s": 1}')]
+    tab = pa.table({
+        "cluster": pa.array([r[0] for r in rows], type=pa.int32()),
+        "file": pa.array([r[1] for r in rows], type=pa.string()),
+        "stats": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    if fsio.has_scheme(root):
+        with pytest.raises(ValueError):
+            write_version_table(tab, root)
+        return
+    # spark-staged v1, driver-staged v2: same log, dense numbering
+    sdf = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows],
+        schema="cluster int, file string, stats string").coalesce(1)
+    v1 = write_version(sdf, root)
+    v2 = write_version_table(tab, root)
+    assert (v1, v2) == (1, 2)
+    a = read_version(spark, root, v1).orderBy("cluster")
+    b = read_version(spark, root, v2).orderBy("cluster")
+    assert a.schema == b.schema
+    assert a.collect() == b.collect()
+    # identical physical parquet schema (so mixed logs read uniformly)
+    import pyarrow.parquet as papq
+
+    def snap_schema(v):
+        d = os.path.join(root, f"v{v:08d}")
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")]
+        return papq.read_schema(os.path.join(d, f[0]))
+    assert snap_schema(v1).equals(snap_schema(v2))
+    # CAS grade: stale expected_version loses BEFORE any claim
+    with pytest.raises(VersionConflict):
+        write_version_cas_table(tab, root, expected_version=0)
+    v3 = write_version_cas_table(tab, root, expected_version=v2)
+    assert v3 == 3 and latest_version(root) == 3
