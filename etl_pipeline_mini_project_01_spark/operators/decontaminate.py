@@ -59,9 +59,10 @@ def _ngram_hashes(df: DataFrame, n: int, id_col: str,
 
 def _ngram_texts(df: DataFrame, n: int, id_col: str,
                  text_col: str) -> DataFrame:
-    """(id_col, gram): distinct word n-gram STRINGS - the pre-hash form,
-    needed where k seeded hashes of the same gram must agree across
-    relations (the Bloom path)."""
+    """(id_col, gram): distinct word n-gram STRINGS - the pre-hash
+    form, kept for audits/tests that need the gram text itself (since
+    r15 no production path shuffles it: the arrow Bloom path moved to
+    the 16-byte double-hash pair, see _gram_hash_pairs)."""
     toks = df.select(id_col, word_array(text_col).alias("_w"))
     idx = F.when(F.size("_w") >= n,
                  F.sequence(F.lit(1), F.size("_w") - (n - 1))
@@ -74,13 +75,52 @@ def _ngram_texts(df: DataFrame, n: int, id_col: str,
         .distinct())
 
 
-def _bloom_positions(gram_col, bits: int, k: int) -> list:
-    """k bit positions for one gram column: pmod(xxhash64(i, gram), bits)
-    for i in 0..k-1 - seeded JVM hashes, so BOTH the benchmark (bitmap
-    build) and corpus (probe) sides evaluate the identical expressions;
-    no cross-language hash agreement is ever required."""
-    return [F.pmod(F.xxhash64(F.lit(i), gram_col), F.lit(bits))
-            for i in range(k)]
+def _gram_hash_pairs(df: DataFrame, n: int, id_col: str,
+                     text_col: str) -> DataFrame:
+    """(id_col, gram_hash, h2): distinct double-hash pairs of each word
+    n-gram - gram_hash is the UNSEEDED xxhash64 (the exact-join key the
+    rest of the pipeline already consumes), h2 a seeded sibling. The
+    r15 arrow-probe shape (VERDICT r14 #6): both hashes project
+    MAP-SIDE from the gram text, so the gram-distinct exchange carries
+    16-byte pairs instead of ~100-byte n-gram strings (~10x fewer
+    exchange bytes at n=13, guide SS2.2/SS2.3); every Bloom position
+    derives from the pair via Kirsch-Mitzenmacher double hashing
+    (_bloom_mask), so the gram string never needs to survive a
+    shuffle. Dedup collisions need BOTH 64-bit hashes to collide -
+    strictly rarer than the single-hash collision the exact path
+    already documents, and the oracle string-counts the registered
+    rows, so a collision would surface as a driver mismatch."""
+    toks = df.select(id_col, word_array(text_col).alias("_w"))
+    idx = F.when(F.size("_w") >= n,
+                 F.sequence(F.lit(1), F.size("_w") - (n - 1))
+                 ).otherwise(F.array().cast("array<int>"))
+    return (toks.select(
+        id_col,
+        F.explode(F.transform(
+            idx, lambda i: F.array_join(F.slice("_w", i, n), " ")
+        )).alias("gram"))
+        .select(id_col,
+                F.xxhash64("gram").alias("gram_hash"),
+                F.xxhash64(F.lit(1), "gram").alias("h2"))
+        .distinct())
+
+
+def _bloom_mask(bm: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+                bits: int, k: int) -> np.ndarray:
+    """All-k-positions-set mask over an unpacked bool bitmap, positions
+    by double hashing: pos_i = (h1 + i*h2) mod bits in uint64
+    wrap-around arithmetic (Kirsch & Mitzenmacher 2006: two hashes
+    simulate k with the same asymptotic FP rate). The ONE position
+    function both the build (bloom_bitmap) and the probe evaluate -
+    identical inputs (the int64 xxhash64 pair reinterpreted as uint64)
+    on both sides, so no false negative is possible by construction."""
+    u1 = h1.astype(np.int64).view(np.uint64)
+    u2 = h2.astype(np.int64).view(np.uint64)
+    out = np.ones(u1.shape[0], dtype=bool)
+    for i in range(k):
+        pos = ((u1 + np.uint64(i) * u2) % np.uint64(bits)).astype(np.int64)
+        out &= bm[pos]
+    return out
 
 
 def _jvm_expr_tools(spark):
@@ -163,19 +203,26 @@ def bloom_bitmap(benchmark: DataFrame, n: int = DEFAULT_N,
                  text_col: str = "text", bits: int = BLOOM_BITS,
                  k: int = BLOOM_K) -> np.ndarray:
     """Packed (np.packbits) Bloom bitmap of the benchmark's n-grams,
-    built distributed and collected as DISTINCT bit positions (at most
-    min(bits, |grams| x k) longs - MB-scale for any benchmark-sized
-    input; the corpus side never collects anything)."""
+    built distributed and collected as DISTINCT double-hash pairs
+    (|grams| x 16 bytes - MB-scale for any benchmark-sized input; the
+    corpus side never collects anything). Positions derive driver-side
+    through the SAME _bloom_mask double-hash arithmetic the probe
+    kernel evaluates (r15) - one position function, zero false
+    negatives by construction, and the benchmark gram strings stop
+    surviving their distinct exchange too."""
     bench = benchmark.select(
         F.monotonically_increasing_id().alias("_bid"), F.col(text_col))
-    grams = _ngram_texts(bench, n, "_bid", text_col).select("gram").distinct()
-    pos = (grams.select(F.explode(F.array(
-        *_bloom_positions(F.col("gram"), bits, k))).alias("p"))
-        .distinct())
+    pairs = (_gram_hash_pairs(bench, n, "_bid", text_col)
+             .select("gram_hash", "h2").distinct().collect())
     bm = np.zeros(bits, dtype=bool)
-    hit = np.fromiter((r[0] for r in pos.collect()), dtype=np.int64)
-    if hit.size:
-        bm[hit] = True
+    if pairs:
+        h1 = np.fromiter((r["gram_hash"] for r in pairs), dtype=np.int64)
+        h2 = np.fromiter((r["h2"] for r in pairs), dtype=np.int64)
+        u1 = h1.view(np.uint64)
+        u2 = h2.view(np.uint64)
+        for i in range(k):
+            bm[((u1 + np.uint64(i) * u2)
+                % np.uint64(bits)).astype(np.int64)] = True
     return np.packbits(bm)
 
 
@@ -280,8 +327,8 @@ def bloom_contamination_scores(docs: DataFrame, benchmark: DataFrame,
         # string-distinct is the same xxhash64-collision argument the
         # exact path (contamination_scores) already documents, and the
         # oracle string-counts both rows, so a collision would surface
-        # as a driver mismatch. The arrow probe keeps the string form:
-        # its k seeded hashes need the gram itself.
+        # as a driver mismatch. The arrow probe shuffles the 16-byte
+        # double-hash pair since r15 (see _gram_hash_pairs).
         grams = _ngram_hashes(docs, n, id_col, text_col)
         bf = bitmap if bitmap is not None else \
             bloom_filter_jvm(benchmark, n, text_col, bits)
@@ -289,27 +336,30 @@ def bloom_contamination_scores(docs: DataFrame, benchmark: DataFrame,
                   else jvm_might_contain(spark, bf, F.col("gram_hash")))
         probed = grams.withColumn("_bloom", is_hit)
     else:
-        grams = _ngram_texts(docs, n, id_col, text_col)
+        # r15 (VERDICT r14 #6): the probe consumes the 16-byte
+        # double-hash pair - map-side hashed, hash-distinct - so no
+        # gram STRING ever crosses an exchange on this path either;
+        # the k positions derive in-kernel via _bloom_mask, the same
+        # arithmetic the bitmap build ran.
+        grams = _gram_hash_pairs(docs, n, id_col, text_col)
         if bitmap is None:
             bitmap = bloom_bitmap(benchmark, n, text_col, bits, k)
         bc = spark.sparkContext.broadcast(bitmap)
         memo: dict[int, np.ndarray] = {}
 
         @pandas_udf("boolean")
-        def _bloom_all_set(*pos: pd.Series) -> pd.Series:
+        def _bloom_all_set(h1: pd.Series, h2: pd.Series) -> pd.Series:
             bm = memo.get(0)
             if bm is None:
                 bm = memo[0] = np.unpackbits(bc.value).view(bool)
-            out = np.ones(len(pos[0]), dtype=bool)
-            for p in pos:
-                out &= bm[p.to_numpy(dtype=np.int64)]
-            return pd.Series(out)
+            return pd.Series(_bloom_mask(
+                bm, h1.to_numpy(dtype=np.int64),
+                h2.to_numpy(dtype=np.int64), bits, k))
 
         probed = (grams
-                  .withColumn("_bloom", _bloom_all_set(
-                      *_bloom_positions(F.col("gram"), bits, k)))
-                  .withColumn("gram_hash", F.xxhash64("gram"))
-                  .drop("gram"))
+                  .withColumn("_bloom",
+                              _bloom_all_set("gram_hash", "h2"))
+                  .drop("h2"))
     bench = (_ngram_hashes(
         benchmark.select(F.monotonically_increasing_id().alias("_bid"),
                          F.col(text_col)), n, "_bid", text_col)

@@ -173,8 +173,8 @@ def test_bloom_prefilter_actually_prunes(spark):
     from etl_pipeline_mini_project_01_spark.operators.decontaminate import (
         BLOOM_BITS,
         BLOOM_K,
-        _bloom_positions,
-        _ngram_texts,
+        _bloom_mask,
+        _gram_hash_pairs,
         bloom_bitmap,
     )
     import numpy as np
@@ -183,14 +183,12 @@ def test_bloom_prefilter_actually_prunes(spark):
     bm = np.unpackbits(
         bloom_bitmap(benchmark, n=N)).view(bool)
     fill = bm.mean()
-    grams = _ngram_texts(docs, N, "doc_id", "text")
-    pos = grams.select(
-        *[p.alias(f"p{i}") for i, p in
-          enumerate(_bloom_positions(F.col("gram"), BLOOM_BITS, BLOOM_K))])
-    pdf = pos.toPandas()
-    passed = np.ones(len(pdf), dtype=bool)
-    for c in pdf.columns:
-        passed &= bm[pdf[c].to_numpy(dtype=np.int64)]
+    # probe through the r15 double-hash pair - the same derivation the
+    # kernel runs (_bloom_mask is the one position function)
+    pdf = _gram_hash_pairs(docs, N, "doc_id", "text").toPandas()
+    passed = _bloom_mask(bm, pdf["gram_hash"].to_numpy(dtype=np.int64),
+                         pdf["h2"].to_numpy(dtype=np.int64),
+                         BLOOM_BITS, BLOOM_K)
     survivor_share = passed.mean()
     # planted contamination is ~1/7 of docs; FPs add ~fill^k on top of
     # the true-hit share - with the fixture's tiny benchmark, fill (and
