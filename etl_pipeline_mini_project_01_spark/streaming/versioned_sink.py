@@ -117,7 +117,20 @@ def commit_batch_versioned(batch_df: DataFrame, root: str,
             if batch_df.isEmpty():
                 return None
             skip_empty = False
-            prev = read_version(spark, root, latest_readable_version(root))
+            # Re-resolve + guard (r15 sweep): between this probe and the
+            # read, a RIVAL COMMIT plus an aggressive keep_last=1 vacuum
+            # can retire the version we just resolved - read_version
+            # then raises FileNotFoundError, which crashed the stream
+            # where a retry (the head moved, exactly like a
+            # VersionConflict) is the correct response. The newest
+            # readable version itself can never be vacuumed (keep_last
+            # >= 1 retains it), so this only fires when the head
+            # genuinely advanced.
+            try:
+                prev = read_version(spark, root,
+                                    latest_readable_version(root))
+            except FileNotFoundError:
+                continue
             # Null-safe anti-join: a NULL grouping key (e.g. after a
             # left-join enrichment) is a real upsert key here, but a
             # plain column-list anti join never matches NULL = NULL -

@@ -487,3 +487,34 @@ def test_sink_auto_compaction_bounds_chain_length(spark, scratch):
         man = fsio.read_json(mp)
         if man.get("delta"):
             assert len(_delta_chain(root, man)) <= 3   # <= 2 deltas + base
+
+
+def test_rewrite_rebase_retries_when_vacuum_races_the_read(
+        spark, scratch, monkeypatch):
+    """r15 sweep fix: in rewrite mode (differential=False) a rival
+    commit + keep_last=1 vacuum can retire the version resolved by
+    latest_readable_version before read_version opens it - the sink
+    must RETRY (the head moved, the same situation as a
+    VersionConflict), not crash the stream with FileNotFoundError."""
+    from etl_pipeline_mini_project_01_spark.streaming import versioned_sink
+
+    root = scratch + "/tbl"
+    write_version(spark.createDataFrame([(1, 10.0)], "k bigint, v double"),
+                  root)
+    real_read = versioned_sink.read_version
+    calls = {"n": 0}
+
+    def flaky_read(sp, r, version=None, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError("version vacuumed by a rival")
+        return real_read(sp, r, version, **kw)
+
+    monkeypatch.setattr(versioned_sink, "read_version", flaky_read)
+    batch = spark.createDataFrame([(1, 99.0), (2, 5.0)],
+                                  "k bigint, v double")
+    v = commit_batch_versioned(batch, root, keys=["k"],
+                               differential=False)
+    assert v == 2 and calls["n"] >= 2
+    got = {(r["k"], r["v"]) for r in read_version(spark, root, v).collect()}
+    assert got == {(1, 99.0), (2, 5.0)}
