@@ -1857,17 +1857,25 @@ def ann_ivfpq_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 write_ivf_pq_layout_twolevel)
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # r15 driver-sequencing cuts: the fit returns its checkpointed
-    # coarse assignment (vector carried through), PQ training reads the
-    # checkpoint blocks instead of a fourth parquet scan, the layout
-    # build skips its coarse re-run, and the corpus count for the
-    # rerank=corpus exactness limit rides the layout write as an
-    # Observation instead of a separate count job.
-    cc, fi, dim, assigned = kmeans_fit_twolevel(
-        emb, k1=_KM2_K1, k2=_KM2_K2,
-        iters1=_KM2_ITERS1, iters2=_KM2_ITERS2,
-        return_assigned=True, carry=("embedding",))
-    books = pq_train(assigned, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
+    # r15 driver-sequencing cuts: PQ training is INDEPENDENT of the
+    # two-level fit (both are pure functions of the corpus), so it runs
+    # in a driver thread and its 3 sequential jobs overlap the fit's 4
+    # (guide SS2.6 - actions are only sequential because the driver
+    # calls them sequentially); the fit returns its checkpointed coarse
+    # assignment (vector carried through) so the layout build skips its
+    # coarse re-run; and the corpus count for the rerank=corpus
+    # exactness limit rides the layout write as an Observation instead
+    # of a separate count job.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        books_fut = pool.submit(pq_train, emb, m=_PQ_M, ksub=_PQ_KSUB,
+                                iters=_PQ_ITERS)
+        cc, fi, dim, assigned = kmeans_fit_twolevel(
+            emb, k1=_KM2_K1, k2=_KM2_K2,
+            iters1=_KM2_ITERS1, iters2=_KM2_ITERS2,
+            return_assigned=True, carry=("embedding",))
+        books = books_fut.result()
     path = f"/tmp/spark_graft_ivf_{_IVF_RUN_TAG}/embeddings_ivfpq"
     n = write_ivf_pq_layout_twolevel(emb, cc, fi, _KM2_K2, dim, books,
                                      path, coarse_assigned=assigned)
