@@ -78,7 +78,8 @@ def _measure(spark, name: str) -> dict:
 
 
 def main() -> None:
-    spark = get_spark("r15-jobstats", master="local[32]",
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("r15-jobstats", master=f"local[{cpus}]",
                       extra_conf={"spark.ui.showConsoleProgress": "false",
                                   "spark.ui.enabled": "true",
                                   "spark.ui.retainedJobs": "10000",
